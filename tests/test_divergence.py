@@ -1,0 +1,83 @@
+"""Divergence family: values and derivatives vs jax.grad oracles.
+
+Replaces the reference's PyTorch-autograd checks
+(/root/reference/restoration/tests.py) with jax.grad, and adds a NumPy
+cross-check.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_sgp.ops import divergence as dv
+from oracle_numpy import beta_div_np, beta_div_dbeta_np
+
+
+def _rand_pair(rng, n=64):
+    den = rng.uniform(0.2, 5.0, n)
+    gn = rng.uniform(0.2, 5.0, n)
+    return jnp.asarray(den), jnp.asarray(gn)
+
+
+def test_beta_div_matches_numpy(rng):
+    den, gn = _rand_pair(rng)
+    for b in [0.5, 0.9887, 1.005, 1.7, 2.0]:
+        ours = dv.beta_div(den, gn, jnp.float64(b))
+        ref = beta_div_np(np.asarray(den), np.asarray(gn), b)
+        assert np.isclose(float(ours), ref, rtol=1e-12)
+
+
+def test_beta_div_special_cases(rng):
+    den, gn = _rand_pair(rng)
+    # beta -> 1 limit approaches the KL special case
+    kl = dv.beta_div_special(den, gn, 1.0)
+    near = dv.beta_div(den, gn, jnp.float64(1.0 + 1e-7))
+    assert np.isclose(float(kl), float(near), rtol=1e-5)
+    isd = dv.beta_div_special(den, gn, 0.0)
+    near0 = dv.beta_div(den, gn, jnp.float64(1e-7))
+    assert np.isclose(float(isd), float(near0), rtol=1e-4)
+
+
+def test_beta_div_dbeta_vs_autodiff(rng):
+    """Closed-form d/dbeta equals jax.grad of the objective (the reference
+    verified the same identity against torch autograd, tests.py:54-68)."""
+    den, gn = _rand_pair(rng, 32)
+    for b in [0.7, 1.3, 1.7, 2.2]:
+        closed = float(jnp.sum(dv.beta_div_dbeta(den, gn, jnp.float64(b))))
+        auto = float(jax.grad(dv.beta_div, argnums=2)(den, gn, jnp.float64(b)))
+        assert np.isclose(closed, auto, rtol=1e-9), (b, closed, auto)
+        npver = beta_div_dbeta_np(np.asarray(den), np.asarray(gn), b).sum()
+        assert np.isclose(closed, npver, rtol=1e-12)
+
+
+def test_beta_grad_reduces_to_kl_at_beta1(rng):
+    """betaDivDerivwrtY at beta=1 equals the KL gradient
+    (reference tests.py:21-52)."""
+    den, gn = _rand_pair(rng, 128)
+    AT = lambda v: 2.0 * v + 0.1 * jnp.roll(v, 1)  # arbitrary linear op
+    g_beta = dv.beta_grad_wrt_recon(AT, den, gn, jnp.float64(1.0))
+    g_kl = dv.kl_grad_wrt_recon(AT, den, gn)
+    np.testing.assert_allclose(np.asarray(g_beta), np.asarray(g_kl),
+                               rtol=1e-12)
+
+
+def test_kl_objective_grad_consistency(rng):
+    """jax.grad of the KL objective w.r.t. x matches the analytic
+    1 - AT(gn/den) through a real operator."""
+    from tpu_sgp.ops.psf_operator import make_operator
+    k = rng.uniform(0.1, 1.0, (8, 8))
+    k /= k.sum()
+    A, AT = make_operator(jnp.asarray(k), (8, 8), 'otf')
+    gn = jnp.asarray(rng.uniform(0.5, 2.0, (8, 8)))
+    bkg = 0.3
+    x = jnp.asarray(rng.uniform(0.1, 1.0, (8, 8)))
+
+    def f(x):
+        x_tf = A(x)
+        den = x_tf + bkg
+        return dv.kl_objective(x_tf, den, gn, jnp.float64(1.0))
+
+    auto = jax.grad(f)(x)
+    den = A(x) + bkg
+    analytic = dv.kl_grad_wrt_recon(AT, den, gn)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(analytic),
+                               rtol=1e-8, atol=1e-10)

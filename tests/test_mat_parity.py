@@ -1,0 +1,74 @@
+"""Integration parity vs the SGP-dec ground-truth fixtures.
+
+Pins the reproduced baseline numbers from BASELINE.md (measured by running
+the reference implementation on this container):
+  KL  NGC7027   MAXIT=27  -> rel_err 0.137888
+  KL  satellite MAXIT=332 -> rel_err 0.289815
+  beta NGC7027  beta0=0.9887296 frozen -> 0.136620
+  beta satellite beta0=1.0001 frozen   -> 0.292335
+The reference had no assertions on these at all (SURVEY §4).
+"""
+import numpy as np
+import pytest
+
+from tpu_sgp import sgp, sgp_beta_div
+from conftest import load_mat_fixture
+
+
+def _rel_err(x, obj):
+    e = x - obj
+    return float(np.sqrt(np.sum(e * e) / np.sum(obj * obj)))
+
+
+def _unpack(mat):
+    return mat['gn'], mat['psf'], float(mat['bg'][0][0]), mat['obj']
+
+
+def test_ngc7027_kl():
+    gn, psf, bkg, obj = _unpack(load_mat_fixture('NGC7027_255.mat'))
+    x, iters, discr, _, _ = sgp(gn, psf, bkg, init_recon=3,
+                                stop_criterion=1, MAXIT=27)
+    assert iters == 27
+    assert abs(_rel_err(x, obj) - 0.137888) < 2e-4
+
+
+@pytest.mark.slow
+def test_satellite_kl():
+    gn, psf, bkg, obj = _unpack(load_mat_fixture('satellite_25500.mat'))
+    x, iters, _, _, _ = sgp(gn, psf, bkg, init_recon=3, stop_criterion=1,
+                            MAXIT=332)
+    # 332 iterations are roundoff-chaotic: Armijo accept/reject decisions flip
+    # on FFT-library roundoff, so trajectories diverge while converging to the
+    # same quality (even a NumPy re-run of the reference formulas lands 2e-4
+    # away from the reference's own 0.289815). Assert the scientific outcome.
+    assert abs(_rel_err(x, obj) - 0.289815) < 5e-3
+
+
+def test_ngc7027_beta():
+    gn, psf, bkg, obj = _unpack(load_mat_fixture('NGC7027_255.mat'))
+    x, _, _, _, _ = sgp_beta_div(gn, psf, bkg, init_recon=3,
+                                 stop_criterion=1, MAXIT=27,
+                                 betaParam=0.9887296104546054, lr=1e-3,
+                                 lr_exp_param=0.1, schedule_lr=True,
+                                 adapt_beta=False)
+    assert abs(_rel_err(x, obj) - 0.136620) < 2e-4
+
+
+@pytest.mark.slow
+def test_satellite_beta():
+    gn, psf, bkg, obj = _unpack(load_mat_fixture('satellite_25500.mat'))
+    x, _, _, _, _ = sgp_beta_div(gn, psf, bkg, init_recon=3,
+                                 stop_criterion=1, MAXIT=332,
+                                 betaParam=1.0001, lr=1e-3,
+                                 lr_exp_param=0.1, schedule_lr=True,
+                                 adapt_beta=False)
+    # Same roundoff-chaos argument as test_satellite_kl.
+    assert abs(_rel_err(x, obj) - 0.292335) < 5e-3
+
+
+def test_ngc7027_kl_float32_close():
+    """f32 (TPU fast mode) stays within 1e-3 of the f64 rel_err."""
+    gn, psf, bkg, obj = _unpack(load_mat_fixture('NGC7027_255.mat'))
+    x, _, _, _, _ = sgp(gn, psf, bkg, init_recon=3, stop_criterion=1,
+                        MAXIT=27, dtype='float32')
+    assert abs(_rel_err(x, obj) - 0.137888) < 2e-3

@@ -1,0 +1,85 @@
+"""Flux-conserving projection: properties + differential vs NumPy oracle +
+vmap consistency. The reference has no test of projectDF at all (SURVEY §4);
+these close that gap."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_sgp.projection.flux_projection import project_df
+from oracle_numpy import project_df_np
+
+
+def _problem(rng, n=200, b=50.0):
+    c = rng.normal(0.0, 2.0, n)
+    dia = rng.uniform(0.5, 2.0, n)
+    return b, c, dia
+
+
+@pytest.mark.parametrize('b', [1.0, 50.0, 1e4])
+def test_constraints_satisfied(rng, b):
+    _, c, dia = _problem(rng)
+    x = np.asarray(project_df(b, jnp.asarray(c), jnp.asarray(dia), 1.0))
+    assert (x >= 0).all()
+    assert np.isclose(x.sum(), b, rtol=1e-9)
+
+
+def test_matches_oracle(rng):
+    for trial in range(12):
+        b = float(rng.uniform(1.0, 500.0))
+        _, c, dia = _problem(rng, n=150, b=b)
+        ours = np.asarray(project_df(b, jnp.asarray(c), jnp.asarray(dia), 1.0))
+        ref = project_df_np(b, c, dia, 1.0)
+        np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_matches_oracle_with_saturation(rng):
+    b = 120.0
+    c = rng.normal(1.0, 3.0, 100)
+    dia = rng.uniform(0.5, 2.0, 100)
+    sat, scaling = 4.0, 1.0
+    ours = np.asarray(project_df(b, jnp.asarray(c), jnp.asarray(dia), scaling,
+                                 sat_level=sat))
+    ref = project_df_np(b, c, dia, scaling, sat=sat)
+    np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-12)
+    assert (ours <= sat / scaling).all()
+
+
+def test_identity_metric_projection(rng):
+    """dia = 1: Euclidean projection onto the flux simplex (with x>=0)."""
+    b = 10.0
+    c = rng.normal(0.0, 1.0, 64)
+    x = np.asarray(project_df(b, jnp.asarray(c), jnp.ones(64), 1.0))
+    # KKT: x = max(0, c + lam) for the recovered lam
+    lam_candidates = x[x > 0] - c[x > 0]
+    assert lam_candidates.std() < 1e-8
+    assert np.isclose(x.sum(), b, rtol=1e-9)
+
+
+def test_already_feasible_early_exit(rng):
+    c = rng.uniform(0.1, 1.0, 50)
+    dia = np.ones(50)
+    b = float(np.maximum(c, 0).sum())  # r(0) == 0 exactly
+    x = np.asarray(project_df(b, jnp.asarray(c), jnp.asarray(dia), 1.0))
+    np.testing.assert_allclose(x, np.maximum(c, 0), rtol=1e-12)
+
+
+def test_vmap_matches_loop(rng):
+    B, n = 8, 120
+    bs = rng.uniform(5.0, 200.0, B)
+    cs = rng.normal(0.0, 2.0, (B, n))
+    dias = rng.uniform(0.5, 2.0, (B, n))
+    batched = jax.vmap(lambda b, c, d: project_df(b, c, d, 1.0))(
+        jnp.asarray(bs), jnp.asarray(cs), jnp.asarray(dias))
+    for i in range(B):
+        single = project_df(bs[i], jnp.asarray(cs[i]), jnp.asarray(dias[i]),
+                            1.0)
+        np.testing.assert_allclose(np.asarray(batched)[i],
+                                   np.asarray(single), rtol=1e-9, atol=1e-12)
+
+
+def test_2d_input_shape_preserved(rng):
+    c = jnp.asarray(rng.normal(0.0, 1.0, (31, 31)))
+    x = project_df(40.0, c, jnp.ones((31, 31)), 1.0)
+    assert x.shape == (31, 31)
+    assert np.isclose(float(jnp.sum(x)), 40.0, rtol=1e-9)

@@ -1,0 +1,161 @@
+"""Solver differential tests: JAX core vs independent NumPy oracle (f64),
+across init modes, projection types, stop criteria and divergences."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_sgp import SGPConfig, sgp, sgp_beta_div
+from tpu_sgp.solvers.sgp import solve
+from conftest import synthetic_stamp
+from oracle_numpy import oracle_solve
+
+
+def _agree(a, b, rtol=1e-9, atol=1e-9):
+    np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
+
+
+def test_kl_fixed_iters_matches_oracle(rng):
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    x, iters, discr, _, _ = sgp(img, psf, bkg, init_recon=2,
+                                stop_criterion=1, MAXIT=25)
+    xo, ito, discro, _ = oracle_solve(img, psf, bkg, init_recon=2,
+                                      stop_criterion=1, maxit=25)
+    assert iters == ito == 25
+    _agree(x, xo)
+    _agree(discr, discro)
+
+
+def test_kl_flat_init_matches_oracle(rng):
+    img, psf, bkg, _ = synthetic_stamp(rng, size=24)
+    x, iters, discr, _, _ = sgp(img, psf, bkg, init_recon=3,
+                                stop_criterion=1, MAXIT=15)
+    xo, ito, _, _ = oracle_solve(img, psf, bkg, init_recon=3,
+                                 stop_criterion=1, maxit=15)
+    _agree(x, xo)
+
+
+def test_kl_proj_type1_matches_oracle(rng):
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    flux = float(np.sum(img - bkg))
+    x, iters, _, _, _ = sgp(img, psf, bkg, init_recon=2, proj_type=1,
+                            stop_criterion=1, MAXIT=12, flux=flux,
+                            ccd_sat_level=65000.0)
+    xo, _, _, _ = oracle_solve(img, psf, bkg, init_recon=2, proj_type=1,
+                               stop_criterion=1, maxit=12, flux=flux,
+                               sat=65000.0)
+    _agree(x, xo, rtol=1e-8, atol=1e-8)
+
+
+def test_kl_stop_criterion_3(rng):
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    flux = float(np.sum(img - bkg))
+    x, iters, discr, _, _ = sgp(img, psf, bkg, init_recon=2, proj_type=1,
+                                stop_criterion=3, MAXIT=200, flux=flux,
+                                ccd_sat_level=65000.0, tol_convergence=1e-4)
+    xo, ito, discro, _ = oracle_solve(img, psf, bkg, init_recon=2,
+                                      proj_type=1, stop_criterion=3,
+                                      maxit=200, flux=flux, sat=65000.0,
+                                      tol=1e-4)
+    assert iters == ito
+    assert iters < 200  # actually converged early
+    _agree(x, xo, rtol=1e-8, atol=1e-8)
+
+
+def test_kl_stop_criterion_2_and_4(rng):
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    for crit, tol in [(2, 1e-3), (4, None)]:
+        kw = dict(init_recon=2, stop_criterion=crit, MAXIT=100)
+        if tol is not None:
+            kw['tol_convergence'] = tol
+        x, iters, _, _, _ = sgp(img, psf, bkg, **kw)
+        okw = dict(init_recon=2, stop_criterion=crit, maxit=100)
+        if tol is not None:
+            okw['tol'] = tol
+        xo, ito, _, _ = oracle_solve(img, psf, bkg, **okw)
+        assert iters == ito, f'criterion {crit}'
+        _agree(x, xo, rtol=1e-8, atol=1e-8)
+
+
+def test_beta_adapt_schedule_matches_oracle(rng):
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    flux = float(np.sum(img - bkg))
+    x, iters, discr, _, _ = sgp_beta_div(
+        img, psf, bkg, init_recon=2, proj_type=1, stop_criterion=3,
+        MAXIT=120, flux=flux, ccd_sat_level=65000.0, betaParam=1.01,
+        lr=1e-3, lr_exp_param=0.1, schedule_lr=True, adapt_beta=True,
+        tol_convergence=1e-4)
+    xo, ito, _, beta_final = oracle_solve(
+        img, psf, bkg, init_recon=2, proj_type=1, stop_criterion=3,
+        maxit=120, flux=flux, sat=65000.0, divergence='beta',
+        beta_param=1.01, lr=1e-3, lr_exp_param=0.1, schedule_lr=True,
+        adapt_beta=True, tol=1e-4)
+    assert iters == ito
+    _agree(x, xo, rtol=1e-7, atol=1e-7)
+
+
+def test_beta_frozen_matches_oracle(rng):
+    img, psf, bkg, _ = synthetic_stamp(rng, size=24)
+    x, iters, _, _, _ = sgp_beta_div(img, psf, bkg, init_recon=3,
+                                     stop_criterion=1, MAXIT=20,
+                                     betaParam=0.98, adapt_beta=False)
+    xo, _, _, _ = oracle_solve(img, psf, bkg, init_recon=3,
+                               stop_criterion=1, maxit=20,
+                               divergence='beta', beta_param=0.98)
+    _agree(x, xo, rtol=1e-8, atol=1e-8)
+
+
+def test_linear_operator_solver_path(rng):
+    """PSF smaller than the image -> linear-convolution operator."""
+    img, _, bkg, _ = synthetic_stamp(rng, size=48)
+    psf_small = np.outer(*(2 * [np.exp(-np.linspace(-2, 2, 9) ** 2)]))
+    psf_small /= psf_small.sum()
+    x, iters, _, _, _ = sgp(img, psf_small, bkg, init_recon=2,
+                            stop_criterion=1, MAXIT=10,
+                            use_original_SGP_Afunction=False)
+    xo, _, _, _ = oracle_solve(img, psf_small, bkg, init_recon=2,
+                               stop_criterion=1, maxit=10)
+    _agree(x, xo, rtol=1e-7, atol=1e-7)
+
+
+def test_revert_on_stop_behavior(rng):
+    """The returned iterate is the previous one (reference sgp.py:424-425):
+    running MAXIT=k then MAXIT=k+1 must differ in exactly that way."""
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    x10, *_ = sgp(img, psf, bkg, init_recon=2, stop_criterion=1, MAXIT=10)
+    xo10, *_ = oracle_solve(img, psf, bkg, init_recon=2, stop_criterion=1,
+                            maxit=10)
+    _agree(x10, xo10)
+
+
+def test_unnormalized_psf_raises(rng):
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    with pytest.raises(ValueError):
+        sgp(img, psf * 1.5, bkg)
+
+
+def test_vmap_over_stamps_matches_single(rng):
+    """The jitted core vmaps across a stamp batch and agrees with per-stamp
+    solves — the foundation of the batched TPU workload."""
+    stamps, psfs, bkgs = [], [], []
+    for i in range(4):
+        img, psf, bkg, _ = synthetic_stamp(rng, flux=4000 + 1500 * i)
+        stamps.append(img)
+        psfs.append(psf)
+        bkgs.append(np.full_like(img, bkg))
+    cfg = SGPConfig(max_iter=15, stop_criterion=1, init_recon=2,
+                    proj_type=0, dtype='float64', has_flux=False)
+    gn = jnp.asarray(np.stack(stamps))
+    ps = jnp.asarray(np.stack(psfs))
+    bk = jnp.asarray(np.stack(bkgs))
+    zeros = jnp.zeros_like(gn)
+    batched = jax.vmap(
+        lambda g, p, b, z: solve(g, p, b, z, 0.0, z, 1.0, 1e-3, 0.0, cfg)
+    )(gn, ps, bk, zeros)
+    for i in range(4):
+        single = solve(gn[i], ps[i], bk[i], zeros[i], 0.0, zeros[i], 1.0,
+                       1e-3, 0.0, cfg)
+        np.testing.assert_allclose(np.asarray(batched.x)[i],
+                                   np.asarray(single.x), rtol=1e-9,
+                                   atol=1e-9)
+        assert int(batched.iters[i]) == int(single.iters)

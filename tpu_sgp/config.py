@@ -1,0 +1,88 @@
+"""Solver configuration.
+
+One frozen (hashable) dataclass carries every hyperparameter of the SGP /
+beta-SGP solvers so it can be passed as a jit-static argument. This replaces
+the reference's loose kwargs + ``DEFAULT_PARAMS`` tuple
+(see /root/reference/restoration/sgp.py:34,41-47).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+# Reference DEFAULT_PARAMS tuple, unpacked as
+# (max_projs, gamma, beta, alpha_min, alpha_max, alpha, M_alpha, tau, M)
+# (reference sgp.py:34). Note the drivers start with alpha=10 while the
+# solver's own default is alpha=1.3.
+DEFAULT_PARAMS = (1000, 1e-4, 0.4, 1e-5, 1e5, 1e1, 3, 0.5, 1)
+
+# Catalog schema used by the star-stamp workloads (reference sgp.py:35-39).
+DEFAULT_COLUMNS = [
+    'label', 'xcentroid', 'ycentroid', 'sky_centroid',
+    'bbox_xmin', 'bbox_xmax', 'bbox_ymin', 'bbox_ymax',
+    'area', 'semimajor_sigma', 'semiminor_sigma',
+    'orientation', 'eccentricity', 'min_value', 'max_value',
+    'local_background', 'segment_flux', 'segment_fluxerr', 'ellipticity',
+    'fwhm',
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class SGPConfig:
+    """Static solver configuration (jit-static; hashable).
+
+    Field semantics mirror the reference solver arguments
+    (/root/reference/restoration/sgp.py:41-47, 506-513) so behaviour is
+    checkable line by line, but the implementation is a functional JAX core.
+    """
+
+    # Iteration / stopping ------------------------------------------------
+    max_iter: int = 500            # MAXIT
+    stop_criterion: int = 0        # 0/1 fixed iters, 2 rel step, 3 rel f decrease, 4 discrepancy
+    tol_convergence: float = 1e-4  # used by criteria 2 and 3
+    # Initialization ------------------------------------------------------
+    init_recon: int = 0            # 0 zeros | 1 caller-provided x0 | 2 copy gn | 3 flat flux
+    # Projection ----------------------------------------------------------
+    proj_type: int = 0             # 0 clip at 0 | 1 flux-conserving projection
+    max_projs: int = 1000          # iteration cap inside the flux projection
+    # Line search ---------------------------------------------------------
+    gamma: float = 1e-4            # Armijo penalty
+    bt_factor: float = 0.4         # backtracking shrink factor ("beta" in the reference)
+    m_mem: int = 1                 # non-monotone memory M (1 = monotone)
+    max_backtracks: int = 60       # hard cap on backtracking steps (lam >= 0.4**60 ~ 1e-24 < 1e-12 exit)
+    # Barzilai-Borwein steplength ----------------------------------------
+    alpha_init: float = 1.3
+    alpha_min: float = 1e-5
+    alpha_max: float = 1e5
+    m_alpha: int = 3               # memory for alpha2 values
+    tau_init: float = 0.5          # BB alternation threshold
+    # Data conditioning ---------------------------------------------------
+    scale_data: bool = True
+    # Divergence ----------------------------------------------------------
+    divergence: str = 'kl'         # 'kl' | 'beta'
+    adapt_beta: bool = True        # beta-SGP: gradient-descend beta on line-search rejects
+    schedule_lr: bool = False      # beta-SGP: exponential lr decay per epoch
+    lr_exp_param: float = 0.1
+    # Misc ----------------------------------------------------------------
+    errflag: bool = False          # track ||x - obj|| / ||obj|| per iteration
+    verbose: bool = True           # reference quirk: criterion-2 tol is squared only when verbose
+    has_flux: bool = True          # whether a precomputed flux is supplied
+    has_sat_level: bool = False    # whether a CCD saturation ceiling is enforced in the projection
+    dtype: str = 'float32'         # compute dtype ('float64' for parity mode on CPU)
+    operator: str = 'auto'         # 'auto' | 'otf' | 'matmul' | 'linear' (PSF != image shape)
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def replace(self, **kw) -> 'SGPConfig':
+        return dataclasses.replace(self, **kw)
+
+
+def parity_config(**kw) -> SGPConfig:
+    """Config preset for float64 bit-parity work on CPU."""
+    base = dict(dtype='float64')
+    base.update(kw)
+    return SGPConfig(**base)

@@ -1,0 +1,148 @@
+"""PSF forward/adjoint operators, TPU-first.
+
+The reference exposes two operator variants
+(/root/reference/restoration/sgp.py:108-161):
+  (a) same-shape circular convolution through a precomputed OTF
+      ``TF = fftn(fftshift(psf))``; adjoint via ``conj(TF)``;
+  (b) astropy ``convolve_fft`` zero-padded *linear* convolution for
+      PSF.shape != image.shape, with the adjoint applied as convolution by
+      ``psf.conj().T`` (an axis transpose, reproduced faithfully).
+
+This module re-designs them for TPU:
+
+  * ``otf``    — rFFT-based circular convolution. The PSF and image are real,
+                 so the full complex FFT of the reference is replaced by
+                 rfft2/irfft2 (half the FFT work, mathematically identical
+                 because the product of Hermitian spectra is Hermitian).
+  * ``matmul`` — for small stamps the circulant operator is materialized as a
+                 dense (H*W, H*W) matrix living in VMEM and applied on the
+                 MXU. A 31x31 stamp gives a 961x961 f32 matrix (~3.7 MB);
+                 a vmapped batch of stamps becomes one large batched matmul —
+                 the highest-throughput mapping of this workload onto the
+                 systolic array. The adjoint is exactly the transpose.
+  * ``linear`` — zero-padded linear convolution via rFFT on the padded grid,
+                 'same'-cropped, kernel normalized to sum 1, matching the
+                 astropy semantics of variant (b).
+
+All builders return a pair of closures ``(A, AT)`` mapping (H, W) -> (H, W).
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax.numpy as jnp
+
+Operator = Callable[[jnp.ndarray], jnp.ndarray]
+
+# Largest stamp pixel count for which the dense circulant matrix is used by
+# 'auto' (64*64 = 4096 -> 64 MB f32 matrix is the ceiling; 31x31 -> 3.7 MB).
+_MATMUL_MAX_PIXELS = 4096
+
+
+def build_circulant_matrix(psf: jnp.ndarray) -> jnp.ndarray:
+    """Dense matrix C with C @ vec(x) == vec(circular_conv(fftshift(psf), x)).
+
+    C[(i,j),(p,q)] = k[(i-p) mod H, (j-q) mod W] with k = fftshift(psf),
+    which is exactly the reference operator (a). The adjoint operator
+    (conj(TF) path) is exactly C.T for a real PSF.
+    """
+    h, w = psf.shape
+    k = jnp.fft.fftshift(psf)
+    di = (jnp.arange(h)[:, None] - jnp.arange(h)[None, :]) % h   # (H, H)
+    dj = (jnp.arange(w)[:, None] - jnp.arange(w)[None, :]) % w   # (W, W)
+    c = k[di[:, None, :, None], dj[None, :, None, :]]            # (H, W, H, W)
+    return c.reshape(h * w, h * w)
+
+
+def make_matmul_operator(psf: jnp.ndarray) -> Tuple[Operator, Operator]:
+    """MXU path: apply the circulant operator as a dense matmul."""
+    h, w = psf.shape
+    c = build_circulant_matrix(psf)
+    ct = c.T
+
+    def A(x):
+        return (c @ x.reshape(-1)).reshape(h, w)
+
+    def AT(x):
+        return (ct @ x.reshape(-1)).reshape(h, w)
+
+    return A, AT
+
+
+def make_otf_operator(psf: jnp.ndarray) -> Tuple[Operator, Operator]:
+    """rFFT circular-convolution path (same PSF/image shape)."""
+    shape = psf.shape
+    rtf = jnp.fft.rfft2(jnp.fft.fftshift(psf))
+    rctf = jnp.conj(rtf)
+
+    def A(x):
+        return jnp.fft.irfft2(rtf * jnp.fft.rfft2(x), s=shape)
+
+    def AT(x):
+        return jnp.fft.irfft2(rctf * jnp.fft.rfft2(x), s=shape)
+
+    return A, AT
+
+
+def _linear_conv_same(x: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
+    """Zero-padded linear convolution, 'same'-cropped at the kernel center.
+
+    Equivalent to astropy ``convolve_fft(x, kern, boundary='fill')`` up to
+    roundoff (any zero-padded linear convolution is), written directly with
+    rFFTs on the padded grid.
+    """
+    h, w = x.shape
+    kh, kw = kern.shape
+    ph, pw = h + kh - 1, w + kw - 1
+    fx = jnp.fft.rfft2(x, s=(ph, pw))
+    fk = jnp.fft.rfft2(kern, s=(ph, pw))
+    full = jnp.fft.irfft2(fx * fk, s=(ph, pw))
+    oy, ox = kh // 2, kw // 2
+    return full[oy:oy + h, ox:ox + w]
+
+
+def make_linear_operator(psf: jnp.ndarray,
+                         image_shape: Tuple[int, int]) -> Tuple[Operator, Operator]:
+    """Linear-convolution path for PSF.shape != image.shape.
+
+    Kernel is normalized to unit sum; the adjoint convolves with the axis
+    transpose of the PSF — the reference's deliberate (if unusual) choice
+    (sgp.py:157) — so workload behaviour matches.
+    """
+    kern = psf / jnp.sum(psf)
+    kern_t = jnp.conj(kern).T
+    kern_t = kern_t / jnp.sum(kern_t)
+
+    def A(x):
+        return _linear_conv_same(x, kern)
+
+    def AT(x):
+        return _linear_conv_same(x, kern_t)
+
+    return A, AT
+
+
+def make_operator(psf: jnp.ndarray, image_shape: Tuple[int, int],
+                  method: str = 'auto') -> Tuple[Operator, Operator]:
+    """Build (A, AT) for the given PSF / image geometry.
+
+    'auto' picks: dense matmul for small same-shape stamps (MXU), rFFT OTF for
+    large same-shape images, padded linear convolution when shapes differ.
+    """
+    same = tuple(psf.shape) == tuple(image_shape)
+    if method == 'auto':
+        if same:
+            method = 'matmul' if psf.size <= _MATMUL_MAX_PIXELS else 'otf'
+        else:
+            method = 'linear'
+    if method == 'matmul':
+        if not same:
+            raise ValueError('matmul operator requires PSF.shape == image.shape')
+        return make_matmul_operator(psf)
+    if method == 'otf':
+        if not same:
+            raise ValueError('otf operator requires PSF.shape == image.shape')
+        return make_otf_operator(psf)
+    if method == 'linear':
+        return make_linear_operator(psf, image_shape)
+    raise ValueError(f'unknown operator method: {method}')

@@ -1,0 +1,206 @@
+"""Flux-conserving projection onto {x >= 0, sum(x) = b, x <= sat}.
+
+Solves  min 0.5 x' diag(dia) x - c' x   s.t. sum(x) = b, x >= 0  by a secant
+root-find in the dual variable lambda, with a geometric bracketing phase —
+the same dual method as the reference ``projectDF``
+(/root/reference/restoration/flux_conserve_proj.py:7-144, after Bonettini et
+al. 2009), re-built as bounded ``lax.while_loop``s so it jits, vmaps across a
+stamp batch (JAX's while_loop batching masks per-lane early exit), and
+differentiates where needed.
+
+Faithfully preserved reference behaviours:
+  * per-evaluation primal recovery x = clip((c+lambda)/dia, 0, sat/scaling-eps)
+  * tolerances tol_r = 1e-11*b, tol_lam = 1e-11, max_projs evaluation cap
+  * the asymmetric safeguarded-secant updates, including the branch where the
+    reference updates ``s`` on the r<0 side only (flux_conserve_proj.py:122
+    clobbers a temp on the r>0 side instead — reproduced by NOT updating s
+    there)
+  * the overflow break in the downward bracketing loop
+    (flux_conserve_proj.py:67-72), expressed as an isfinite guard
+
+One deliberate difference: the reference's upward bracketing loop is
+unbounded; here every loop carries an iteration cap (max_projs) so the
+compiled program always terminates.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def project_df(b, c, dia, scaling, sat_level=None, max_projs: int = 1000,
+               tol_lam: float = 1e-11, has_sat: bool | None = None):
+    """Project onto the flux-conserving set.
+
+    Args:
+      b: target flux (scalar).
+      c: linear term (the scaled point to project), any shape.
+      dia: diagonal metric (same shape as c, or scalar 1s).
+      scaling: data scaling applied upstream (sat ceiling is sat/scaling-eps).
+      sat_level: optional CCD saturation level; ``has_sat`` may force the
+        static presence decision when sat_level is a traced value.
+      max_projs: cap on total lambda evaluations.
+
+    Returns: the projected x with the same shape as c.
+    """
+    if has_sat is None:
+        has_sat = sat_level is not None
+    dtype = jnp.result_type(c)
+    c = jnp.asarray(c, dtype)
+    dia = jnp.asarray(dia, dtype)
+    b = jnp.asarray(b, dtype)
+    eps = jnp.finfo(dtype).eps
+    tol_r = 1e-11 * b
+
+    if has_sat:
+        cap = jnp.asarray(sat_level, dtype) / scaling - eps
+
+        def xval(lam):
+            return jnp.minimum(cap, jnp.maximum(0.0, (c + lam) / dia))
+    else:
+        def xval(lam):
+            return jnp.maximum(0.0, (c + lam) / dia)
+
+    def rval(lam):
+        return jnp.sum(xval(lam)) - b
+
+    zero = jnp.asarray(0.0, dtype)
+    one = jnp.asarray(1.0, dtype)
+    r0 = rval(zero)
+    done0 = jnp.abs(r0) < tol_r
+
+    # ---- bracketing phase -------------------------------------------------
+    def bracket_up(_):
+        # r0 < 0: grow lambda until r >= 0.
+        lam = one
+        carry = (jnp.int32(0), zero, r0, lam, one, rval(lam))
+
+        def cond(s5):
+            biter, _, _, _, dlam, r = s5
+            return (r < 0) & (biter < max_projs) & jnp.isfinite(dlam) & ~done0
+
+        def body(s5):
+            biter, lambdal, rl, lam, dlam, r = s5
+            s = jnp.maximum(rl / r - 1.0, 0.1)
+            dlam = dlam + dlam / s
+            new_lam = lam + dlam
+            return (biter + 1, lam, r, new_lam, dlam, rval(new_lam))
+
+        biter, lambdal, rl, lam, dlam, r = jax.lax.while_loop(cond, body, carry)
+        return lambdal, rl, lam, r, dlam, biter
+
+    def bracket_down(_):
+        # r0 >= 0: shrink lambda until r <= 0. Mirrors the reference's
+        # overflow break: if dlam overflows the loop exits with
+        # lambdal == lambdau == current lambda.
+        lam = -one
+        carry = (jnp.int32(0), zero, r0, lam, one, rval(lam), jnp.bool_(False))
+
+        def cond(s7):
+            biter, _, _, _, _, r, broke = s7
+            return (r > 0) & (biter < max_projs) & ~broke & ~done0
+
+        def body(s7):
+            biter, lambdau, ru, lam, dlam, r, _ = s7
+            s = jnp.maximum(ru / r - 1.0, 0.1)
+            dlam_new = dlam + dlam / s
+            ok = jnp.isfinite(dlam_new)
+            new_lam = jnp.where(ok, lam - dlam_new, lam)
+            new_ru = jnp.where(ok, r, ru)
+            new_r = jnp.where(ok, rval(new_lam), r)
+            return (biter + 1, lam, new_ru, new_lam,
+                    jnp.where(ok, dlam_new, dlam), new_r, ~ok)
+
+        biter, lambdau, ru, lam, dlam, r, _ = jax.lax.while_loop(
+            cond, body, carry)
+        # exit state: lambdal = lam, rl = r
+        return lam, r, lambdau, ru, dlam, biter
+
+    lambdal, rl, lambdau, ru, dlam, biter = jax.lax.cond(
+        r0 < 0, bracket_up, bracket_down, operand=None)
+
+    doneu = jnp.abs(ru) < tol_r
+    donel = jnp.abs(rl) < tol_r
+    early = done0 | doneu | donel
+
+    # ---- secant phase -----------------------------------------------------
+    s = 1.0 - rl / ru
+    dlam = dlam / s
+    lam = lambdau - dlam
+    r = rval(lam)
+    maxit_s = max_projs - biter
+
+    def scond(st):
+        lambdal, lambdau, rl, ru, lam, dlam, r, s, siter = st
+        return ((jnp.abs(r) > tol_r)
+                & (dlam > tol_lam * (1.0 + jnp.abs(lam)))
+                & (siter < maxit_s) & ~early)
+
+    def sbody(st):
+        lambdal, lambdau, rl, ru, lam, dlam, r, s, siter = st
+
+        # r > 0, s <= 2: plain secant through the upper bracket.
+        u1_lambdau, u1_ru = lam, r
+        u1_s = 1.0 - rl / u1_ru
+        u1_dlam = (u1_lambdau - lambdal) / u1_s
+        u1_lam = u1_lambdau - u1_dlam
+        # r > 0, s > 2: safeguarded step (reference keeps s = max(ru/r-1, .1)).
+        u2_s = jnp.maximum(ru / r - 1.0, 0.1)
+        u2_dlam = (lambdau - lam) / u2_s
+        u2_lam = jnp.maximum(lam - u2_dlam, 0.75 * lambdal + 0.25 * lam)
+        u2_lambdau, u2_ru = lam, r
+
+        pos_hi = s <= 2.0
+        p_lambdal, p_rl = lambdal, rl
+        p_lambdau = jnp.where(pos_hi, u1_lambdau, u2_lambdau)
+        p_ru = jnp.where(pos_hi, u1_ru, u2_ru)
+        p_s = jnp.where(pos_hi, u1_s, u2_s)
+        p_dlam = jnp.where(pos_hi, u1_dlam, u2_dlam)
+        p_lam = jnp.where(pos_hi, u1_lam, u2_lam)
+
+        # r <= 0, s >= 2: plain secant through the lower bracket.
+        l1_lambdal, l1_rl = lam, r
+        l1_s = 1.0 - l1_rl / ru
+        l1_dlam = (lambdau - l1_lambdal) / l1_s
+        l1_lam = lambdau - l1_dlam
+        # r <= 0, s < 2: safeguarded step; here the reference DOES refresh s.
+        l2_s0 = jnp.maximum(rl / r - 1.0, 0.1)
+        l2_dlam = (lam - lambdal) / l2_s0
+        l2_lam = jnp.minimum(lam + l2_dlam, 0.75 * lambdau + 0.25 * lam)
+        l2_lambdal, l2_rl = lam, r
+        l2_s = (lambdau - l2_lambdal) / (lambdau - l2_lam)
+
+        neg_hi = s >= 2.0
+        n_lambdau, n_ru = lambdau, ru
+        n_lambdal = jnp.where(neg_hi, l1_lambdal, l2_lambdal)
+        n_rl = jnp.where(neg_hi, l1_rl, l2_rl)
+        n_s = jnp.where(neg_hi, l1_s, l2_s)
+        n_dlam = jnp.where(neg_hi, l1_dlam, l2_dlam)
+        n_lam = jnp.where(neg_hi, l1_lam, l2_lam)
+
+        pos = r > 0
+        lambdal = jnp.where(pos, p_lambdal, n_lambdal)
+        lambdau = jnp.where(pos, p_lambdau, n_lambdau)
+        rl = jnp.where(pos, p_rl, n_rl)
+        ru = jnp.where(pos, p_ru, n_ru)
+        s = jnp.where(pos, p_s, n_s)
+        dlam = jnp.where(pos, p_dlam, n_dlam)
+        lam = jnp.where(pos, p_lam, n_lam)
+
+        return (lambdal, lambdau, rl, ru, lam, dlam, rval(lam), s, siter + 1)
+
+    st = (lambdal, lambdau, rl, ru, lam, dlam, r, s, jnp.int32(0))
+    lambdal, lambdau, rl, ru, lam, dlam, r, s, _ = jax.lax.while_loop(
+        scond, sbody, st)
+
+    # ---- result selection (reference's early-return order) ---------------
+    lam_sel = jnp.where(done0, zero,
+                        jnp.where(doneu, lambdau,
+                                  jnp.where(donel, lambdal, lam)))
+    return xval(lam_sel)
+
+
+project_df_batched = jax.vmap(
+    project_df, in_axes=(0, 0, 0, 0, None), out_axes=0)

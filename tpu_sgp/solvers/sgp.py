@@ -1,0 +1,308 @@
+"""SGP / beta-SGP solver core: one functional, jittable, vmappable loop.
+
+Re-design of the reference's twin ~400-line solvers ``sgp`` and
+``sgp_betaDiv`` (/root/reference/restoration/sgp.py:41-438, 506-895) as a
+single ``lax.while_loop`` over a state tuple. The reference README itself
+flags the duplicated pair as debt; here KL and beta-divergence share one loop
+and differ only in the (statically selected) objective/gradient functions.
+
+Preserved observable behaviour (checkable against the reference line by line):
+  * init modes 0/1/2/3 (sgp.py:165-177; mode 1's seeded randn is produced by
+    the host-side wrapper in api.py, the core takes ``x0``)
+  * max-scaling of gn/bkg/x, null-pixel floor gn<=0 -> vmin*eps^2, flux
+    default sum(gn-bkg) (sgp.py:192-211)
+  * Armijo backtracking on the FFT-free linearized objective
+    fv(x + lam d) via x_tf + lam*d_tf (sgp.py:328-349) — one A and one AT
+    application per outer iteration, never more
+  * Barzilai-Borwein alpha1/alpha2 with memory M_alpha, adaptive-tau
+    alternation, min(Valpha) for the first 20 iterations (sgp.py:354-387)
+  * scaling matrix X = clip(x, bounds from flux/(flux+bkg)*AT(gn)), widened
+    10x when the bound ratio < 50 (sgp.py:267-273)
+  * stop rules 1-4 and the MAXIT cap; on exit the solver reverts to the
+    previous iterate (sgp.py:398-414, 424-425) — including the quirk that
+    criterion 2's tolerance is squared only when verbose=True (sgp.py:291-294)
+  * beta adaptation on every line-search reject with the den of the rejected
+    trial, and the per-epoch exponential lr schedule (sgp.py:797-801, 842-844)
+
+Deliberate deviations (documented, not silent):
+  * per-iteration wall-times cannot be measured inside a compiled loop; the
+    ``times`` output is produced by the host wrapper (total wall in the last
+    slot).
+  * the reference writes err[iter_] after incrementing iter_, skipping
+    err[1] and overflowing its buffer at iter == MAXIT (sgp.py:394-396);
+    here err[k] is the error after k updates.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SGPConfig
+from ..ops import divergence as dv
+from ..ops.psf_operator import make_operator
+from ..projection.flux_projection import project_df
+
+
+class SGPResult(NamedTuple):
+    x: jnp.ndarray          # reconstruction, unscaled, image-shaped
+    iters: jnp.ndarray      # number of completed iterations (reference iter_-1)
+    discr: jnp.ndarray      # discrepancy series, fixed (max_iter+1,) buffer
+    err: jnp.ndarray        # rel-err series vs obj (zeros when errflag=False)
+    beta: jnp.ndarray       # final beta parameter (beta mode)
+    fv: jnp.ndarray         # final objective value
+    scaling: jnp.ndarray    # data scaling that was applied
+
+
+def _objective(cfg: SGPConfig, x_tf, den, gn, flux, beta):
+    if cfg.divergence == 'kl':
+        return dv.kl_objective(x_tf, den, gn, flux)
+    return dv.beta_div(den, gn, beta)
+
+
+def _gradient(cfg: SGPConfig, AT, den, gn, beta):
+    if cfg.divergence == 'kl':
+        return dv.kl_grad_wrt_recon(AT, den, gn)
+    return dv.beta_grad_wrt_recon(AT, den, gn, beta)
+
+
+@partial(jax.jit, static_argnames=('cfg',))
+def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
+          cfg: SGPConfig) -> SGPResult:
+    """Run SGP on one image. All array args share cfg.dtype; optional inputs
+    (x0 / obj / flux_in / sat_level) are ignored unless the matching static
+    flag in cfg enables them. Fully jit/vmap compatible."""
+    dt = cfg.jnp_dtype
+    gn = jnp.asarray(gn, dt)
+    psf = jnp.asarray(psf, dt)
+    bkg = jnp.asarray(bkg, dt)
+    shape = gn.shape
+    n = gn.size
+    eps = jnp.finfo(dt).eps
+
+    A, AT = make_operator(psf, shape, cfg.operator)
+
+    # ---- initialization (reference init modes) ---------------------------
+    if cfg.init_recon == 0:
+        x = jnp.zeros(shape, dt)
+    elif cfg.init_recon == 1:
+        x = jnp.asarray(x0, dt)
+    elif cfg.init_recon == 2:
+        x = gn
+    elif cfg.init_recon == 3:
+        if cfg.has_flux:
+            x = jnp.broadcast_to(jnp.asarray(flux_in, dt) / n, shape)
+        else:
+            x = jnp.broadcast_to(jnp.sum(gn - bkg) / n, shape)
+    else:
+        raise ValueError('init_recon must be 0..3')
+
+    # ---- stop tolerance (criterion 4 uses the raw image mean) ------------
+    if cfg.stop_criterion == 4:
+        tol = 1.0 + 1.0 / jnp.mean(gn)
+    else:
+        tol = jnp.asarray(cfg.tol_convergence, dt)
+    if cfg.stop_criterion == 2 and cfg.verbose:
+        tol = tol * tol  # reference quirk: squared only under verbose
+
+    # ---- scaling + data conditioning -------------------------------------
+    if cfg.scale_data:
+        scaling = jnp.max(gn)
+        gn = gn / scaling
+        bkg = bkg / scaling
+        x = x / scaling
+    else:
+        scaling = jnp.asarray(1.0, dt)
+
+    vmin = jnp.min(jnp.where(gn > 0, gn, jnp.inf))
+    gn = jnp.where(gn <= 0, vmin * eps * eps, gn)
+
+    if cfg.has_flux:
+        flux = jnp.asarray(flux_in, dt) / scaling
+    else:
+        flux = jnp.sum(gn - bkg)
+
+    discr_coeff = 2.0 / n * scaling
+    valpha = jnp.full((cfg.m_alpha,), cfg.alpha_max, dt)
+    fold = jnp.full((cfg.m_mem,), -1e30, dt)
+
+    sat = jnp.asarray(sat_level, dt)
+
+    def proj(point, dia):
+        if cfg.proj_type == 0:
+            return jnp.maximum(point, 0.0)
+        return project_df(flux, point, dia, scaling,
+                          sat_level=sat if cfg.has_sat_level else None,
+                          max_projs=cfg.max_projs,
+                          has_sat=cfg.has_sat_level)
+
+    # Initial projection uses the identity metric (reference sgp.py:248-253).
+    if cfg.proj_type == 0:
+        x = jnp.maximum(x, 0.0)
+    else:
+        x = proj(x, jnp.ones(shape, dt))
+
+    # ---- error tracking ---------------------------------------------------
+    err = jnp.zeros((cfg.max_iter + 1,), dt)
+    if cfg.errflag:
+        obj_s = jnp.asarray(obj, dt) / scaling
+        obj_sum = jnp.sum(obj_s * obj_s)
+        e0 = x - obj_s
+        err = err.at[0].set(jnp.sqrt(jnp.sum(e0 * e0) / obj_sum))
+    else:
+        obj_s = jnp.zeros(shape, dt)
+        obj_sum = jnp.asarray(1.0, dt)
+
+    # ---- initial objective / gradient -------------------------------------
+    beta_p = jnp.asarray(beta0, dt)
+    lr = jnp.asarray(lr0, dt)
+    x_tf = A(x)
+    den = x_tf + bkg
+    g = _gradient(cfg, AT, den, gn, beta_p)
+    fv = _objective(cfg, x_tf, den, gn, flux, beta_p)
+
+    # ---- scaling-matrix bounds --------------------------------------------
+    y_b = (flux / (flux + bkg)) * AT(gn)
+    x_lb = jnp.min(jnp.where(y_b > 0, y_b, jnp.inf))
+    x_ub = jnp.max(y_b)
+    widen = x_ub / x_lb < 50.0
+    x_lb = jnp.where(widen, x_lb / 10.0, x_lb)
+    x_ub = jnp.where(widen, x_ub * 10.0, x_ub)
+
+    discr = jnp.zeros((cfg.max_iter + 1,), dt)
+    discr = discr.at[0].set(discr_coeff * fv)
+
+    if cfg.init_recon == 0:
+        x_mat = jnp.ones(shape, dt)
+    else:
+        x_mat = jnp.clip(x, x_lb, x_ub)
+
+    alpha = jnp.asarray(cfg.alpha_init, dt)
+    tau = jnp.asarray(cfg.tau_init, dt)
+    gamma = jnp.asarray(cfg.gamma, dt)
+    bt = jnp.asarray(cfg.bt_factor, dt)
+
+    # ---- main loop ---------------------------------------------------------
+    def cond(state):
+        return state[0]
+
+    def body(state):
+        (_, it, x, x_mat, g, x_tf, fv, alpha, tau, valpha, fold, beta_p, lr,
+         discr, err) = state
+        x_prev = x
+
+        valpha = valpha.at[:-1].set(valpha[1:])
+        fold = fold.at[:-1].set(fold[1:]).at[-1].set(fv)
+
+        # Descent direction with scaled projection (D = 1/X for proj_type 1).
+        y = x - alpha * x_mat * g
+        if cfg.proj_type == 0:
+            y = jnp.maximum(y, 0.0)
+        else:
+            d_metric = 1.0 / x_mat
+            y = proj(y * d_metric, d_metric)
+        d = y - x
+
+        gd = jnp.sum(d * g)
+        d_tf = A(d)
+        fr = jnp.max(fold)
+
+        # Backtracking on the linearized transform: no FFT inside this loop.
+        def bt_cond(c):
+            lam, fv_t, bp, accepted, k = c
+            return (~accepted) & (k < cfg.max_backtracks)
+
+        def bt_body(c):
+            lam, _, bp, _, k = c
+            x_tf_try = x_tf + lam * d_tf
+            den_t = x_tf_try + bkg
+            fv_t = _objective(cfg, x_tf_try, den_t, gn, flux, bp)
+            ok = (fv_t <= fr + gamma * lam * gd) | (lam < 1e-12)
+            if cfg.divergence == 'beta' and cfg.adapt_beta:
+                bgrad = jnp.mean(dv.beta_div_dbeta(den_t, gn, bp))
+                bp_rej = bp - lr * bgrad
+            else:
+                bp_rej = bp
+            lam_next = jnp.where(ok, lam, lam * bt)
+            bp_next = jnp.where(ok, bp, bp_rej)
+            return (lam_next, fv_t, bp_next, ok, k + 1)
+
+        lam0 = jnp.asarray(1.0, dt)
+        lam, fv_new, beta_p, _, _ = jax.lax.while_loop(
+            bt_cond, bt_body, (lam0, fv, beta_p, jnp.bool_(False),
+                               jnp.int32(0)))
+
+        x_new = x + lam * d
+        sk = lam * d
+        x_tf_new = x_tf + lam * d_tf
+        den_new = x_tf_new + bkg
+        g_new = _gradient(cfg, AT, den_new, gn, beta_p)
+        yk = g_new - g
+
+        # Scaling matrix + BB steplengths.
+        x_mat_new = jnp.clip(x_new, x_lb, x_ub)
+        d_metric = 1.0 / x_mat_new
+        sk2 = sk * d_metric
+        yk2 = yk * x_mat_new
+        bk = jnp.sum(sk2 * yk)
+        ck = jnp.sum(yk2 * sk)
+        alpha1 = jnp.where(
+            bk <= 0,
+            jnp.minimum(10.0 * alpha, cfg.alpha_max),
+            jnp.clip(jnp.sum(sk2 * sk2) / jnp.where(bk <= 0, 1.0, bk),
+                     cfg.alpha_min, cfg.alpha_max))
+        alpha2 = jnp.where(
+            ck <= 0,
+            jnp.minimum(10.0 * alpha, cfg.alpha_max),
+            jnp.clip(ck / jnp.where(ck <= 0, 1.0, jnp.sum(yk2 * yk2)),
+                     cfg.alpha_min, cfg.alpha_max))
+        valpha = valpha.at[-1].set(alpha2)
+
+        use_min = (it <= 20) | (alpha2 / alpha1 < tau)
+        alpha_new = jnp.where(use_min, jnp.min(valpha), alpha1)
+        tau_new = jnp.where(
+            it <= 20, tau,
+            jnp.where(alpha2 / alpha1 < tau, tau * 0.9, tau * 1.1))
+
+        if cfg.divergence == 'beta' and cfg.schedule_lr:
+            # epoch == it (pre-increment); init_lr is the captured lr0.
+            lr = dv.lr_schedule(jnp.asarray(lr0, dt), cfg.lr_exp_param,
+                                it.astype(dt))
+
+        it_new = it + 1
+        discr = discr.at[it_new - 1].set(discr_coeff * fv_new)
+        if cfg.errflag:
+            e = x_new - obj_s
+            err = err.at[it_new - 1].set(jnp.sqrt(jnp.sum(e * e) / obj_sum))
+
+        # Stop rules (reference sgp.py:398-414).
+        if cfg.stop_criterion in (0, 1):
+            keep = jnp.bool_(True)
+        elif cfg.stop_criterion == 2:
+            normstep = jnp.sum(sk * sk) / jnp.sum(x_new * x_new)
+            keep = normstep > tol
+        elif cfg.stop_criterion == 3:
+            reldecrease = (fold[-1] - fv_new) / fv_new
+            keep = (reldecrease > tol) & (reldecrease >= 0)
+        elif cfg.stop_criterion == 4:
+            keep = discr_coeff * fv_new > tol
+        else:
+            raise ValueError('stop_criterion must be 0..4')
+        keep = keep & (it_new <= cfg.max_iter)
+
+        # Revert to the previous iterate on exit (reference sgp.py:424-425).
+        x_out = jnp.where(keep, x_new, x_prev)
+
+        return (keep, it_new, x_out, x_mat_new, g_new, x_tf_new, fv_new,
+                alpha_new, tau_new, valpha, fold, beta_p, lr, discr, err)
+
+    state = (jnp.bool_(True), jnp.int32(1), x, x_mat, g, x_tf, fv, alpha,
+             tau, valpha, fold, beta_p, lr, discr, err)
+    (_, it, x, _, _, _, fv, _, _, _, _, beta_p, _, discr, err) = (
+        jax.lax.while_loop(cond, body, state))
+
+    return SGPResult(x=(x * scaling).reshape(shape), iters=it - 1,
+                     discr=discr, err=err, beta=beta_p, fv=fv,
+                     scaling=scaling)
