@@ -1,0 +1,70 @@
+"""Benchmark: batched star-stamp restorations per second on one TPU chip.
+
+Workload mirrors the reference star-stamps benchmark configuration
+(/root/reference/restoration/application_sgp_star_stamps.py:107-112):
+KL-SGP, proj_type=1 (flux-conserving projection), init_recon=2,
+stop_criterion=3, precomputed flux, ccd_sat_level=65000, scale_data=True —
+run as ONE vmapped batch of 256 synthetic 31x31 stamps instead of a serial
+Python loop.
+
+Baseline: the reference restores one stamp in 13.3 ms median on CPU
+(BASELINE.md, results/EXEC_TIME.npy) => 75.2 stamps/s.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "stamps/s", "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_STAMP_SECONDS = 0.0133  # reference median per-stamp wall (KL, CPU)
+BATCH = 256
+N_REPEATS = 5
+
+
+def main():
+    import jax
+    from tpu_sgp import SGPConfig
+    from tpu_sgp.parallel.batch import restore_stamps
+    from tpu_sgp.simulate import synthetic_star_stamps
+
+    stamps, psf, bkgs, _ = synthetic_star_stamps(BATCH, size=31, seed=42)
+    # Workload uses catalog flux; background-subtracted sum is the analog.
+    fluxes = stamps.sum(axis=(1, 2)) - 31 * 31 * bkgs
+
+    cfg = SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
+                    init_recon=2, proj_type=1, has_flux=True,
+                    has_sat_level=True, dtype='float32', divergence='kl')
+
+    def run():
+        res = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                             sat_level=65000.0)
+        return jax.block_until_ready(res)
+
+    res = run()  # compile + warm
+    iters = np.asarray(res.iters)
+    walls = []
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        res = run()
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    stamps_per_s = BATCH / wall
+
+    out = {
+        'metric': 'kl_sgp_stamp_restorations_per_second_b256_tpu',
+        'value': round(stamps_per_s, 2),
+        'unit': 'stamps/s',
+        'vs_baseline': round(stamps_per_s * BASELINE_STAMP_SECONDS, 2),
+    }
+    print(json.dumps(out))
+    print(f'# batch={BATCH} wall={wall * 1e3:.1f}ms '
+          f'iters median={int(np.median(iters))} max={int(iters.max())} '
+          f'finite={bool(np.isfinite(np.asarray(res.x)).all())}',
+          file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

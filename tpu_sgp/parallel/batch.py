@@ -1,0 +1,158 @@
+"""Batched stamp restoration: vmap over the solver core, sharded over chips.
+
+The reference's star-stamp workload restores ~1,121 independent 31x31 cutouts
+in a serial Python loop (/root/reference/restoration/
+application_sgp_star_stamps.py:33-148). Here the whole batch is one program:
+``vmap(solve)`` compiles to batched MXU matmuls (dense circulant operator)
+and, given a device mesh, shards the batch axis across chips with
+``NamedSharding`` — XLA GSPMD needs no collectives for this embarrassingly
+parallel axis, so scaling is linear over ICI-connected chips.
+
+Per-lane early stopping (stop criteria 2-4) works under vmap because JAX's
+while_loop batching masks converged lanes; the batch finishes when its
+slowest stamp does.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SGPConfig
+from ..solvers.sgp import SGPResult, solve
+
+
+@partial(jax.jit, static_argnames=('cfg', 'per_stamp_psf'))
+def _batched_solve(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0, sat,
+                   cfg: SGPConfig, per_stamp_psf: bool) -> SGPResult:
+    """Module-level jitted vmap of the solver (stable cache key: one
+    compilation per (cfg, shapes), not per call site)."""
+    return jax.vmap(
+        lambda g, p, bk, z, f, o, bp, lr, s: solve(g, p, bk, z, f, o, bp,
+                                                   lr, s, cfg),
+        in_axes=(0, 0 if per_stamp_psf else None, 0, 0, 0, 0, 0, 0, 0),
+    )(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0, sat)
+
+
+def _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level, dtype):
+    stamps = jnp.asarray(stamps, dtype)
+    b, h, w = stamps.shape
+    psf = jnp.asarray(psf, dtype)
+    per_stamp_psf = psf.ndim == 3
+
+    bkgs = jnp.asarray(bkgs, dtype)
+    if bkgs.ndim == 0:
+        bkgs = jnp.broadcast_to(bkgs, (b,))
+    if bkgs.ndim == 1:
+        bkgs = jnp.broadcast_to(bkgs[:, None, None], (b, h, w))
+
+    fluxes = (jnp.zeros((b,), dtype) if fluxes is None
+              else jnp.broadcast_to(jnp.asarray(fluxes, dtype), (b,)))
+    x0 = (jnp.zeros((b, h, w), dtype) if x0 is None
+          else jnp.asarray(x0, dtype))
+    obj = (jnp.zeros((b, h, w), dtype) if obj is None
+           else jnp.asarray(obj, dtype))
+    beta0 = jnp.broadcast_to(jnp.asarray(beta0, dtype), (b,))
+    lr0 = jnp.broadcast_to(jnp.asarray(lr0, dtype), (b,))
+    sat = jnp.broadcast_to(jnp.asarray(sat_level, dtype), (b,))
+    return stamps, psf, per_stamp_psf, bkgs, fluxes, x0, obj, beta0, lr0, sat
+
+
+def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
+                   x0=None, obj=None, beta0=1.0, lr0=1e-3, sat_level=0.0,
+                   mesh: Optional[Mesh] = None,
+                   batch_axis: str = 'batch') -> SGPResult:
+    """Restore a batch of stamps in one compiled program.
+
+    Args:
+      stamps: (B, H, W) observed cutouts.
+      psf: (H, W) shared PSF or (B, H, W) per-stamp PSFs. With a shared PSF
+        and small stamps the dense-matmul operator is built once and batched
+        over the MXU; per-stamp PSFs vmap the operator construction too.
+      bkgs: scalar, (B,) or (B, H, W) background levels.
+      cfg: solver configuration (``has_flux``/``has_sat_level`` select
+        whether fluxes / sat_level are honored).
+      mesh: optional ``jax.sharding.Mesh``; the batch axis is sharded over
+        ``mesh.axis_names`` entry ``batch_axis`` and the PSF replicated.
+
+    Returns a batched SGPResult (leading axis B on every field).
+    """
+    dtype = cfg.jnp_dtype
+    (stamps, psf, per_stamp_psf, bkgs, fluxes, x0, obj, beta0, lr0,
+     sat) = _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level,
+                  dtype)
+
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(batch_axis))
+        repl = NamedSharding(mesh, P())
+        stamps = jax.device_put(stamps, shard)
+        psf = jax.device_put(psf, shard if per_stamp_psf else repl)
+        bkgs = jax.device_put(bkgs, shard)
+        x0 = jax.device_put(x0, shard)
+        fluxes = jax.device_put(fluxes, shard)
+        obj = jax.device_put(obj, shard)
+        beta0 = jax.device_put(beta0, shard)
+        lr0 = jax.device_put(lr0, shard)
+        sat = jax.device_put(sat, shard)
+
+    return _batched_solve(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
+                          sat, cfg, per_stamp_psf)
+
+
+def beta_init_search(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
+                     beta_candidates=None, lr0=1e-3, sat_level=0.0,
+                     mesh: Optional[Mesh] = None) -> tuple:
+    """Vectorized beta-init selection.
+
+    The reference runs 5 full solves per stamp serially and keeps the beta
+    whose restoration minimizes the flux fractional difference
+    (application_sgp_star_stamps.py:68-105). Here the (stamp x candidate)
+    grid is flattened into one batch: B*K solves in a single compiled
+    program, then an argmin per stamp.
+
+    Returns (best_beta (B,), best_x (B,H,W), result for the full grid).
+    """
+    if beta_candidates is None:
+        # The reference's seeded draws N(1, 0.05) with seeds [0,42,951,93,810]
+        cands = []
+        for seed in (0, 42, 951, 93, 810):
+            rng = np.random.RandomState(seed)
+            cands.append(rng.normal(loc=1.0, scale=0.05))
+        beta_candidates = np.array(cands)
+    beta_candidates = jnp.asarray(beta_candidates, cfg.jnp_dtype)
+    k = beta_candidates.shape[0]
+    stamps = jnp.asarray(stamps, cfg.jnp_dtype)
+    b, h, w = stamps.shape
+
+    rep = lambda a: jnp.repeat(a, k, axis=0)
+    stamps_g = rep(stamps)
+    bkgs = jnp.asarray(bkgs, cfg.jnp_dtype)
+    if bkgs.ndim == 0:
+        bkgs = jnp.broadcast_to(bkgs, (b,))
+    bkgs_g = rep(bkgs)
+    fluxes_g = None if fluxes is None else rep(jnp.asarray(fluxes, cfg.jnp_dtype))
+    psf_g = rep(jnp.asarray(psf, cfg.jnp_dtype)) if jnp.ndim(psf) == 3 else psf
+    beta_g = jnp.tile(beta_candidates, b)
+
+    res = restore_stamps(stamps_g, psf_g, bkgs_g, cfg, fluxes=fluxes_g,
+                         beta0=beta_g, lr0=lr0, sat_level=sat_level,
+                         mesh=mesh)
+
+    # Flux fractional difference per (stamp, candidate): 1 - F_rest/F_orig,
+    # with F approximated by the background-subtracted sums (the full
+    # catalog-based figure is applied by the workload layer).
+    x_g = res.x.reshape(b, k, h, w)
+    f_rest = jnp.sum(x_g, axis=(2, 3))
+    if fluxes is not None:
+        f_orig = jnp.asarray(fluxes, cfg.jnp_dtype)[:, None]
+    else:
+        f_orig = jnp.sum(stamps, axis=(1, 2))[:, None] - h * w * bkgs[:, None]
+    ffd = 1.0 - f_rest / f_orig
+    best = jnp.argmin(ffd, axis=1)
+    best_beta = beta_candidates[best]
+    best_x = x_g[jnp.arange(b), best]
+    return best_beta, best_x, res
