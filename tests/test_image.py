@@ -1,0 +1,127 @@
+"""Image subsystem: FITS round-trip (incl. reading a real reference FITS),
+cutout semantics, tiling parity with the reference algorithm, mosaicking."""
+import os
+
+import numpy as np
+import pytest
+
+from tpu_sgp.image import (Cutout2D, Header, WCS, calculate_slice_bboxes,
+                           coadd_tiles, create_subdivisions, getdata,
+                           read_fits, write_fits)
+
+
+def test_fits_roundtrip(tmp_path, rng):
+    for dtype in [np.float32, np.float64, np.int16, np.int32]:
+        data = (rng.normal(100, 20, (37, 53)) * 10).astype(dtype)
+        hdr = Header({'GAIN': 1.22, 'SATURATE': 65000, 'FWHM': 4.5,
+                      'OBJECT': 'M13 field', 'FLAG': True})
+        p = str(tmp_path / f'x_{np.dtype(dtype).name}.fits')
+        write_fits(p, data, hdr)
+        back, h2 = read_fits(p)
+        np.testing.assert_array_equal(back, data)
+        assert h2['GAIN'] == 1.22
+        assert h2['SATURATE'] == 65000
+        assert h2['OBJECT'] == 'M13 field'
+        assert h2['FLAG'] is True
+
+
+def test_fits_reads_reference_psf():
+    path = '/root/reference/psf/psfccfbrd210048_1_1_img.fits'
+    if not os.path.exists(path):
+        pytest.skip('reference tree not mounted')
+    psf = getdata(path)
+    assert psf.shape == (31, 31)
+    assert np.isclose(psf.sum(), 1.0, atol=1e-6)
+
+
+def test_fits_bscale_bzero(tmp_path):
+    # write raw int16 with BSCALE/BZERO by hand-editing the header
+    data = np.arange(12, dtype=np.int16).reshape(3, 4)
+    p = str(tmp_path / 'scaled.fits')
+    hdr = Header({'BSCALE': 2.0, 'BZERO': 10.0})
+    # our writer strips BSCALE/BZERO (reserved); emulate a foreign file
+    write_fits(p, data)
+    raw = open(p, 'rb').read()
+    # patch in BSCALE/BZERO cards before END
+    end_at = raw.index(b'END     ')
+    card = (f'{"BSCALE":<8}= {2.0:>20}'.ljust(80)
+            + f'{"BZERO":<8}= {10.0:>20}'.ljust(80)).encode()
+    patched = raw[:end_at] + card + raw[end_at:end_at + 80] + raw[end_at + 240:]
+    open(p, 'wb').write(patched)
+    back, _ = read_fits(p)
+    np.testing.assert_allclose(back, data * 2.0 + 10.0)
+
+
+def test_cutout_matches_astropy_arithmetic():
+    img = np.arange(100 * 100, dtype=float).reshape(100, 100)
+    c = Cutout2D(img, (50, 50), 31)
+    assert c.data.shape == (31, 31)
+    # astropy: bounds are [ceil(p - s/2), ceil(p + s/2)) = [35, 66)
+    np.testing.assert_array_equal(c.data, img[35:66, 35:66])
+    assert c.to_original_position((0, 0)) == (35, 35)
+    assert c.to_original_position((15, 15)) == (50, 50)
+
+
+def test_cutout_trim_and_partial():
+    img = np.ones((40, 40))
+    edge = Cutout2D(img, (2, 2), 31)           # trimmed at the edge
+    assert edge.data.shape != (31, 31)
+    part = Cutout2D(img, (2, 2), 31, mode='partial', fill_value=0.0)
+    assert part.data.shape == (31, 31)
+    assert part.data.sum() < 31 * 31           # zero-padded outside
+
+
+def test_slice_bboxes_match_reference_algorithm():
+    # 410x410 with 100px tiles, 10px overlap: the reference marching pattern
+    boxes = calculate_slice_bboxes(410, 410, 100, 100, 0.1, 0.1)
+    assert boxes[0] == [0, 0, 100, 100]
+    assert boxes[1] == [90, 0, 190, 100]
+    xs = sorted({b[0] for b in boxes})
+    assert xs == [0, 90, 180, 270, 310]        # last tile pulled inward
+    assert all(b[2] - b[0] == 100 and b[3] - b[1] == 100 for b in boxes)
+    cov = np.zeros((410, 410), bool)
+    for x0, y0, x1, y1 in boxes:
+        cov[y0:y1, x0:x1] = True
+    assert cov.all()
+
+
+def test_create_subdivisions_shapes():
+    img = np.zeros((410, 410))
+    subs = create_subdivisions(img, (100, 100), overlap=10)
+    assert len(subs) == 25
+    assert all(s.data.shape == (100, 100) for s in subs)
+
+
+def test_mosaic_background_matching(rng):
+    """Tiles of a smooth image with per-tile additive offsets are blended
+    seamlessly: the mosaic matches the truth up to one global constant."""
+    yy, xx = np.mgrid[0:200, 0:200]
+    truth = 50 + 0.1 * xx + 0.05 * yy
+    subs = create_subdivisions(truth, (60, 60), overlap=12)
+    tiles, origins = [], []
+    for i, s in enumerate(subs):
+        tiles.append(s.data + rng.normal(0, 5))   # per-tile bkg offset
+        origins.append(s.origin_original)
+    mosaic, foot = coadd_tiles(tiles, origins, truth.shape,
+                               match_background=True)
+    assert foot.min() >= 1
+    resid = mosaic - truth
+    assert np.nanstd(resid) < 1e-6               # constant residual only
+
+
+def test_wcs_tan_roundtrip():
+    hdr = {'CRPIX1': 100.5, 'CRPIX2': 120.5, 'CRVAL1': 250.42,
+           'CRVAL2': 36.46, 'CD1_1': -2.8e-4, 'CD1_2': 1e-6,
+           'CD2_1': 1e-6, 'CD2_2': 2.8e-4,
+           'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN'}
+    w = WCS(hdr)
+    for xy in [(0, 0), (100, 100), (205, 17)]:
+        ra, dec = w.pixel_to_world(*xy)
+        x2, y2 = w.world_to_pixel(ra, dec)
+        assert np.isclose(x2, xy[0], atol=1e-8)
+        assert np.isclose(y2, xy[1], atol=1e-8)
+    # shifted WCS of a cutout agrees with the parent
+    c = WCS(hdr).shifted(30, 40)
+    ra1, dec1 = w.pixel_to_world(50, 60)
+    ra2, dec2 = c.pixel_to_world(20, 20)
+    assert np.isclose(ra1, ra2) and np.isclose(dec1, dec2)

@@ -1,0 +1,204 @@
+"""Minimal native FITS reader/writer (single image HDUs + headers).
+
+The reference leans on astropy.io.fits for every artifact (PSF matrices,
+science frames, per-tile temporaries, reconstructions). astropy is not part
+of this stack, so the framework carries its own small, dependency-free FITS
+implementation: primary-HDU 2D images, BITPIX 8/16/32/64/-32/-64,
+BSCALE/BZERO, full header card round-trip. That covers every FITS use in the
+reference workloads (e.g. sgp.py:937-958, psf_calculate.py:179).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+BLOCK = 2880
+CARD = 80
+
+_BITPIX_DTYPES = {
+    8: np.dtype('>u1'),
+    16: np.dtype('>i2'),
+    32: np.dtype('>i4'),
+    64: np.dtype('>i8'),
+    -32: np.dtype('>f4'),
+    -64: np.dtype('>f8'),
+}
+_DTYPE_BITPIX = {
+    np.dtype(np.uint8): 8,
+    np.dtype(np.int16): 16,
+    np.dtype(np.int32): 32,
+    np.dtype(np.int64): 64,
+    np.dtype(np.float32): -32,
+    np.dtype(np.float64): -64,
+}
+
+
+def _parse_value(raw: str):
+    raw = raw.strip()
+    if raw.startswith("'"):
+        # FITS string: doubled quotes are escapes; value ends at the
+        # unescaped closing quote.
+        out, i = [], 1
+        while i < len(raw):
+            if raw[i] == "'":
+                if i + 1 < len(raw) and raw[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                break
+            out.append(raw[i])
+            i += 1
+        return ''.join(out).rstrip()
+    if raw in ('T', 'F'):
+        return raw == 'T'
+    if raw == '':
+        return None
+    try:
+        if any(ch in raw for ch in '.eEdD') and not raw.lstrip('+-').isdigit():
+            return float(raw.replace('D', 'E').replace('d', 'e'))
+        return int(raw)
+    except ValueError:
+        return raw
+
+
+def _format_card(key: str, value, comment: str = '') -> bytes:
+    key = key.upper()[:8]
+    if key in ('COMMENT', 'HISTORY', ''):
+        card = f'{key:<8}{str(value)[:72]}'
+    else:
+        if isinstance(value, bool):
+            sval = 'T' if value else 'F'
+            body = f'= {sval:>20}'
+        elif isinstance(value, (int, np.integer)):
+            body = f'= {int(value):>20}'
+        elif isinstance(value, (float, np.floating)):
+            body = f'= {float(value):>20.13G}'
+        elif value is None:
+            body = '=' + ' ' * 21
+        else:
+            sval = "'" + str(value).replace("'", "''")[:67] + "'"
+            body = f'= {sval:<20}'
+        card = f'{key:<8}{body}'
+        if comment:
+            card += f' / {comment}'
+    return card[:CARD].ljust(CARD).encode('ascii')
+
+
+class Header(dict):
+    """Ordered FITS header with attribute-free dict access (header['GAIN'])."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.comments: Dict[str, str] = {}
+
+    def copy(self) -> 'Header':
+        h = Header(self)
+        h.comments = dict(self.comments)
+        return h
+
+
+def _read_header(f) -> Header:
+    hdr = Header()
+    while True:
+        block = f.read(BLOCK)
+        if len(block) < BLOCK:
+            raise ValueError('truncated FITS header')
+        for i in range(0, BLOCK, CARD):
+            card = block[i:i + CARD].decode('ascii', errors='replace')
+            key = card[:8].strip()
+            if key == 'END':
+                return hdr
+            if key in ('COMMENT', 'HISTORY') or '=' not in card[8:10]:
+                continue
+            rest = card[10:]
+            # strip inline comment (only outside strings)
+            if rest.lstrip().startswith("'"):
+                q = rest.find("'")
+                j = q + 1
+                while j < len(rest):
+                    if rest[j] == "'":
+                        if j + 1 < len(rest) and rest[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                value_part = rest[:j + 1]
+                comment = rest[j + 1:].split('/', 1)
+                comment = comment[1].strip() if len(comment) > 1 else ''
+            else:
+                parts = rest.split('/', 1)
+                value_part = parts[0]
+                comment = parts[1].strip() if len(parts) > 1 else ''
+            hdr[key] = _parse_value(value_part)
+            if comment:
+                hdr.comments[key] = comment
+
+
+def read_fits(path: str) -> Tuple[np.ndarray, Header]:
+    """Read the primary HDU image and header."""
+    with open(path, 'rb') as f:
+        hdr = _read_header(f)
+        naxis = int(hdr.get('NAXIS', 0))
+        if naxis == 0:
+            return np.empty(0), hdr
+        shape = tuple(int(hdr[f'NAXIS{i}']) for i in range(naxis, 0, -1))
+        bitpix = int(hdr['BITPIX'])
+        dtype = _BITPIX_DTYPES[bitpix]
+        count = int(np.prod(shape))
+        raw = np.frombuffer(f.read(count * dtype.itemsize), dtype=dtype,
+                            count=count).reshape(shape)
+        bscale = float(hdr.get('BSCALE', 1.0))
+        bzero = float(hdr.get('BZERO', 0.0))
+        if bscale != 1.0 or bzero != 0.0:
+            data = raw.astype(np.float64) * bscale + bzero
+        else:
+            data = raw.astype(dtype.newbyteorder('='))
+        return data, hdr
+
+
+def getdata(path: str) -> np.ndarray:
+    return read_fits(path)[0]
+
+
+def getheader(path: str) -> Header:
+    return read_fits(path)[1]
+
+
+def write_fits(path: str, data: np.ndarray, header: Optional[Header] = None,
+               overwrite: bool = True) -> None:
+    """Write a 2D (or nD) array as a primary-HDU FITS file."""
+    if os.path.exists(path) and not overwrite:
+        raise OSError(f'{path} exists and overwrite=False')
+    data = np.asarray(data)
+    if data.dtype not in _DTYPE_BITPIX:
+        data = data.astype(np.float64)
+    bitpix = _DTYPE_BITPIX[data.dtype]
+    cards = [
+        _format_card('SIMPLE', True, 'conforms to FITS standard'),
+        _format_card('BITPIX', bitpix),
+        _format_card('NAXIS', data.ndim),
+    ]
+    for i, n in enumerate(reversed(data.shape), start=1):
+        cards.append(_format_card(f'NAXIS{i}', int(n)))
+    reserved = {'SIMPLE', 'BITPIX', 'NAXIS', 'END', 'BSCALE', 'BZERO',
+                'EXTEND'} | {f'NAXIS{i}' for i in range(1, 10)}
+    if header:
+        comments = getattr(header, 'comments', {})
+        for k, v in header.items():
+            if k.upper() in reserved:
+                continue
+            cards.append(_format_card(k, v, comments.get(k, '')))
+    cards.append('END'.ljust(CARD).encode('ascii'))
+    hdr_bytes = b''.join(cards)
+    hdr_bytes += b' ' * (-len(hdr_bytes) % BLOCK)
+
+    payload = data.astype(_BITPIX_DTYPES[bitpix]).tobytes()
+    payload += b'\x00' * (-len(payload) % BLOCK)
+    with open(path, 'wb') as f:
+        f.write(hdr_bytes)
+        f.write(payload)
+
+
+writeto = write_fits  # astropy-style alias
