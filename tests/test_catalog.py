@@ -1,0 +1,93 @@
+"""Catalog stack: background recovery, detection, deblending, measurements."""
+import numpy as np
+
+from tpu_sgp.catalog import (Background2D, SourceCatalog, SourceFinder,
+                             detect_sources, source_info)
+from tpu_sgp.simulate import gaussian_psf, synthetic_star_field
+from tpu_sgp.utils import sigma_clipped_stats
+
+
+def _gauss_source(img, x, y, flux, sig=1.6):
+    h, w = img.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    img += flux * np.exp(-(((xx - x) ** 2 + (yy - y) ** 2) / (2 * sig ** 2))
+                         ) / (2 * np.pi * sig ** 2)
+    return img
+
+
+def test_background_recovers_gradient(rng):
+    yy, xx = np.mgrid[0:120, 0:120]
+    truth = 100 + 0.2 * xx + 0.1 * yy
+    img = truth + rng.normal(0, 2.0, truth.shape)
+    img = _gauss_source(img, 60, 60, 5e4)  # a bright source to reject
+    bkg = Background2D(img, (30, 30))
+    resid = bkg.background - truth
+    assert np.abs(np.median(resid)) < 1.0
+    assert np.abs(resid).mean() < 3.0
+    assert 1.0 < bkg.background_rms_median < 4.0
+
+
+def test_sigma_clipped_stats_rejects_outliers(rng):
+    vals = rng.normal(10, 1, 5000)
+    vals[:50] = 1e4
+    mean, med, std = sigma_clipped_stats(vals)
+    assert abs(mean - 10) < 0.2
+    assert abs(std - 1) < 0.2
+
+
+def test_detect_single_source(rng):
+    img = np.full((31, 31), 100.0) + rng.normal(0, 3, (31, 31))
+    img = _gauss_source(img, 15, 15, 2e4)
+    scat, bkg = source_info(img)
+    assert scat is not None and len(scat) == 1
+    t = scat.to_table(['xcentroid', 'ycentroid', 'segment_flux', 'fwhm',
+                       'ellipticity'])
+    assert abs(t['xcentroid'].value[0] - 15) < 0.5
+    assert abs(t['ycentroid'].value[0] - 15) < 0.5
+    # flux within 20% (aperture truncation + bkg noise)
+    assert abs(t['segment_flux'].value[0] / 2e4 - 1) < 0.2
+    # FWHM of sigma=1.6 Gaussian is 3.77 px (convolved slightly wider)
+    assert 2.5 < t['fwhm'].value[0] < 5.5
+
+
+def test_deblend_separates_double(rng):
+    img = np.full((41, 41), 50.0) + rng.normal(0, 1, (41, 41))
+    img = _gauss_source(img, 17, 20, 3e4)
+    img = _gauss_source(img, 24, 20, 3e4)
+    scat, _ = source_info(img, deblend=True)
+    assert scat is not None and len(scat) == 2
+    t = scat.to_table(['xcentroid'])
+    xs = np.sort(t['xcentroid'].value)
+    assert abs(xs[0] - 17) < 1.0 and abs(xs[1] - 24) < 1.0
+    # without deblending it is one blended source
+    scat2, _ = source_info(img, deblend=False)
+    assert len(scat2) == 1
+
+
+def test_detect_sources_npixels_filter():
+    img = np.zeros((20, 20))
+    img[5, 5] = 10.0                  # single hot pixel
+    img[10:14, 10:14] = 10.0          # 16-px source
+    segm = detect_sources(img, 1.0, npixels=5)
+    assert segm is not None and segm.nlabels == 1
+
+
+def test_crowded_field_counts(rng):
+    img, psf, truth = synthetic_star_field(200, 200, n_stars=40, seed=9,
+                                           flux_range=(2e4, 8e4))
+    scat, _ = source_info(img)
+    assert scat is not None
+    # most isolated stars found (some blend/overlap)
+    assert 25 <= len(scat) <= 45
+
+
+def test_ellipticity_of_elliptical_source(rng):
+    img = np.full((41, 41), 10.0)
+    yy, xx = np.mgrid[0:41, 0:41]
+    img += 1e4 * np.exp(-((xx - 20) ** 2 / (2 * 3.0 ** 2)
+                          + (yy - 20) ** 2 / (2 * 1.5 ** 2)))
+    scat, _ = source_info(img)
+    t = scat.to_table(['ellipticity', 'orientation', 'semimajor_sigma',
+                       'semiminor_sigma'])
+    assert t['ellipticity'].value[0] > 0.3
+    assert abs(abs(t['orientation'].value[0])) < 15  # major axis along x

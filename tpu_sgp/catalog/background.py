@@ -1,0 +1,77 @@
+"""2D background estimation (photutils Background2D equivalent).
+
+The reference estimates background with
+``Background2D(data, box_size, filter_size=(3,3), MedianBackground())``
+(/root/reference/restoration/utils.py:236-238): sigma-clipped median per
+mesh box, 3x3 median filter over the mesh, spline upsampling to full
+resolution. The RMS map is the sigma-clipped std per box.
+"""
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+import numpy as np
+from scipy.ndimage import median_filter, zoom
+
+from ..utils import sigma_clip
+
+
+class Background2D:
+    def __init__(self, data: np.ndarray,
+                 box_size: Union[int, Tuple[int, int]],
+                 filter_size: Tuple[int, int] = (3, 3),
+                 sigma: float = 3.0, maxiters: int = 10):
+        data = np.asarray(data, np.float64)
+        if np.isscalar(box_size):
+            box_size = (int(box_size), int(box_size))
+        by, bx = int(box_size[0]), int(box_size[1])
+        h, w = data.shape
+        ny, nx = -(-h // by), -(-w // bx)
+
+        # pad to a whole number of boxes (edge replication)
+        ph, pw = ny * by - h, nx * bx - w
+        padded = np.pad(data, ((0, ph), (0, pw)), mode='edge')
+
+        boxes = padded.reshape(ny, by, nx, bx).swapaxes(1, 2).reshape(
+            ny, nx, by * bx)
+        mesh_med = np.empty((ny, nx))
+        mesh_std = np.empty((ny, nx))
+        for i in range(ny):
+            for j in range(nx):
+                vals = boxes[i, j]
+                keep = sigma_clip(vals, sigma=sigma, maxiters=maxiters)
+                kept = vals[keep]
+                if kept.size == 0:
+                    kept = vals
+                mesh_med[i, j] = np.median(kept)
+                mesh_std[i, j] = np.std(kept)
+
+        if filter_size is not None and ny * nx > 1:
+            fy = min(filter_size[0], ny)
+            fx = min(filter_size[1], nx)
+            if fy > 1 or fx > 1:
+                mesh_med = median_filter(mesh_med, size=(fy, fx),
+                                         mode='nearest')
+                mesh_std = median_filter(mesh_std, size=(fy, fx),
+                                         mode='nearest')
+
+        self.background_mesh = mesh_med
+        self.background_rms_mesh = mesh_std
+        self.background_median = float(np.median(mesh_med))
+        self.background_rms_median = float(np.median(mesh_std))
+
+        order = 3 if min(ny, nx) >= 4 else 1
+        self.background = self._upsample(mesh_med, (by, bx), (h, w), order)
+        self.background_rms = self._upsample(mesh_std, (by, bx), (h, w),
+                                             order)
+
+    @staticmethod
+    def _upsample(mesh, box, out_shape, order):
+        if mesh.size == 1:
+            return np.full(out_shape, mesh.ravel()[0])
+        up = zoom(mesh, box, order=order, mode='reflect', grid_mode=True)
+        # clip spline overshoot to the mesh value range (photutils
+        # BkgZoomInterpolator does the same) — unclipped order-3 splines ring
+        # around source-dominated boxes and can drive the RMS map negative
+        up = np.clip(up, mesh.min(), mesh.max())
+        return up[:out_shape[0], :out_shape[1]]

@@ -1,0 +1,39 @@
+"""``source_info``: the reference's one-call detection+measurement pipeline.
+
+Mirrors /root/reference/restoration/utils.py:219-247: Background2D (median,
+3x3 mesh filter) -> subtract -> threshold = sigma * rms -> convolve with a
+FWHM-1.2 Gaussian -> find + deblend -> SourceCatalog with localbkg_width=5.
+Returns (catalog, background) like the live reference path.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..utils import convolve2d_fill, make_2dgaussian_kernel
+from .background import Background2D
+from .properties import SourceCatalog
+from .segmentation import SourceFinder
+
+
+def source_info(data: np.ndarray, box_size=(5, 5), n_pixels: int = 5,
+                sigma_threshold: float = 1.5, localbkg_width: int = 5,
+                deblend: bool = True, wcs=None
+                ) -> Tuple[Optional[SourceCatalog], Background2D]:
+    """Detect and measure sources. ``data`` must NOT be background
+    subtracted. Returns (SourceCatalog | None, Background2D)."""
+    data = np.asarray(data, np.float64)
+    bkg = Background2D(data, box_size, filter_size=(3, 3))
+    data_sub = data - bkg.background
+    threshold = sigma_threshold * bkg.background_rms
+    kernel = make_2dgaussian_kernel(1.2, size=3)
+    convolved = convolve2d_fill(data_sub, kernel)
+    finder = SourceFinder(npixels=n_pixels, deblend=deblend)
+    segm = finder(convolved, threshold)
+    if segm is None:
+        return None, bkg
+    scat = SourceCatalog(data_sub, segm, background=bkg.background,
+                         convolved_data=convolved,
+                         localbkg_width=localbkg_width, wcs=wcs)
+    return scat, bkg

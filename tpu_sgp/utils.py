@@ -1,0 +1,57 @@
+"""Shared host-side utilities: robust statistics and small kernels."""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def sigma_clip(data: np.ndarray, sigma: float = 3.0,
+               maxiters: int = 10) -> np.ndarray:
+    """Iterative sigma clipping; returns a boolean mask of KEPT values
+    (astropy SigmaClip semantics with median center and std)."""
+    d = np.asarray(data, np.float64).ravel()
+    keep = np.isfinite(d)
+    for _ in range(maxiters):
+        vals = d[keep]
+        if vals.size == 0:
+            break
+        med = np.median(vals)
+        std = np.std(vals)
+        new = keep & (np.abs(d - med) <= sigma * std)
+        if new.sum() == keep.sum():
+            keep = new
+            break
+        keep = new
+    return keep.reshape(np.shape(data))
+
+
+def sigma_clipped_stats(data: np.ndarray, sigma: float = 3.0,
+                        maxiters: int = 10) -> Tuple[float, float, float]:
+    """(mean, median, std) of sigma-clipped data (astropy equivalent)."""
+    keep = sigma_clip(data, sigma=sigma, maxiters=maxiters)
+    vals = np.asarray(data, np.float64)[keep]
+    if vals.size == 0:
+        return np.nan, np.nan, np.nan
+    return float(np.mean(vals)), float(np.median(vals)), float(np.std(vals))
+
+
+GAUSSIAN_FWHM_TO_SIGMA = 1.0 / 2.354820045030949
+
+
+def make_2dgaussian_kernel(fwhm: float, size: int = 3) -> np.ndarray:
+    """Normalized (sum=1) 2D Gaussian kernel — photutils
+    make_2dgaussian_kernel equivalent."""
+    sig = fwhm * GAUSSIAN_FWHM_TO_SIGMA
+    c = (size - 1) / 2.0
+    y, x = np.mgrid[0:size, 0:size]
+    k = np.exp(-((x - c) ** 2 + (y - c) ** 2) / (2.0 * sig ** 2))
+    return k / k.sum()
+
+
+def convolve2d_fill(data: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """'same' convolution with zero-fill boundary (astropy convolve
+    boundary='fill' without NaN handling)."""
+    from scipy.ndimage import convolve
+    return convolve(np.asarray(data, np.float64), kernel, mode='constant',
+                    cval=0.0)
