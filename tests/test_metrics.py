@@ -25,11 +25,13 @@ def test_radial_profile_of_gaussian_decreases():
 
 
 def test_fit_radprof_recovers_gaussian():
+    rng = np.random.default_rng(7)
     x = np.arange(16)
     truth = 120.0 * np.exp(-0.5 * (x / 2.0) ** 2)
+    noisy = truth + rng.normal(0, 0.5, truth.shape)
     table = {'fwhm': np.array([2.0 * 2.35482])}
-    fitted, perr = fit_radprof(truth, table)
-    np.testing.assert_allclose(fitted, truth, rtol=1e-6, atol=1e-6)
+    fitted, perr = fit_radprof(noisy, table)
+    np.testing.assert_allclose(fitted, truth, rtol=0.05, atol=1.0)
     assert np.all(np.isfinite(perr))
 
 
