@@ -1,0 +1,4 @@
+from .diapl import PSF, DiaplPSFModel, read_coo
+from .kernels import normalize_psf, scale_psf
+
+__all__ = ['PSF', 'DiaplPSFModel', 'read_coo', 'normalize_psf', 'scale_psf']
