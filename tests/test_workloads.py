@@ -1,0 +1,84 @@
+"""Workload drivers + CLI, end-to-end on synthetic data (CPU)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpu_sgp.image import write_fits, Header
+from tpu_sgp.simulate import synthetic_star_field
+from tpu_sgp.workloads import star_stamps, subdivisions
+
+
+def test_star_stamps_synthetic_kl(tmp_path):
+    m = star_stamps.run(use_beta_div=False, n_synthetic=12, save=True,
+                        out_dir=str(tmp_path))
+    assert len(m['NUM_ITERS']) >= 10
+    # deconvolution sharpens: FWHM ratio well below 1
+    assert np.median(m['FWHM_RATIO']) < 0.7
+    # flux approximately conserved through the catalog
+    assert abs(np.median(m['FLUX_FRACTIONAL_DIFFERENCE'])) < 0.1
+    for name in ('NUM_ITERS', 'FWHM_RATIO', 'EXEC_TIME', 'ORIG_FLUX'):
+        assert os.path.exists(tmp_path / f'{name}.npy')
+
+
+def test_star_stamps_synthetic_beta(tmp_path):
+    m = star_stamps.run(use_beta_div=True, n_synthetic=6, save=True,
+                        out_dir=str(tmp_path))
+    assert len(m['NUM_ITERS']) >= 5
+    assert os.path.exists(tmp_path / 'NUM_ITERS_BETA.npy')
+
+
+def test_subdivisions_synthetic(tmp_path):
+    out = subdivisions.run(use_beta_div=False, crowded=False,
+                           out_dir=str(tmp_path), dtype='float64',
+                           maxit=60)
+    assert out['iters'] >= 1
+    assert out['n_restored_detections'] > 0
+    assert os.path.exists(tmp_path / 'SUBDIV_NUM_ITERS.npy')
+    assert os.path.exists(tmp_path / 'subdiv_restored.fits')
+
+
+@pytest.mark.slow
+def test_cli_subdiv_end_to_end(tmp_path):
+    image, psf, _ = synthetic_star_field(200, 200, n_stars=30, seed=11)
+    hdr = Header({'GAIN': 1.22, 'SATURATE': 65000.0,
+                  'CRPIX1': 100.0, 'CRPIX2': 100.0, 'CRVAL1': 250.0,
+                  'CRVAL2': 36.0, 'CD1_1': -2.8e-4, 'CD2_2': 2.8e-4,
+                  'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN'})
+    img_path = str(tmp_path / 'sci.fits')
+    psf_path = str(tmp_path / 'psf.fits')
+    write_fits(img_path, image, hdr)
+    write_fits(psf_path, psf, Header({'FWHM': 2.8}))
+
+    from tpu_sgp.cli import main
+    out = main(['--data_path_sciimg', img_path, '--data_path_psf', psf_path,
+                '--use_subdiv', '--subdivision_size', '64',
+                '--subdiv_overlap', '8', '--dtype', 'float64',
+                '--output_dir', str(tmp_path / 'results')])
+    d = out['deconvolved']
+    assert d.shape == image.shape
+    assert np.isfinite(d).all()
+    rdir = tmp_path / 'results'
+    assert (rdir / 'subdiv_deconvolved_sci.fits').exists()
+    assert (rdir / 'orig_sci.fits_scat.csv').exists()
+    assert (rdir / 'execution_times.txt').exists()
+    assert len(out['orig_catalog']) > 10
+    assert len(out['deconv_catalog']) > 5
+    # world coordinates present and sane
+    assert np.isfinite(out['deconv_catalog']['X_WORLD']).all()
+
+
+def test_cli_whole_image(tmp_path):
+    image, psf, _ = synthetic_star_field(96, 96, n_stars=8, seed=12)
+    img_path = str(tmp_path / 'sci.fits')
+    psf_path = str(tmp_path / 'psf.fits')
+    write_fits(img_path, image, Header({'GAIN': 1.0, 'SATURATE': 65000.0}))
+    write_fits(psf_path, psf)
+    from tpu_sgp.cli import main
+    out = main(['--data_path_sciimg', img_path, '--data_path_psf', psf_path,
+                '--dtype', 'float64', '--tol_convergence', '1e-4',
+                '--output_dir', str(tmp_path / 'results')])
+    assert out['deconvolved'].shape == image.shape
+    assert (tmp_path / 'results' / 'deconvolved_sci.fits').exists()

@@ -1,0 +1,3 @@
+from . import simulation, star_stamps, subdivisions
+
+__all__ = ['simulation', 'star_stamps', 'subdivisions']

@@ -1,0 +1,240 @@
+"""Star-stamps workload: batched restoration of single-star cutouts.
+
+Equivalent of /root/reference/restoration/application_sgp_star_stamps.py,
+re-architected for TPU: instead of a serial loop running up to 6 solver
+calls per stamp, the workload gathers all qualifying stamps on the host,
+then restores them as vmapped device batches (the beta-init search runs the
+whole stamp x candidate grid at once). Produces the same eight metric
+arrays with the reference's file names.
+
+Data modes:
+  * real: a directory of frames ``ccfb*.fits`` with DIAPL ``.coo`` star
+    lists and ``psf*_img.fits`` PSF matrices (the reference's M13 layout)
+  * synthetic: deterministic generated stamps (no external data needed)
+"""
+from __future__ import annotations
+
+import glob
+import os
+import random
+from dataclasses import dataclass
+from timeit import default_timer as timer
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ..catalog import source_info
+from ..config import DEFAULT_COLUMNS, DEFAULT_PARAMS, SGPConfig
+from ..image import Cutout2D, getdata
+from ..metrics import (fit_radprof, radial_profile, wasserstein_distance_norm)
+from ..parallel.batch import restore_stamps
+from ..psf import read_coo
+from ..simulate import synthetic_star_stamps
+
+CUTOUT_SIZE = 31
+CCD_SAT_LEVEL = 65000.0
+BETA_SEEDS = (0, 42, 951, 93, 810)
+
+
+@dataclass
+class StampSet:
+    stamps: np.ndarray        # (B, 31, 31)
+    psfs: np.ndarray          # (B, 31, 31) per-stamp PSF
+    bkgs: np.ndarray          # (B,) background medians
+    fluxes: np.ndarray        # (B,) catalog segment fluxes
+    orig_tables: list         # per-stamp catalog tables (original)
+    orig_bkg_maps: list       # per-stamp Background2D objects
+
+
+def _brightest(table) -> int:
+    """Index of the brightest catalog row. The reference reads row 0 of the
+    restored catalog (application_sgp_star_stamps.py:92), which is only
+    correct when the deconvolved stamp yields exactly one segment; with a
+    near-zero background the detection threshold collapses and low-flux
+    ripple segments appear, so the brightest row is the star."""
+    return int(np.argmax(np.asarray(table['segment_flux'].value)))
+
+
+def _beta_candidates() -> np.ndarray:
+    """The reference's five seeded N(1, 0.05) beta-init draws
+    (application_sgp_star_stamps.py:69-75)."""
+    out = []
+    for seed in BETA_SEEDS:
+        np.random.seed(seed)
+        out.append(np.random.normal(loc=1.0, scale=0.05))
+    return np.array(out)
+
+
+def gather_real(data_dir: str, n_images: int = 100,
+                seed: int = 42) -> StampSet:
+    """Collect qualifying 31x31 single-source stamps from an M13-layout
+    directory (same frame sampling, same filters as the reference)."""
+    pats = (['ccfb*[!m]c1_*.fits', 'ccfb*[!m]c4_*.fits']
+            + [f'ccfb*[!m]c2_{i}.fits' for i in (1, 2, 4, 5)]
+            + [f'ccfb*[!m]c3_{i}.fits' for i in (1, 2, 4, 5)])
+    image_list: List[str] = []
+    for p in pats:
+        image_list += glob.glob(os.path.join(data_dir, p))
+    random.seed(seed)
+    chosen = random.sample(image_list, min(n_images, len(image_list)))
+
+    stamps, psfs, bkgs, fluxes, tables, bkg_maps = [], [], [], [], [], []
+    for image_path in chosen:
+        base = os.path.basename(image_path)
+        subdivision = base.split('.fits')[0][-3:]
+        coo_path = image_path.replace('.fits', '.coo')
+        psf_path = os.path.join(
+            data_dir, ('psf' + base).replace(f'c{subdivision}',
+                                             f'_{subdivision}_img'))
+        try:
+            coords = read_coo(coo_path)
+            img = getdata(image_path)
+            psf = getdata(psf_path)
+        except (OSError, ValueError):
+            continue
+        for _, row in coords.iterrows():
+            try:
+                cut = Cutout2D(img, (row['x'], row['y']), size=CUTOUT_SIZE)
+            except ValueError:
+                continue
+            if cut.data.shape != (CUTOUT_SIZE, CUTOUT_SIZE):
+                continue
+            scat, bkg = source_info(cut.data, localbkg_width=5)
+            if scat is None or len(scat) != 1:
+                continue
+            t = scat.to_table(DEFAULT_COLUMNS)
+            stamps.append(np.asarray(cut.data, np.float64))
+            psfs.append(psf)
+            bkgs.append(bkg.background_median)
+            fluxes.append(float(t['segment_flux'].value[0]))
+            tables.append(t)
+            bkg_maps.append(bkg)
+    return StampSet(np.stack(stamps), np.stack(psfs), np.array(bkgs),
+                    np.array(fluxes), tables, bkg_maps)
+
+
+def gather_synthetic(n: int = 256, seed: int = 42) -> StampSet:
+    raw, psf, _, _ = synthetic_star_stamps(n, size=CUTOUT_SIZE, seed=seed)
+    stamps, psfs, bkgs, fluxes, tables, bkg_maps = [], [], [], [], [], []
+    for i in range(n):
+        scat, bkg = source_info(raw[i], localbkg_width=5)
+        if scat is None or len(scat) != 1:
+            continue
+        t = scat.to_table(DEFAULT_COLUMNS)
+        stamps.append(raw[i])
+        psfs.append(psf)
+        bkgs.append(bkg.background_median)
+        fluxes.append(float(t['segment_flux'].value[0]))
+        tables.append(t)
+        bkg_maps.append(bkg)
+    return StampSet(np.stack(stamps), np.stack(psfs), np.array(bkgs),
+                    np.array(fluxes), tables, bkg_maps)
+
+
+def _workload_cfg(use_beta: bool, adapt: bool = True) -> SGPConfig:
+    max_projs, gamma, bt, a_min, a_max, alpha, m_alpha, tau, m = DEFAULT_PARAMS
+    return SGPConfig(
+        max_iter=200, stop_criterion=3, tol_convergence=1e-4, init_recon=2,
+        proj_type=1, max_projs=max_projs, gamma=gamma, bt_factor=bt,
+        alpha_init=alpha, alpha_min=a_min, alpha_max=a_max, m_alpha=m_alpha,
+        tau_init=tau, m_mem=m, has_flux=True, has_sat_level=True,
+        divergence='beta' if use_beta else 'kl', adapt_beta=adapt,
+        schedule_lr=use_beta, dtype='float32', operator='otf')
+
+
+def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
+        n_images: int = 100, n_synthetic: int = 256, seed: int = 42,
+        out_dir: str = '.', mesh=None, save: bool = True) -> dict:
+    """Run the full workload; returns (and optionally saves) the metric
+    arrays under the reference's file names."""
+    sset = (gather_real(data_dir, n_images, seed) if data_dir
+            else gather_synthetic(n_synthetic, seed))
+    b = sset.stamps.shape[0]
+
+    cfg = _workload_cfg(use_beta_div)
+    if use_beta_div:
+        # stage 1: candidate grid — every stamp restored with all five
+        # seeded beta inits in one batch
+        cands = _beta_candidates()
+        k = cands.size
+        grid = restore_stamps(
+            np.repeat(sset.stamps, k, axis=0),
+            np.repeat(sset.psfs, k, axis=0),
+            np.repeat(sset.bkgs, k), cfg,
+            fluxes=np.repeat(sset.fluxes, k),
+            beta0=np.tile(cands, b), sat_level=CCD_SAT_LEVEL, mesh=mesh)
+        grid_x = np.asarray(grid.x).reshape(b, k, CUTOUT_SIZE, CUTOUT_SIZE)
+        # selection metric: catalog flux fractional difference (reference
+        # application_sgp_star_stamps.py:90-97)
+        best_idx = np.zeros(b, np.int64)
+        for i in range(b):
+            ffds = np.full(k, np.inf)
+            for j in range(k):
+                scat, _ = source_info(grid_x[i, j], localbkg_width=5)
+                if scat is None or len(scat) == 0:
+                    continue
+                t = scat.to_table(['segment_flux'])
+                ffds[j] = 1.0 - (t['segment_flux'].value[_brightest(t)]
+                                 / sset.fluxes[i])
+            best_idx[i] = int(np.argmin(ffds))
+        best_betas = cands[best_idx]
+        t0 = timer()
+        res = restore_stamps(sset.stamps, sset.psfs, sset.bkgs, cfg,
+                             fluxes=sset.fluxes, beta0=best_betas,
+                             sat_level=CCD_SAT_LEVEL, mesh=mesh)
+        jax.block_until_ready(res)
+        solve_wall = timer() - t0
+    else:
+        t0 = timer()
+        res = restore_stamps(sset.stamps, sset.psfs, sset.bkgs, cfg,
+                             fluxes=sset.fluxes, sat_level=CCD_SAT_LEVEL,
+                             mesh=mesh)
+        jax.block_until_ready(res)
+        solve_wall = timer() - t0
+
+    restored = np.asarray(res.x)
+    iters = np.asarray(res.iters)
+
+    metrics = {k: [] for k in (
+        'FLUX_FRACTIONAL_DIFFERENCE', 'FWHM_RATIO', 'ELLIPTICITY_RATIO',
+        'WD_RADIAL_PROFILE_DISTANCE', 'NUM_ITERS', 'EXEC_TIME', 'ORIG_FLUX',
+        'RESTORED_FLUX')}
+    for i in range(b):
+        scat, rbkg = source_info(restored[i], localbkg_width=5)
+        if scat is None or len(scat) == 0:
+            continue
+        rt = scat.to_table(DEFAULT_COLUMNS)
+        ri = _brightest(rt)
+        ot = sset.orig_tables[i]
+        obkg = sset.orig_bkg_maps[i]
+        orig_prof = radial_profile(
+            sset.stamps[i] - obkg.background,
+            (ot['xcentroid'].value[0], ot['ycentroid'].value[0]))
+        rest_prof = radial_profile(
+            restored[i] - rbkg.background,
+            (rt['xcentroid'].value[ri], rt['ycentroid'].value[ri]))
+        fo, _ = fit_radprof(orig_prof, ot)
+        fr, _ = fit_radprof(rest_prof, {'fwhm': rt['fwhm'].value[ri:ri + 1]})
+
+        metrics['ORIG_FLUX'].append(ot['segment_flux'].value[0])
+        metrics['RESTORED_FLUX'].append(rt['segment_flux'].value[ri])
+        metrics['FLUX_FRACTIONAL_DIFFERENCE'].append(
+            1.0 - rt['segment_flux'].value[ri] / ot['segment_flux'].value[0])
+        metrics['FWHM_RATIO'].append(
+            rt['fwhm'].value[ri] / ot['fwhm'].value[0])
+        metrics['ELLIPTICITY_RATIO'].append(
+            rt['ellipticity'].value[ri] / max(ot['ellipticity'].value[0],
+                                              1e-12))
+        metrics['WD_RADIAL_PROFILE_DISTANCE'].append(
+            wasserstein_distance_norm(fo, fr))
+        metrics['NUM_ITERS'].append(int(iters[i]))
+        # amortized per-stamp device wall for the batched solve
+        metrics['EXEC_TIME'].append(solve_wall / b)
+
+    if save:
+        suffix = '_BETA' if use_beta_div else ''
+        for name, vals in metrics.items():
+            np.save(os.path.join(out_dir, f'{name}{suffix}.npy'),
+                    np.asarray(vals))
+    return metrics

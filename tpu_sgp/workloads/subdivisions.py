@@ -1,0 +1,112 @@
+"""Subdivision workload: whole-frame deconvolution of a 410x410 subframe.
+
+Equivalent of /root/reference/restoration/application_sgp_subdivisions.py:
+detect sources on the frame, deconvolve it whole with the linear-convolution
+operator (31x31 PSF != frame shape), tol 1e-5, optional beta-init search
+over the reference's five seeded candidates, then persist iteration/time/
+flux artifacts with the reference's SUBDIV_* names.
+"""
+from __future__ import annotations
+
+import os
+from timeit import default_timer as timer
+from typing import Optional
+
+import numpy as np
+
+from ..api import sgp, sgp_beta_div
+from ..catalog import source_info
+from ..config import DEFAULT_COLUMNS
+from ..image import getdata, write_fits
+from ..simulate import synthetic_star_field
+from .star_stamps import _beta_candidates, _brightest
+
+TOL_CONVERGENCE = 1e-5
+CCD_SAT_LEVEL = 65000.0
+
+
+def run(image_path: Optional[str] = None, psf_path: Optional[str] = None,
+        use_beta_div: bool = True, crowded: bool = True,
+        out_dir: str = '.', save: bool = True, dtype: str = 'float32',
+        maxit: int = 500) -> dict:
+    if image_path:
+        image = getdata(image_path)
+        psf = getdata(psf_path)
+    else:
+        n_stars = 400 if crowded else 60
+        image, psf, _ = synthetic_star_field(410, 410, n_stars=n_stars,
+                                             seed=42)
+    psf = psf / psf.sum()
+
+    scat, bkg = source_info(image, box_size=(64, 64))
+    table = scat.to_table(DEFAULT_COLUMNS)
+    flux = float(np.sum(table['segment_flux'].value))
+    n_orig = len(table)
+
+    common = dict(init_recon=2, proj_type=1, stop_criterion=3,
+                  flux=flux, scale_data=True, ccd_sat_level=CCD_SAT_LEVEL,
+                  tol_convergence=TOL_CONVERGENCE, MAXIT=maxit,
+                  use_original_SGP_Afunction=False, dtype=dtype)
+
+    best_beta = None
+    if use_beta_div:
+        cands = _beta_candidates()
+        best_beta, best_ffd = None, np.inf
+        for cand in cands:
+            x, iters, _, times, _ = sgp_beta_div(
+                image, psf, bkg.background, betaParam=float(cand), lr=1e-3,
+                lr_exp_param=0.1, schedule_lr=True, adapt_beta=True,
+                **common)
+            rscat, _ = source_info(x, box_size=(64, 64))
+            if rscat is None or len(rscat) == 0:
+                continue
+            rt = rscat.to_table(['segment_flux'])
+            ffd = 1.0 - float(np.sum(rt['segment_flux'].value)) / flux
+            if ffd < best_ffd:
+                best_ffd, best_beta = ffd, float(cand)
+        t0 = timer()
+        x, iters, _, times, _ = sgp_beta_div(
+            image, psf, bkg.background, betaParam=best_beta, lr=1e-3,
+            lr_exp_param=0.1, schedule_lr=True, adapt_beta=True, **common)
+        wall = timer() - t0
+    else:
+        t0 = timer()
+        x, iters, _, times, _ = sgp(image, psf, bkg.background, **common)
+        wall = timer() - t0
+
+    rscat, _ = source_info(x, box_size=(64, 64))
+    rt = (rscat.to_table(DEFAULT_COLUMNS)
+          if rscat is not None and len(rscat) else None)
+    restored_fluxes = (np.asarray(rt['segment_flux'].value)
+                       if rt is not None else np.zeros(0))
+
+    out = {
+        'iters': iters, 'wall': wall, 'best_beta': best_beta,
+        'n_orig_detections': n_orig,
+        'n_restored_detections': 0 if rt is None else len(rt),
+        'orig_fluxes': np.asarray(table['segment_flux'].value),
+        'restored_fluxes': restored_fluxes,
+        'restored': x, 'original': image,
+    }
+    if save:
+        prefix = 'CROWDED_SUBDIV_' if crowded else 'SUBDIV_'
+        suffix = '_BETA' if use_beta_div else ''
+        np.save(os.path.join(out_dir, f'{prefix}NUM_ITERS{suffix}.npy'),
+                np.array([iters]))
+        np.save(os.path.join(out_dir, f'{prefix}EXEC_TIME{suffix}.npy'),
+                np.array([wall]))
+        np.save(os.path.join(out_dir,
+                             f'{prefix}ORIG_FLUX{suffix}.npy'),
+                out['orig_fluxes'])
+        np.save(os.path.join(out_dir,
+                             f'{prefix}RESTORED_FLUX{suffix}.npy'),
+                restored_fluxes)
+        if use_beta_div:
+            np.save(os.path.join(out_dir,
+                                 f'{prefix}BEST_BETA_INIT.npy'),
+                    np.array([best_beta]))
+        write_fits(os.path.join(out_dir, f'{prefix.lower()}orig.fits'),
+                   image)
+        write_fits(os.path.join(out_dir, f'{prefix.lower()}restored{suffix}.fits'),
+                   x)
+    return out
