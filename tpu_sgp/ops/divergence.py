@@ -16,9 +16,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .reduce import gmean, gsum
+
 
 def kl_objective(x_tf: jnp.ndarray, den: jnp.ndarray, gn: jnp.ndarray,
-                 flux: jnp.ndarray) -> jnp.ndarray:
+                 flux: jnp.ndarray, axes=()) -> jnp.ndarray:
     """KL data-fidelity value used by the KL-SGP solver.
 
     fv = sum(gn * log(gn/den)) + sum(A(x)) - flux
@@ -26,10 +28,11 @@ def kl_objective(x_tf: jnp.ndarray, den: jnp.ndarray, gn: jnp.ndarray,
     constant (-flux vs -sum(gn)+sum(bkg)); the constant matters for the
     relative-decrease stop rule, so both forms are kept.
     """
-    return jnp.sum(gn * jnp.log(gn / den)) + jnp.sum(x_tf) - flux
+    return gsum(gn * jnp.log(gn / den), axes) + gsum(x_tf, axes) - flux
 
 
-def beta_div(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+def beta_div(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
+             axes=()) -> jnp.ndarray:
     """beta-divergence D_beta(gn || den), generic-beta branch.
 
     Matches reference ``betaDiv(y=den, x=gn, betaParam)`` for beta not in
@@ -39,9 +42,9 @@ def beta_div(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarra
     a traced value that never hits them exactly when adapting.
     """
     scal = 1.0 / (beta * (beta - 1.0))
-    return (jnp.sum(scal * gn ** beta)
-            + jnp.sum(scal * (beta - 1.0) * den ** beta)
-            - jnp.sum(scal * beta * gn * den ** (beta - 1.0)))
+    return (gsum(scal * gn ** beta, axes)
+            + gsum(scal * (beta - 1.0) * den ** beta, axes)
+            - gsum(scal * beta * gn * den ** (beta - 1.0), axes))
 
 
 def beta_div_special(den: jnp.ndarray, gn: jnp.ndarray, beta: float) -> jnp.ndarray:

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import Callable, Tuple
 
+import jax
 import jax.numpy as jnp
 
 Operator = Callable[[jnp.ndarray], jnp.ndarray]
@@ -122,8 +123,84 @@ def make_linear_operator(psf: jnp.ndarray,
     return A, AT
 
 
+def _halo_exchange(x: jnp.ndarray, hy: int, hx: int, axis_y: str,
+                   axis_x: str) -> jnp.ndarray:
+    """Pad a device-local tile with (hy, hx) halos from mesh neighbors.
+
+    Two-pass exchange: columns along the x mesh axis first, then rows of the
+    already-extended array along the y axis — corners arrive automatically.
+    Non-wrapping ppermute leaves global-boundary halos zero, which realizes
+    the zero-padded *linear* convolution semantics of the reference's
+    PSF != image operator (astropy boundary='fill').
+    """
+    def shift(arr, axis_name, direction):
+        # direction +1: receive from the previous device (send to next)
+        n = jax.lax.axis_size(axis_name)
+        if n == 1:
+            return jnp.zeros_like(arr)
+        if direction > 0:
+            perm = [(i, i + 1) for i in range(n - 1)]
+        else:
+            perm = [(i + 1, i) for i in range(n - 1)]
+        return jax.lax.ppermute(arr, axis_name, perm)
+
+    if hx > 0:
+        left_halo = shift(x[:, -hx:], axis_x, +1)    # from left neighbor
+        right_halo = shift(x[:, :hx], axis_x, -1)    # from right neighbor
+        x = jnp.concatenate([left_halo, x, right_halo], axis=1)
+    if hy > 0:
+        top_halo = shift(x[-hy:, :], axis_y, +1)
+        bot_halo = shift(x[:hy, :], axis_y, -1)
+        x = jnp.concatenate([top_halo, x, bot_halo], axis=0)
+    return x
+
+
+def make_halo_operator(psf: jnp.ndarray, axis_names: Tuple[str, str]
+                       ) -> Tuple[Operator, Operator]:
+    """Distributed linear-convolution operator for a 2-D sharded image.
+
+    Runs inside ``shard_map`` over mesh axes (axis_y, axis_x): each device
+    gathers a PSF-half-width halo from its neighbors over ICI
+    (``lax.ppermute``) and then applies a local VALID correlation with the
+    flipped kernel on the MXU (``lax.conv_general_dilated``) — the
+    TPU-native replacement for the reference's file-based subdivision +
+    mosaic pipeline (SURVEY §5 'long-context analog').
+
+    Semantics match ``make_linear_operator`` exactly (global zero padding),
+    so a sharded solve equals the single-device linear solve bit-for-bit up
+    to reduction order. Requires local tile >= halo width per axis.
+    """
+    axis_y, axis_x = axis_names
+    kern = psf / jnp.sum(psf)
+    kern_t = jnp.conj(kern).T
+    kern_t = kern_t / jnp.sum(kern_t)
+    kh, kw = psf.shape
+    hy, hx = kh // 2, kw // 2
+
+    def apply(kernel, x):
+        padded = _halo_exchange(x, hy, hx, axis_y, axis_x)
+        # conv_general_dilated computes correlation; flip for convolution
+        flipped = kernel[::-1, ::-1]
+        out = jax.lax.conv_general_dilated(
+            padded[None, None, :, :].astype(x.dtype),
+            flipped[None, None, :, :].astype(x.dtype),
+            window_strides=(1, 1), padding='VALID',
+            preferred_element_type=(jnp.float32 if x.dtype == jnp.float32
+                                    else None))
+        return out[0, 0]
+
+    def A(x):
+        return apply(kern, x)
+
+    def AT(x):
+        return apply(kern_t, x)
+
+    return A, AT
+
+
 def make_operator(psf: jnp.ndarray, image_shape: Tuple[int, int],
-                  method: str = 'auto') -> Tuple[Operator, Operator]:
+                  method: str = 'auto',
+                  axis_names: Tuple[str, str] = ()) -> Tuple[Operator, Operator]:
     """Build (A, AT) for the given PSF / image geometry.
 
     'auto' picks: dense matmul for small same-shape stamps (MXU), rFFT OTF for
@@ -145,4 +222,8 @@ def make_operator(psf: jnp.ndarray, image_shape: Tuple[int, int],
         return make_otf_operator(psf)
     if method == 'linear':
         return make_linear_operator(psf, image_shape)
+    if method == 'halo':
+        if len(axis_names) != 2:
+            raise ValueError('halo operator needs 2 mesh axis names')
+        return make_halo_operator(psf, axis_names)
     raise ValueError(f'unknown operator method: {method}')

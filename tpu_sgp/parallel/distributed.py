@@ -1,0 +1,96 @@
+"""Distributed whole-image restoration: 2-D sharded solve with halo exchange.
+
+This is the TPU-native replacement for the reference's subdivision pipeline
+(/root/reference/restoration/sgp.py:969-1097): instead of cutting overlapping
+tiles, deconvolving them independently and hiding the seams with a
+background-matched mosaic, the WHOLE image is sharded over a (ty, tx) device
+mesh and solved as one optimization problem:
+
+  * the PSF operator gathers halos from neighbor devices over ICI
+    (``lax.ppermute``) and convolves locally on the MXU
+    (ops.psf_operator.make_halo_operator)
+  * every scalar in the solver (flux, objective, BB inner products, the
+    projection's per-lambda flux residual, stop rules) is a ``psum``/``pmax``
+    collective, so all devices execute the identical iteration schedule
+  * the result is mathematically the single-device 'linear'-operator solve —
+    no seams, no overlap redundancy, no mosaic step at all
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SGPConfig
+from ..solvers.sgp import SGPResult, solve
+
+
+def make_image_mesh(shape: Tuple[int, int] = None, devices=None,
+                    axis_names: Tuple[str, str] = ('ty', 'tx')) -> Mesh:
+    """Build a 2-D device mesh for image sharding. With no explicit shape,
+    factor the device count as close to square as possible."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        ty = int(np.floor(np.sqrt(n)))
+        while n % ty:
+            ty -= 1
+        shape = (ty, n // ty)
+    mesh_devices = np.array(devices[:shape[0] * shape[1]]).reshape(shape)
+    return Mesh(mesh_devices, axis_names=axis_names)
+
+
+def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
+                      flux=None, x0=None, obj=None, beta0=1.0, lr0=1e-3,
+                      sat_level=0.0) -> SGPResult:
+    """Solve one large image sharded over a 2-D mesh.
+
+    cfg.operator / cfg.axis_names are overridden to the halo configuration.
+    Image height/width must divide by the respective mesh axis sizes, and
+    each local tile must be at least a PSF half-width tall/wide.
+    """
+    axis_names = tuple(mesh.axis_names)
+    cfg = cfg.replace(operator='halo', axis_names=axis_names)
+    dt = cfg.jnp_dtype
+
+    gn = jnp.asarray(gn, dt)
+    h, w = gn.shape
+    ty, tx = (mesh.shape[axis_names[0]], mesh.shape[axis_names[1]])
+    if h % ty or w % tx:
+        raise ValueError(f'image {gn.shape} not divisible by mesh {ty}x{tx}')
+    kh, kw = np.shape(psf)
+    if h // ty < kh // 2 or w // tx < kw // 2:
+        raise ValueError('local tile smaller than PSF half-width halo')
+
+    bkg = jnp.broadcast_to(jnp.asarray(bkg, dt), (h, w))
+    x0 = jnp.zeros((h, w), dt) if x0 is None else jnp.asarray(x0, dt)
+    obj = jnp.zeros((h, w), dt) if obj is None else jnp.asarray(obj, dt)
+    psf = jnp.asarray(psf, dt)
+    flux_in = jnp.asarray(0.0 if flux is None else flux, dt)
+    cfg = cfg.replace(has_flux=flux is not None)
+    beta0 = jnp.asarray(beta0, dt)
+    lr0 = jnp.asarray(lr0, dt)
+    sat = jnp.asarray(sat_level, dt)
+
+    py, px = axis_names
+    img_spec = P(py, px)
+    repl = P()
+
+    @jax.jit
+    def run(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat):
+        fn = jax.shard_map(
+            lambda g, p, b, z, f, o, bp, lr, s: solve(g, p, b, z, f, o, bp,
+                                                      lr, s, cfg),
+            mesh=mesh,
+            in_specs=(img_spec, repl, img_spec, img_spec, repl, img_spec,
+                      repl, repl, repl),
+            out_specs=SGPResult(x=img_spec, iters=repl, discr=repl,
+                                err=repl, beta=repl, fv=repl, scaling=repl),
+            check_vma=False)
+        return fn(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)
+
+    gn = jax.device_put(gn, NamedSharding(mesh, img_spec))
+    return run(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)

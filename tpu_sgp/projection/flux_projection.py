@@ -29,9 +29,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.reduce import gsum
+
 
 def project_df(b, c, dia, scaling, sat_level=None, max_projs: int = 1000,
-               tol_lam: float = 1e-11, has_sat: bool | None = None):
+               tol_lam: float = 1e-11, has_sat: bool | None = None,
+               axes=()):
     """Project onto the flux-conserving set.
 
     Args:
@@ -64,7 +67,9 @@ def project_df(b, c, dia, scaling, sat_level=None, max_projs: int = 1000,
             return jnp.maximum(0.0, (c + lam) / dia)
 
     def rval(lam):
-        return jnp.sum(xval(lam)) - b
+        # global flux residual; psum over mesh axes when the image is
+        # sharded (every lambda evaluation is one collective)
+        return gsum(xval(lam), axes) - b
 
     zero = jnp.asarray(0.0, dtype)
     one = jnp.asarray(1.0, dtype)

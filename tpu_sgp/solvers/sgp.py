@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from ..config import SGPConfig
 from ..ops import divergence as dv
 from ..ops.psf_operator import make_operator
+from ..ops.reduce import gmax, gmean, gmin, gsum
 from ..projection.flux_projection import project_df
 
 
@@ -58,8 +59,8 @@ class SGPResult(NamedTuple):
 
 def _objective(cfg: SGPConfig, x_tf, den, gn, flux, beta):
     if cfg.divergence == 'kl':
-        return dv.kl_objective(x_tf, den, gn, flux)
-    return dv.beta_div(den, gn, beta)
+        return dv.kl_objective(x_tf, den, gn, flux, cfg.axis_names)
+    return dv.beta_div(den, gn, beta, cfg.axis_names)
 
 
 def _gradient(cfg: SGPConfig, AT, den, gn, beta):
@@ -79,10 +80,15 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
     psf = jnp.asarray(psf, dt)
     bkg = jnp.asarray(bkg, dt)
     shape = gn.shape
-    n = gn.size
     eps = jnp.finfo(dt).eps
 
-    A, AT = make_operator(psf, shape, cfg.operator)
+    A, AT = make_operator(psf, shape, cfg.operator, cfg.axis_names)
+    ax = cfg.axis_names
+    # global pixel count (psum of local sizes when sharded)
+    if ax:
+        n = jax.lax.psum(jnp.asarray(gn.size, dt), ax)
+    else:
+        n = gn.size
 
     # ---- initialization (reference init modes) ---------------------------
     if cfg.init_recon == 0:
@@ -95,13 +101,13 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         if cfg.has_flux:
             x = jnp.broadcast_to(jnp.asarray(flux_in, dt) / n, shape)
         else:
-            x = jnp.broadcast_to(jnp.sum(gn - bkg) / n, shape)
+            x = jnp.broadcast_to(gsum(gn - bkg, ax) / n, shape)
     else:
         raise ValueError('init_recon must be 0..3')
 
     # ---- stop tolerance (criterion 4 uses the raw image mean) ------------
     if cfg.stop_criterion == 4:
-        tol = 1.0 + 1.0 / jnp.mean(gn)
+        tol = 1.0 + 1.0 / gmean(gn, ax)
     else:
         tol = jnp.asarray(cfg.tol_convergence, dt)
     if cfg.stop_criterion == 2 and cfg.verbose:
@@ -109,20 +115,20 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
 
     # ---- scaling + data conditioning -------------------------------------
     if cfg.scale_data:
-        scaling = jnp.max(gn)
+        scaling = gmax(gn, ax)
         gn = gn / scaling
         bkg = bkg / scaling
         x = x / scaling
     else:
         scaling = jnp.asarray(1.0, dt)
 
-    vmin = jnp.min(jnp.where(gn > 0, gn, jnp.inf))
+    vmin = gmin(jnp.where(gn > 0, gn, jnp.inf), ax)
     gn = jnp.where(gn <= 0, vmin * eps * eps, gn)
 
     if cfg.has_flux:
         flux = jnp.asarray(flux_in, dt) / scaling
     else:
-        flux = jnp.sum(gn - bkg)
+        flux = gsum(gn - bkg, ax)
 
     discr_coeff = 2.0 / n * scaling
     valpha = jnp.full((cfg.m_alpha,), cfg.alpha_max, dt)
@@ -136,7 +142,7 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         return project_df(flux, point, dia, scaling,
                           sat_level=sat if cfg.has_sat_level else None,
                           max_projs=cfg.max_projs,
-                          has_sat=cfg.has_sat_level)
+                          has_sat=cfg.has_sat_level, axes=ax)
 
     # Initial projection uses the identity metric (reference sgp.py:248-253).
     if cfg.proj_type == 0:
@@ -148,9 +154,9 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
     err = jnp.zeros((cfg.max_iter + 1,), dt)
     if cfg.errflag:
         obj_s = jnp.asarray(obj, dt) / scaling
-        obj_sum = jnp.sum(obj_s * obj_s)
+        obj_sum = gsum(obj_s * obj_s, ax)
         e0 = x - obj_s
-        err = err.at[0].set(jnp.sqrt(jnp.sum(e0 * e0) / obj_sum))
+        err = err.at[0].set(jnp.sqrt(gsum(e0 * e0, ax) / obj_sum))
     else:
         obj_s = jnp.zeros(shape, dt)
         obj_sum = jnp.asarray(1.0, dt)
@@ -165,8 +171,8 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
 
     # ---- scaling-matrix bounds --------------------------------------------
     y_b = (flux / (flux + bkg)) * AT(gn)
-    x_lb = jnp.min(jnp.where(y_b > 0, y_b, jnp.inf))
-    x_ub = jnp.max(y_b)
+    x_lb = gmin(jnp.where(y_b > 0, y_b, jnp.inf), ax)
+    x_ub = gmax(y_b, ax)
     widen = x_ub / x_lb < 50.0
     x_lb = jnp.where(widen, x_lb / 10.0, x_lb)
     x_ub = jnp.where(widen, x_ub * 10.0, x_ub)
@@ -205,7 +211,7 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
             y = proj(y * d_metric, d_metric)
         d = y - x
 
-        gd = jnp.sum(d * g)
+        gd = gsum(d * g, ax)
         d_tf = A(d)
         fr = jnp.max(fold)
 
@@ -221,7 +227,7 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
             fv_t = _objective(cfg, x_tf_try, den_t, gn, flux, bp)
             ok = (fv_t <= fr + gamma * lam * gd) | (lam < 1e-12)
             if cfg.divergence == 'beta' and cfg.adapt_beta:
-                bgrad = jnp.mean(dv.beta_div_dbeta(den_t, gn, bp))
+                bgrad = gmean(dv.beta_div_dbeta(den_t, gn, bp), ax)
                 bp_rej = bp - lr * bgrad
             else:
                 bp_rej = bp
@@ -246,17 +252,17 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         d_metric = 1.0 / x_mat_new
         sk2 = sk * d_metric
         yk2 = yk * x_mat_new
-        bk = jnp.sum(sk2 * yk)
-        ck = jnp.sum(yk2 * sk)
+        bk = gsum(sk2 * yk, ax)
+        ck = gsum(yk2 * sk, ax)
         alpha1 = jnp.where(
             bk <= 0,
             jnp.minimum(10.0 * alpha, cfg.alpha_max),
-            jnp.clip(jnp.sum(sk2 * sk2) / jnp.where(bk <= 0, 1.0, bk),
+            jnp.clip(gsum(sk2 * sk2, ax) / jnp.where(bk <= 0, 1.0, bk),
                      cfg.alpha_min, cfg.alpha_max))
         alpha2 = jnp.where(
             ck <= 0,
             jnp.minimum(10.0 * alpha, cfg.alpha_max),
-            jnp.clip(ck / jnp.where(ck <= 0, 1.0, jnp.sum(yk2 * yk2)),
+            jnp.clip(ck / jnp.where(ck <= 0, 1.0, gsum(yk2 * yk2, ax)),
                      cfg.alpha_min, cfg.alpha_max))
         valpha = valpha.at[-1].set(alpha2)
 
@@ -275,13 +281,14 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         discr = discr.at[it_new - 1].set(discr_coeff * fv_new)
         if cfg.errflag:
             e = x_new - obj_s
-            err = err.at[it_new - 1].set(jnp.sqrt(jnp.sum(e * e) / obj_sum))
+            err = err.at[it_new - 1].set(
+                jnp.sqrt(gsum(e * e, ax) / obj_sum))
 
         # Stop rules (reference sgp.py:398-414).
         if cfg.stop_criterion in (0, 1):
             keep = jnp.bool_(True)
         elif cfg.stop_criterion == 2:
-            normstep = jnp.sum(sk * sk) / jnp.sum(x_new * x_new)
+            normstep = gsum(sk * sk, ax) / gsum(x_new * x_new, ax)
             keep = normstep > tol
         elif cfg.stop_criterion == 3:
             reldecrease = (fold[-1] - fv_new) / fv_new
