@@ -1,0 +1,66 @@
+"""Native C++ PSF evaluator vs the Python/NumPy implementation."""
+import os
+import time
+
+import numpy as np
+import pytest
+
+from tpu_sgp.psf import DiaplPSFModel
+from tpu_sgp.psf import native
+
+REF_TXT = '/root/reference/psf/psfccfbrd210048_1_1.bin.txt'
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason='native toolchain unavailable')
+
+
+def _model():
+    if not os.path.exists(REF_TXT):
+        pytest.skip('reference PSF files not mounted')
+    return DiaplPSFModel.from_txt(REF_TXT)
+
+
+def test_native_matrix_matches_python():
+    m = _model()
+    want = m.matrix(31)
+    got = native.render_matrix(m, 31)
+    np.testing.assert_allclose(got, want, rtol=1e-14)
+
+
+def test_native_local_coeffs_match_python():
+    m = _model()
+    for pos in [(m.x_orig, m.y_orig), (10.0, 350.0), (400.0, 12.5)]:
+        np.testing.assert_allclose(native.local_coeffs(m, *pos),
+                                   m.local_coeffs(*pos), rtol=1e-14)
+
+
+def test_native_render_grid_spatial_variation():
+    m = _model()
+    xs = np.array([10.0, 225.0, 400.0])
+    ys = np.array([10.0, 225.0, 400.0])
+    mats = native.render_grid(m, xs, ys, 31, normalize=True)
+    assert mats.shape == (3, 31, 31)
+    np.testing.assert_allclose(mats.sum(axis=(1, 2)), 1.0, rtol=1e-12)
+    # PSF varies across the frame
+    assert not np.allclose(mats[0], mats[2])
+    # the matrix at the fit origin equals the constant-term render
+    at_origin = native.render_grid(m, np.array([m.x_orig]),
+                                   np.array([m.y_orig]), 31,
+                                   normalize=False)[0]
+    np.testing.assert_allclose(at_origin, m.matrix(31), rtol=1e-12)
+
+
+def test_native_throughput():
+    """Bulk rendering must beat the per-matrix Python loop comfortably."""
+    m = _model()
+    n = 200
+    xs = np.linspace(0, 450, n)
+    ys = np.linspace(0, 450, n)
+    t0 = time.perf_counter()
+    native.render_grid(m, xs, ys, 31)
+    native_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        m.matrix(31)
+    python_wall = (time.perf_counter() - t0) / 5 * n
+    assert native_wall < python_wall
