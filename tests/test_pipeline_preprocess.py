@@ -1,0 +1,66 @@
+"""PSF-pipeline equivalents (fwhmm/sfind/cutfitsim) + frame culling."""
+import os
+
+import numpy as np
+
+from tpu_sgp.image import Header, write_fits
+from tpu_sgp.preprocess import cull_frames
+from tpu_sgp.psf import read_coo
+from tpu_sgp.psf.pipeline import (cut_subframes, estimate_sky_and_fwhm,
+                                  find_stars, write_coo)
+from tpu_sgp.simulate import synthetic_star_field
+
+
+def test_estimate_sky_and_fwhm():
+    img, psf, _ = synthetic_star_field(256, 256, n_stars=25, fwhm=3.0,
+                                       seed=3, bkg=200.0,
+                                       flux_range=(3e4, 9e4))
+    sky, fwhm = estimate_sky_and_fwhm(img)
+    assert abs(sky - 200.0) < 10.0
+    assert 2.0 < fwhm < 4.5        # true stellar FWHM ~3 px
+
+
+def test_find_stars_and_coo_roundtrip(tmp_path):
+    img, _, truth = synthetic_star_field(200, 200, n_stars=20, seed=8,
+                                         flux_range=(3e4, 9e4))
+    stars = find_stars(img)
+    assert 12 <= len(stars) <= 25
+    path = str(tmp_path / 'frame.coo')
+    write_coo(path, stars)
+    back = read_coo(path)
+    assert len(back) == len(stars)
+    np.testing.assert_allclose(back['x'].to_numpy(), stars['x'], atol=1e-3)
+    np.testing.assert_allclose(back['approx_flux'].to_numpy(),
+                               stars['approx_flux'], rtol=1e-4)
+
+
+def test_cut_subframes_grid():
+    img = np.zeros((500, 200))
+    subs = cut_subframes(img, nx=2, ny=5, margin=20)
+    assert len(subs) == 10
+    # interior subframes carry the margin on every side
+    interior = subs[2][0]
+    assert interior.data.shape[0] >= 100
+
+
+def test_cull_frames(tmp_path, rng):
+    d = str(tmp_path)
+    # 4 biases: one with 3x the noise
+    for i, scale in enumerate([1.0, 1.1, 0.9, 3.0]):
+        write_fits(os.path.join(d, f'bias_{i}.fits'),
+                   rng.normal(100, 5 * scale, (32, 32)),
+                   Header({'EXPTIME': 0.0}))
+    # 2 flats: one nearly saturated
+    write_fits(os.path.join(d, 'flat_good.fits'),
+               rng.normal(30000, 100, (32, 32)),
+               Header({'EXPTIME': 2.0, 'IMAGETYP': 'flat'}))
+    write_fits(os.path.join(d, 'flat_bad.fits'),
+               rng.normal(60000, 100, (32, 32)),
+               Header({'EXPTIME': 2.0, 'IMAGETYP': 'flat'}))
+    rep = cull_frames(d)
+    assert len(rep.biases) == 4
+    assert [os.path.basename(p) for p in rep.bad_biases] == ['bias_3.fits']
+    assert [os.path.basename(p) for p in rep.bad_flats] == ['flat_bad.fits']
+    assert os.path.exists(os.path.join(d, 'BadFrames', 'bias_3.fits'))
+    assert os.path.exists(os.path.join(d, 'BadFrames', 'flat_bad.fits'))
+    assert not os.path.exists(os.path.join(d, 'flat_bad.fits'))
