@@ -1,0 +1,72 @@
+"""Checkpoint/resume: a split solve (k iters -> save -> load -> resume)
+reproduces the uninterrupted solve exactly."""
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_sgp import SGPConfig
+from tpu_sgp.solvers.checkpoint import load_state, save_state
+from tpu_sgp.solvers.sgp import resume_from_state, solve_with_state
+from conftest import synthetic_stamp
+
+
+def _args(img, psf, bkg, cfg):
+    z = jnp.zeros(img.shape, cfg.jnp_dtype)
+    return (jnp.asarray(img, cfg.jnp_dtype), jnp.asarray(psf, cfg.jnp_dtype),
+            jnp.full(img.shape, bkg, cfg.jnp_dtype), z, 0.0, z, 1.01, 1e-3,
+            0.0)
+
+
+def test_resume_matches_uninterrupted(rng, tmp_path):
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    base = dict(stop_criterion=1, init_recon=2, proj_type=1, has_flux=False,
+                has_sat_level=False, dtype='float64',
+                divergence='beta', adapt_beta=True, schedule_lr=True)
+
+    full_cfg = SGPConfig(max_iter=20, **base)
+    full, _ = solve_with_state(*_args(img, psf, bkg, full_cfg), full_cfg)
+
+    half_cfg = SGPConfig(max_iter=10, **base)
+    part, state = solve_with_state(*_args(img, psf, bkg, half_cfg), half_cfg)
+
+    path = str(tmp_path / 'ckpt')
+    save_state(path, state)
+    restored = load_state(path)
+
+    resumed, _ = resume_from_state(*_args(img, psf, bkg, full_cfg),
+                                   restored, full_cfg)
+    # The split run must land on the identical trajectory point...
+    assert int(resumed.iters) == int(full.iters) == 20
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(resumed.beta), float(full.beta),
+                               rtol=1e-13)
+    # ...including the discrepancy history across the seam
+    np.testing.assert_allclose(np.asarray(resumed.discr)[:11],
+                               np.asarray(full.discr)[:11], rtol=1e-12)
+
+
+def test_resume_after_early_stop_is_noop(rng):
+    img, psf, bkg, _ = synthetic_stamp(rng, size=24)
+    cfg = SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-3,
+                    init_recon=2, dtype='float64', has_flux=False)
+    res, state = solve_with_state(*_args(img, psf, bkg, cfg), cfg)
+    assert int(res.iters) < 100
+    again, _ = resume_from_state(*_args(img, psf, bkg, cfg), state, cfg)
+    assert int(again.iters) == int(res.iters)
+    np.testing.assert_allclose(np.asarray(again.x), np.asarray(res.x))
+
+
+def test_orbax_backend_roundtrip(rng, tmp_path):
+    img, psf, bkg, _ = synthetic_stamp(rng, size=16)
+    cfg = SGPConfig(max_iter=4, stop_criterion=1, init_recon=2,
+                    dtype='float64', has_flux=False)
+    _, state = solve_with_state(*_args(img, psf, bkg, cfg), cfg)
+    path = str(tmp_path / 'orbax_ckpt')
+    try:
+        save_state(path, state, backend='orbax')
+        restored = load_state(path, backend='orbax')
+    except Exception as exc:  # pragma: no cover - orbax env quirks
+        import pytest
+        pytest.skip(f'orbax unavailable: {exc}')
+    for a, b in zip(state, restored):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

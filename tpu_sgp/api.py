@@ -43,6 +43,14 @@ def _run(gn, psf, bkg, cfg: SGPConfig, flux, obj, beta0, lr0, sat_level):
     gn = np.asarray(gn)
     psf = np.asarray(psf)
     check_psf_normalized(psf)
+    if cfg.save:
+        import os
+
+        from .image import write_fits
+        from .solvers.sgp import SAVE_DIR
+        os.makedirs(SAVE_DIR, exist_ok=True)
+        scaled = gn / np.max(gn) if cfg.scale_data else gn
+        write_fits(os.path.join(SAVE_DIR, 'orig.fits'), scaled)
     bkg_arr = jnp.asarray(np.broadcast_to(np.asarray(bkg, dtype=np.float64),
                                           gn.shape).copy(), cfg.jnp_dtype)
     if cfg.init_recon == 1:
@@ -93,7 +101,7 @@ def sgp(gn, psf, bkg, init_recon=0, proj_type=0, stop_criterion=0, MAXIT=500,
         bt_factor=beta, m_mem=M, alpha_init=alpha, alpha_min=alpha_min,
         alpha_max=alpha_max, m_alpha=M_alpha, tau_init=tau,
         scale_data=scale_data, divergence='kl', errflag=errflag,
-        verbose=verbose, has_flux=flux is not None,
+        save=save, verbose=verbose, has_flux=flux is not None,
         has_sat_level=ccd_sat_level is not None,
         dtype=dtype or _default_dtype(), operator=operator)
     x, iters, discr, times, err, _ = _run(
@@ -124,7 +132,7 @@ def sgp_beta_div(gn, psf, bkg, init_recon=0, proj_type=0, stop_criterion=0,
         alpha_max=alpha_max, m_alpha=M_alpha, tau_init=tau,
         scale_data=scale_data, divergence='beta', adapt_beta=adapt_beta,
         schedule_lr=schedule_lr, lr_exp_param=lr_exp_param, errflag=False,
-        verbose=verbose, has_flux=flux is not None,
+        save=save, verbose=verbose, has_flux=flux is not None,
         has_sat_level=ccd_sat_level is not None,
         dtype=dtype or _default_dtype(), operator=operator)
     x, iters, discr, times, err, _ = _run(

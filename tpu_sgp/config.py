@@ -71,6 +71,7 @@ class SGPConfig:
     lr_exp_param: float = 0.1
     # Misc ----------------------------------------------------------------
     errflag: bool = False          # track ||x - obj|| / ||obj|| per iteration
+    save: bool = False             # per-iteration FITS dump (debug; host callback)
     verbose: bool = True           # reference quirk: criterion-2 tol is squared only when verbose
     has_flux: bool = True          # whether a precomputed flux is supplied
     has_sat_level: bool = False    # whether a CCD saturation ceiling is enforced in the projection

@@ -1,0 +1,68 @@
+"""Solver checkpoint / resume.
+
+The reference has no resume capability; its only persistence is an optional
+per-iteration FITS dump (sgp.py:416-422, SURVEY §5). Here the full loop
+state is a pytree (solvers.sgp.SGPState), so checkpointing is exact: save
+the state at any point, reload, and ``resume_from_state`` continues the
+identical trajectory (constants are recomputed deterministically from the
+inputs).
+
+Two backends: orbax (production, async-capable) and plain ``.npz``.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .sgp import SGPState
+
+_FIELDS = SGPState._fields
+
+
+def save_state_npz(path: str, state: SGPState) -> None:
+    np.savez(path, **{k: np.asarray(v) for k, v in
+                      zip(_FIELDS, state)})
+
+
+def load_state_npz(path: str) -> SGPState:
+    with np.load(path) as z:
+        return SGPState(*[z[k] for k in _FIELDS])
+
+
+def save_state_orbax(path: str, state: SGPState) -> None:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, {k: np.asarray(v) for k, v in zip(_FIELDS, state)})
+    ckpt.wait_until_finished()
+
+
+def load_state_orbax(path: str) -> SGPState:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(path)
+    return SGPState(*[restored[k] for k in _FIELDS])
+
+
+def save_state(path: str, state: SGPState, backend: str = 'npz') -> None:
+    state = jax.tree.map(np.asarray, state)
+    if backend == 'npz':
+        save_state_npz(path if path.endswith('.npz') else path + '.npz',
+                       state)
+    elif backend == 'orbax':
+        save_state_orbax(path, state)
+    else:
+        raise ValueError(f'unknown checkpoint backend {backend}')
+
+
+def load_state(path: str, backend: str = 'npz') -> SGPState:
+    if backend == 'npz':
+        return load_state_npz(path if path.endswith('.npz')
+                              else path + '.npz')
+    if backend == 'orbax':
+        return load_state_orbax(path)
+    raise ValueError(f'unknown checkpoint backend {backend}')

@@ -58,6 +58,52 @@ class SGPResult(NamedTuple):
     scaling: jnp.ndarray    # data scaling that was applied
 
 
+class SGPState(NamedTuple):
+    """Full loop state: checkpoint this pytree and resume a solve exactly
+    (SURVEY §5 checkpoint/resume — everything else is recomputed
+    deterministically from the inputs)."""
+    keep: jnp.ndarray       # loop-continue flag
+    it: jnp.ndarray         # reference iter_ counter (starts at 1)
+    x: jnp.ndarray          # accepted iterate (never reverted — see x_prev)
+    x_prev: jnp.ndarray     # previous iterate; the reference returns THIS on
+                            # exit (sgp.py:424-425), applied at finalize so
+                            # the state stays resumable
+    converged: jnp.ndarray  # a stop RULE fired (as opposed to the MAXIT cap)
+    x_mat: jnp.ndarray      # scaling matrix X
+    g: jnp.ndarray          # gradient
+    x_tf: jnp.ndarray       # A(x) cache
+    fv: jnp.ndarray
+    alpha: jnp.ndarray
+    tau: jnp.ndarray
+    valpha: jnp.ndarray
+    fold: jnp.ndarray
+    beta_p: jnp.ndarray
+    lr: jnp.ndarray
+    discr: jnp.ndarray
+    err: jnp.ndarray
+
+
+SAVE_DIR = 'SGP_reconstructed_images'
+
+
+def _dump_iteration(x, gn, it) -> None:
+    """Host-side per-iteration dump (working units, like the reference)."""
+    import os
+
+    import numpy as np
+
+    from ..image import write_fits
+
+    os.makedirs(SAVE_DIR, exist_ok=True)
+    k = int(it) - 1
+    x = np.asarray(x)
+    write_fits(os.path.join(SAVE_DIR, f'rec_{k}.fits'), x)
+    with np.errstate(all='ignore'):
+        res = (x - np.asarray(gn)) / np.sqrt(np.maximum(x, 0.0))
+    write_fits(os.path.join(SAVE_DIR, f'res_{k}.fits'),
+               np.nan_to_num(res))
+
+
 def _objective(cfg: SGPConfig, x_tf, den, gn, flux, beta):
     if cfg.divergence == 'kl':
         return dv.kl_objective(x_tf, den, gn, flux, cfg.axis_names)
@@ -70,12 +116,10 @@ def _gradient(cfg: SGPConfig, AT, den, gn, beta):
     return dv.beta_grad_wrt_recon(AT, den, gn, beta)
 
 
-@partial(jax.jit, static_argnames=('cfg',))
-def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
-          cfg: SGPConfig) -> SGPResult:
-    """Run SGP on one image. All array args share cfg.dtype; optional inputs
-    (x0 / obj / flux_in / sat_level) are ignored unless the matching static
-    flag in cfg enables them. Fully jit/vmap compatible."""
+def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
+                cfg: SGPConfig, rstate=None):
+    """Shared implementation; with ``rstate`` the preamble recomputes the
+    constants and the loop continues from the checkpointed state."""
     dt = cfg.jnp_dtype
     gn = jnp.asarray(gn, dt)
     psf = jnp.asarray(psf, dt)
@@ -209,8 +253,8 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         return state[0]
 
     def body(state):
-        (_, it, x, x_mat, g, x_tf, fv, alpha, tau, valpha, fold, beta_p, lr,
-         discr, err) = state
+        (_, it, x, _, _, x_mat, g, x_tf, fv, alpha, tau, valpha, fold,
+         beta_p, lr, discr, err) = state
         x_prev = x
 
         valpha = valpha.at[:-1].set(valpha[1:])
@@ -300,30 +344,82 @@ def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
 
         # Stop rules (reference sgp.py:398-414).
         if cfg.stop_criterion in (0, 1):
-            keep = jnp.bool_(True)
+            rule_keep = jnp.bool_(True)
         elif cfg.stop_criterion == 2:
             normstep = gsum(sk * sk, ax) / gsum(x_new * x_new, ax)
-            keep = normstep > tol
+            rule_keep = normstep > tol
         elif cfg.stop_criterion == 3:
             reldecrease = (fold[-1] - fv_new) / fv_new
-            keep = (reldecrease > tol) & (reldecrease >= 0)
+            rule_keep = (reldecrease > tol) & (reldecrease >= 0)
         elif cfg.stop_criterion == 4:
-            keep = discr_coeff * fv_new > tol
+            rule_keep = discr_coeff * fv_new > tol
         else:
             raise ValueError('stop_criterion must be 0..4')
-        keep = keep & (it_new <= cfg.max_iter)
+        keep = rule_keep & (it_new <= cfg.max_iter)
 
-        # Revert to the previous iterate on exit (reference sgp.py:424-425).
-        x_out = jnp.where(keep, x_new, x_prev)
+        if cfg.save:
+            # per-iteration reconstruction + residual dump
+            # (reference sgp.py:416-422); debug path, single-image solves
+            jax.debug.callback(_dump_iteration, x_new, gn, it_new)
 
-        return (keep, it_new, x_out, x_mat_new, g_new, x_tf_new, fv_new,
-                alpha_new, tau_new, valpha, fold, beta_p, lr, discr, err)
+        # x stays the accepted iterate; the reference's revert-on-exit
+        # (sgp.py:424-425) is applied at finalize from x_prev, keeping the
+        # state resumable past a MAXIT checkpoint.
+        return SGPState(keep, it_new, x_new, x_prev, ~rule_keep, x_mat_new,
+                        g_new, x_tf_new, fv_new, alpha_new, tau_new, valpha,
+                        fold, beta_p, lr, discr, err)
 
-    state = (jnp.bool_(True), jnp.int32(1), x, x_mat, g, x_tf, fv, alpha,
-             tau, valpha, fold, beta_p, lr, discr, err)
-    (_, it, x, _, _, _, fv, _, _, _, _, beta_p, _, discr, err) = (
-        jax.lax.while_loop(cond, body, state))
+    if rstate is None:
+        state = SGPState(jnp.bool_(True), jnp.int32(1), x, x,
+                         jnp.bool_(False), x_mat, g, x_tf, fv, alpha, tau,
+                         valpha, fold, beta_p, lr, discr, err)
+    else:
+        state = SGPState(*rstate)
+        pad = cfg.max_iter + 1 - state.discr.shape[0]
+        if pad < 0:
+            raise ValueError('resume max_iter smaller than checkpoint buffers')
+        if pad > 0:
+            state = state._replace(
+                discr=jnp.pad(state.discr, (0, pad)),
+                err=jnp.pad(state.err, (0, pad)))
+        # continue unless a stop rule fired; a MAXIT-capped checkpoint
+        # resumes under the (possibly larger) new budget
+        state = state._replace(
+            keep=(~state.converged) & (state.it <= cfg.max_iter))
 
-    return SGPResult(x=(x * scaling).reshape(shape), iters=it - 1,
-                     discr=discr, err=err, beta=beta_p, fv=fv,
-                     scaling=scaling)
+    state = SGPState(*jax.lax.while_loop(cond, body, state))
+
+    # The reference returns the previous iterate on exit (sgp.py:424-425).
+    result = SGPResult(x=(state.x_prev * scaling).reshape(shape),
+                       iters=state.it - 1, discr=state.discr,
+                       err=state.err, beta=state.beta_p, fv=state.fv,
+                       scaling=scaling)
+    return result, state
+
+
+@partial(jax.jit, static_argnames=('cfg',))
+def solve(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
+          cfg: SGPConfig) -> SGPResult:
+    """Run SGP on one image. All array args share cfg.dtype; optional inputs
+    (x0 / obj / flux_in / sat_level) are ignored unless the matching static
+    flag in cfg enables them. Fully jit/vmap compatible."""
+    return _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0,
+                       sat_level, cfg)[0]
+
+
+@partial(jax.jit, static_argnames=('cfg',))
+def solve_with_state(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
+                     cfg: SGPConfig):
+    """As ``solve`` but also returns the final SGPState for checkpointing."""
+    return _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0,
+                       sat_level, cfg)
+
+
+@partial(jax.jit, static_argnames=('cfg',))
+def resume_from_state(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
+                      rstate: SGPState, cfg: SGPConfig):
+    """Continue a checkpointed solve. The original inputs must be passed
+    again (constants are recomputed deterministically); iteration continues
+    until cfg.max_iter or the stop rule fires."""
+    return _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0,
+                       sat_level, cfg, rstate=rstate)
