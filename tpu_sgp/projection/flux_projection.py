@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.reduce import gsum
 
@@ -254,13 +255,37 @@ def project_df_bisect(b, c, dia, scaling, sat_level=None,
     lo = gmin(-c, axes)
     hi = jnp.maximum(gmax(b * dia - c, axes), lo + 1.0)
 
+    # K-way sectioning: evaluate the residual at K interior points per pass
+    # (one fused broadcast + reduction), narrowing the bracket by a factor
+    # K+1 per step. The plain 1-point bisection is launch-latency bound on
+    # TPU (~40us/step for ~3us of memory traffic), so trading 7x the
+    # arithmetic for 3x fewer sequential steps is a clear win.
+    k_pts = 7
+    bits_per_step = np.log2(k_pts + 1)
+    n_steps = int(np.ceil(n_iters / bits_per_step))
+    fracs = (jnp.arange(1, k_pts + 1, dtype=dtype) / (k_pts + 1))
+    ndim = jnp.ndim(c)
+    fr_shape = (k_pts,) + (1,) * ndim
+    fracs_b = fracs.reshape(fr_shape)
+    sum_axes = tuple(range(1, ndim + 1))
+
     def body(_, carry):
         lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        r = gsum(xval(mid), axes) - b
-        return (jnp.where(r < 0, mid, lo), jnp.where(r < 0, hi, mid))
+        width = hi - lo
+        mids = lo + width * fracs_b                       # (K, ...)
+        xs = (c[None] + mids) / dia[None]
+        xs = jnp.maximum(xs, 0.0)
+        if has_sat:
+            xs = jnp.minimum(xs, cap)
+        r = jnp.sum(xs, axis=sum_axes)                    # (K,)
+        if axes:
+            r = jax.lax.psum(r, axes)
+        nbelow = jnp.sum((r - b) < 0)                     # root segment index
+        seg = width / (k_pts + 1)
+        new_lo = lo + nbelow * seg
+        return (new_lo, new_lo + seg)
 
-    lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, n_steps, body, (lo, hi))
     return xval(0.5 * (lo + hi))
 
 
