@@ -120,3 +120,22 @@ def test_2d_input_shape_preserved(rng):
     x = project_df(40.0, c, jnp.ones((31, 31)), 1.0)
     assert x.shape == (31, 31)
     assert np.isclose(float(jnp.sum(x)), 40.0, rtol=1e-9)
+
+
+def test_pallas_projection_matches_bisect(rng):
+    """The VMEM-resident Pallas kernel equals the XLA bisect path
+    (interpret mode on CPU; compiled on TPU)."""
+    import jax
+    from tpu_sgp.projection.flux_projection import project_df_bisect
+    from tpu_sgp.projection.pallas_projection import project_df_pallas
+
+    c = jnp.asarray(rng.normal(0.5, 1.0, (31, 31)))
+    dia = jnp.asarray(rng.uniform(0.5, 2.0, (31, 31)))
+    for sat in (None, 40.0):
+        ref = project_df_bisect(500.0, c, dia, 1.0, sat_level=sat,
+                                has_sat=sat is not None)
+        got = project_df_pallas(500.0, c, dia, 1.0, sat_level=sat,
+                                has_sat=sat is not None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
+    assert np.isclose(float(jnp.sum(got)), 500.0, rtol=1e-9)

@@ -49,8 +49,10 @@ class SGPConfig:
     max_projs: int = 1000          # iteration cap inside the flux projection
     projection_method: str = 'bisect'  # 'bisect' fixed-iteration dual
                                        # bisection (TPU fast path, sharding-
-                                       # safe) | 'sort' exact sweep |
-                                       # 'secant' reference-style iteration
+                                       # safe) | 'pallas' same sectioning as
+                                       # one VMEM-resident kernel | 'sort'
+                                       # exact sweep | 'secant' reference-
+                                       # style iteration
     # Line search ---------------------------------------------------------
     gamma: float = 1e-4            # Armijo penalty
     bt_factor: float = 0.4         # backtracking shrink factor ("beta" in the reference)

@@ -185,8 +185,14 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         if cfg.proj_type == 0:
             return jnp.maximum(point, 0.0)
         method = cfg.projection_method
-        if method == 'sort' and ax:
-            method = 'bisect'  # sort needs the whole vector on one device
+        if method in ('sort', 'pallas') and ax:
+            method = 'bisect'  # these need the whole vector on one device
+        if method == 'pallas':
+            from ..projection.pallas_projection import project_df_pallas
+            return project_df_pallas(flux, point, dia, scaling,
+                                     sat_level=(sat if cfg.has_sat_level
+                                                else None),
+                                     has_sat=cfg.has_sat_level)
         if method == 'bisect':
             return project_df_bisect(flux, point, dia, scaling,
                                      sat_level=(sat if cfg.has_sat_level
