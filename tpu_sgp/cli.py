@@ -21,9 +21,8 @@ import numpy as np
 from .api import sgp, sgp_beta_div
 from .catalog import source_info
 from .config import DEFAULT_COLUMNS, SGPConfig
-from .image import (WCS, coadd_tiles, create_subdivisions, getheader,
-                    read_fits, write_fits)
-from .metrics import validation_source
+from .image import (WCS, coadd_tiles, create_subdivisions, read_fits,
+                    write_fits)
 from .parallel.batch import restore_stamps
 from .psf import scale_psf
 from .simulate import artificial_sky_background

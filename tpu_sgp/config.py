@@ -8,7 +8,6 @@ the reference's loose kwargs + ``DEFAULT_PARAMS`` tuple
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 

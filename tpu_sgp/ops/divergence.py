@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .reduce import gmean, gsum
+from .reduce import gsum
 
 
 def kl_objective(x_tf: jnp.ndarray, den: jnp.ndarray, gn: jnp.ndarray,

@@ -17,7 +17,7 @@ with coefficient order c iterated as (gaussian, m, n<=ldeg-m).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -12,8 +12,6 @@ Two backends: orbax (production, async-capable) and plain ``.npz``.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import numpy as np
 

@@ -35,7 +35,7 @@ Deliberate deviations (documented, not silent):
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

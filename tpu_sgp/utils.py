@@ -1,7 +1,7 @@
 """Shared host-side utilities: robust statistics and small kernels."""
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ batched program instead of a serial loop.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

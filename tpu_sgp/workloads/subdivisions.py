@@ -19,7 +19,7 @@ from ..catalog import source_info
 from ..config import DEFAULT_COLUMNS
 from ..image import getdata, write_fits
 from ..simulate import synthetic_star_field
-from .star_stamps import _beta_candidates, _brightest
+from .star_stamps import _beta_candidates
 
 TOL_CONVERGENCE = 1e-5
 CCD_SAT_LEVEL = 65000.0
