@@ -26,6 +26,10 @@ N_REPEATS = 20  # the tunneled chip is contention-bimodal; min over many repeats
 
 def main():
     import jax
+    # persistent compilation cache: repeated bench runs skip the multi-minute
+    # XLA compile
+    jax.config.update('jax_compilation_cache_dir', '/tmp/tpu_sgp_jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     from tpu_sgp import SGPConfig
     from tpu_sgp.parallel.batch import restore_stamps
     from tpu_sgp.simulate import synthetic_star_stamps

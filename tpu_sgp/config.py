@@ -82,6 +82,25 @@ class SGPConfig:
     # grid ('halo' operator): reductions become psum/pmax/pmin collectives.
     axis_names: tuple = ()
 
+    def __post_init__(self):
+        if self.divergence not in ('kl', 'beta'):
+            raise ValueError(f"divergence must be 'kl' or 'beta', got "
+                             f"{self.divergence!r}")
+        if self.operator not in ('auto', 'otf', 'matmul', 'linear', 'halo'):
+            raise ValueError(f'unknown operator {self.operator!r}')
+        if self.projection_method not in ('bisect', 'pallas', 'sort',
+                                          'secant'):
+            raise ValueError(
+                f'unknown projection_method {self.projection_method!r}')
+        if self.stop_criterion not in (0, 1, 2, 3, 4):
+            raise ValueError('stop_criterion must be 0..4')
+        if self.init_recon not in (0, 1, 2, 3):
+            raise ValueError('init_recon must be 0..3')
+        if self.proj_type not in (0, 1):
+            raise ValueError('proj_type must be 0 or 1')
+        if self.max_iter < 1:
+            raise ValueError('max_iter must be >= 1')
+
     @property
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
