@@ -33,7 +33,7 @@ def test_star_stamps_synthetic_beta(tmp_path):
 def test_subdivisions_synthetic(tmp_path):
     out = subdivisions.run(use_beta_div=False, crowded=False,
                            out_dir=str(tmp_path), dtype='float64',
-                           maxit=60)
+                           maxit=60, warm=False)
     assert out['iters'] >= 1
     assert out['n_restored_detections'] > 0
     assert os.path.exists(tmp_path / 'SUBDIV_NUM_ITERS.npy')
