@@ -291,7 +291,16 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
             fv_t = _objective(cfg, x_tf_try, den_t, gn, flux, bp)
             ok = (fv_t <= fr + gamma * lam * gd) | (lam < 1e-12)
             if cfg.divergence == 'beta' and cfg.adapt_beta:
-                bgrad = gmean(dv.beta_div_dbeta(den_t, gn, bp), ax)
+                # mean d(betaDiv)/dbeta == grad of the (f32-stable) objective
+                # over the global pixel count; the elementwise closed form
+                # (dv.beta_div_dbeta) cancels catastrophically in f32 near
+                # beta = 1. Differentiate the LOCAL objective and psum
+                # explicitly — autodiff through a psum inside shard_map does
+                # not reduce over devices.
+                local_grad = jax.grad(
+                    lambda bp_: dv.beta_div(den_t, gn, bp_, ()))(bp)
+                bgrad = (jax.lax.psum(local_grad, ax) if ax
+                         else local_grad) / n
                 bp_rej = bp - lr * bgrad
             else:
                 bp_rej = bp
