@@ -1,0 +1,69 @@
+"""End-to-end demo: simulate a star field, deconvolve it three ways, and
+report restoration quality.
+
+Run from the repo root:  python examples/deconvolve_demo.py
+(uses the TPU when available, CPU otherwise; writes demo outputs to ./demo_out)
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tpu_sgp import SGPConfig, sgp, sgp_beta_div
+from tpu_sgp.catalog import source_info
+from tpu_sgp.image import write_fits
+from tpu_sgp.metrics import relative_error
+from tpu_sgp.parallel.batch import restore_stamps
+from tpu_sgp.simulate import synthetic_star_field, synthetic_star_stamps
+
+
+def main():
+    out_dir = 'demo_out'
+    os.makedirs(out_dir, exist_ok=True)
+
+    # 1. whole-image KL and beta deconvolution ------------------------------
+    image, psf, truth = synthetic_star_field(256, 256, n_stars=60, seed=7)
+    scat, bkg = source_info(image)
+    flux = float(np.sum(scat.to_table(['segment_flux'])['segment_flux'].value))
+    print(f'simulated field: {len(scat)} detected sources, flux {flux:.0f}')
+
+    x_kl, it_kl, _, _, _ = sgp(image, psf, bkg.background, init_recon=2,
+                               proj_type=1, stop_criterion=3, flux=flux,
+                               ccd_sat_level=65000.0, MAXIT=200,
+                               use_original_SGP_Afunction=False)
+    x_b, it_b, _, _, _ = sgp_beta_div(image, psf, bkg.background,
+                                      init_recon=2, proj_type=1,
+                                      stop_criterion=3, flux=flux,
+                                      ccd_sat_level=65000.0, MAXIT=200,
+                                      betaParam=1.005, schedule_lr=True,
+                                      use_original_SGP_Afunction=False)
+    print(f'KL-SGP:   {it_kl} iters, rel_err vs truth '
+          f'{relative_error(np.maximum(x_kl, 0), truth + 150):.4f}')
+    print(f'beta-SGP: {it_b} iters, rel_err vs truth '
+          f'{relative_error(np.maximum(x_b, 0), truth + 150):.4f}')
+    write_fits(os.path.join(out_dir, 'field_orig.fits'), image)
+    write_fits(os.path.join(out_dir, 'field_kl.fits'), x_kl)
+    write_fits(os.path.join(out_dir, 'field_beta.fits'), x_b)
+
+    # 2. a batch of star stamps in one compiled program ---------------------
+    stamps, spsf, bkgs, _ = synthetic_star_stamps(128, seed=11)
+    fluxes = stamps.sum(axis=(1, 2)) - 31 * 31 * bkgs
+    cfg = SGPConfig(max_iter=100, stop_criterion=3, init_recon=2,
+                    proj_type=1, has_flux=True, has_sat_level=True,
+                    dtype='float32')
+    import jax
+    t0 = time.perf_counter()
+    res = jax.block_until_ready(
+        restore_stamps(stamps, spsf, bkgs, cfg, fluxes=fluxes,
+                       sat_level=65000.0))
+    wall = time.perf_counter() - t0
+    iters = np.asarray(res.iters)
+    print(f'batched stamps: 128 restorations in {wall * 1e3:.0f}ms '
+          f'(median {int(np.median(iters))} iters) incl. compile')
+
+
+if __name__ == '__main__':
+    main()
