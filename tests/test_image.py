@@ -125,3 +125,24 @@ def test_wcs_tan_roundtrip():
     ra1, dec1 = w.pixel_to_world(50, 60)
     ra2, dec2 = c.pixel_to_world(20, 20)
     assert np.isclose(ra1, ra2) and np.isclose(dec1, dec2)
+
+
+def test_file_level_mosaic_roundtrip(tmp_path, rng):
+    """reconstruct_full_image_from_patches reads temp tile FITS files with
+    TILEX0/TILEY0 origins (the reference's temp_deconvolved_* workflow)."""
+    import os
+    from tpu_sgp.image import reconstruct_full_image_from_patches
+    yy, xx = np.mgrid[0:120, 0:120]
+    truth = 20 + 0.05 * xx + 0.02 * yy
+    subs = create_subdivisions(truth, (50, 50), overlap=10)
+    d = str(tmp_path / 'sgp_reconstruction_results')
+    os.makedirs(d)
+    for i, s in enumerate(subs):
+        hdr = Header({'TILEX0': int(s.origin_original[0]),
+                      'TILEY0': int(s.origin_original[1])})
+        write_fits(os.path.join(d, f'temp_deconvolved_image_{i}.fits'),
+                   s.data + rng.normal(0, 0.5), hdr)
+    mosaic, foot = reconstruct_full_image_from_patches(
+        truth.shape, 'image', dirname=d)
+    assert foot.min() >= 1
+    assert np.nanstd(mosaic - truth) < 1e-6

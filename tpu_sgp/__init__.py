@@ -9,7 +9,8 @@ source catalogs, tiling/mosaicking, metrics, workloads and CLI.
 """
 from .config import SGPConfig, DEFAULT_PARAMS, DEFAULT_COLUMNS, parity_config
 from .api import sgp, sgp_beta_div, sgp_betaDiv, check_psf_normalized
-from .solvers.sgp import solve, SGPResult
+from .solvers.sgp import solve, solve_with_state, resume_from_state, SGPResult, SGPState
+from .solvers.classic import richardson_lucy, wiener
 from .projection.flux_projection import project_df
 
 __version__ = '0.1.0'
@@ -17,5 +18,6 @@ __version__ = '0.1.0'
 __all__ = [
     'SGPConfig', 'DEFAULT_PARAMS', 'DEFAULT_COLUMNS', 'parity_config',
     'sgp', 'sgp_beta_div', 'sgp_betaDiv', 'check_psf_normalized',
-    'solve', 'SGPResult', 'project_df', '__version__',
+    'solve', 'solve_with_state', 'resume_from_state', 'SGPResult',
+    'SGPState', 'richardson_lucy', 'wiener', 'project_df', '__version__',
 ]
