@@ -72,3 +72,15 @@ def test_ngc7027_kl_float32_close():
     x, _, _, _, _ = sgp(gn, psf, bkg, init_recon=3, stop_criterion=1,
                         MAXIT=27, dtype='float32')
     assert abs(_rel_err(x, obj) - 0.137888) < 2e-3
+
+
+def test_ngc7027_beta_float32_close():
+    """f32 (TPU fast mode) beta path stays close to the f64 baseline —
+    regression guard for the beta-divergence cancellation fix."""
+    gn, psf, bkg, obj = _unpack(load_mat_fixture('NGC7027_255.mat'))
+    x, _, _, _, _ = sgp_beta_div(gn, psf, bkg, init_recon=3,
+                                 stop_criterion=1, MAXIT=27,
+                                 betaParam=0.9887296104546054,
+                                 schedule_lr=True, adapt_beta=False,
+                                 dtype='float32')
+    assert abs(_rel_err(x, obj) - 0.136620) < 2e-3

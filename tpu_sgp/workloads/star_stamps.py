@@ -238,3 +238,33 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
             np.save(os.path.join(out_dir, f'{name}{suffix}.npy'),
                     np.asarray(vals))
     return metrics
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(
+        description='Batched star-stamp restoration workload')
+    ap.add_argument('--data_dir', default=None,
+                    help='M13-layout directory (frames + .coo + PSF FITS); '
+                         'synthetic stamps when omitted')
+    ap.add_argument('--n_images', type=int, default=100)
+    ap.add_argument('--n_synthetic', type=int, default=256)
+    ap.add_argument('--use_beta_div', action='store_true')
+    ap.add_argument('--out_dir', default='.')
+    ap.add_argument('--seed', type=int, default=42)
+    opt = ap.parse_args(argv)
+    metrics = run(data_dir=opt.data_dir, use_beta_div=opt.use_beta_div,
+                  n_images=opt.n_images, n_synthetic=opt.n_synthetic,
+                  seed=opt.seed, out_dir=opt.out_dir)
+    for name in ('FLUX_FRACTIONAL_DIFFERENCE', 'FWHM_RATIO',
+                 'ELLIPTICITY_RATIO', 'WD_RADIAL_PROFILE_DISTANCE',
+                 'NUM_ITERS'):
+        vals = np.asarray(metrics[name], float)
+        if vals.size:
+            print(f'{name}: median={np.median(vals):.4g} '
+                  f'mean={np.nanmean(vals):.4g} n={vals.size}')
+    return metrics
+
+
+if __name__ == '__main__':
+    main()

@@ -112,3 +112,26 @@ def run(image_path: Optional[str] = None, psf_path: Optional[str] = None,
         write_fits(os.path.join(out_dir, f'{prefix.lower()}restored{suffix}.fits'),
                    x)
     return out
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(
+        description='Whole-frame subdivision restoration workload')
+    ap.add_argument('--image', default=None)
+    ap.add_argument('--psf', default=None)
+    ap.add_argument('--use_beta_div', action='store_true')
+    ap.add_argument('--sparse', action='store_true')
+    ap.add_argument('--out_dir', default='.')
+    opt = ap.parse_args(argv)
+    out = run(image_path=opt.image, psf_path=opt.psf,
+              use_beta_div=opt.use_beta_div, crowded=not opt.sparse,
+              out_dir=opt.out_dir)
+    print(f"iters={out['iters']} wall={out['wall']:.3f}s "
+          f"detections {out['n_orig_detections']}->"
+          f"{out['n_restored_detections']} best_beta={out['best_beta']}")
+    return out
+
+
+if __name__ == '__main__':
+    main()
