@@ -93,6 +93,10 @@ def gather_real(data_dir: str, n_images: int = 100,
             psf = getdata(psf_path)
         except (OSError, ValueError):
             continue
+        psf = psf / psf.sum()   # DIAPL-rendered PSFs are normalized, but
+                                # roundoff-normalize defensively (the solver
+                                # core asserts nothing; api-level callers get
+                                # check_psf_normalized)
         for _, row in coords.iterrows():
             try:
                 cut = Cutout2D(img, (row['x'], row['y']), size=CUTOUT_SIZE)
