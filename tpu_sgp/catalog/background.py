@@ -5,6 +5,10 @@ The reference estimates background with
 (/root/reference/restoration/utils.py:236-238): sigma-clipped median per
 mesh box, 3x3 median filter over the mesh, spline upsampling to full
 resolution. The RMS map is the sigma-clipped std per box.
+
+The per-box sigma clipping is fully vectorized across the mesh (one
+nanmedian/nanstd per clip iteration over the whole (ny, nx, box) stack)
+— the workload calls this per stamp/tile, so it is a host hot path.
 """
 from __future__ import annotations
 
@@ -13,7 +17,27 @@ from typing import Tuple, Union
 import numpy as np
 from scipy.ndimage import median_filter, zoom
 
-from ..utils import sigma_clip
+
+def _clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int):
+    """(median, std) per box with iterative sigma clipping, vectorized over
+    the leading axes. boxes: (..., m)."""
+    work = boxes.astype(np.float64, copy=True)
+    with np.errstate(invalid='ignore'):
+        for _ in range(maxiters):
+            med = np.nanmedian(work, axis=-1, keepdims=True)
+            std = np.nanstd(work, axis=-1, keepdims=True)
+            out = np.abs(work - med) > sigma * std
+            if not np.any(out & np.isfinite(work)):
+                break
+            work[out] = np.nan
+        med = np.nanmedian(work, axis=-1)
+        std = np.nanstd(work, axis=-1)
+    # boxes that clipped away entirely fall back to raw stats
+    bad = ~np.isfinite(med)
+    if bad.any():
+        med[bad] = np.median(boxes[bad], axis=-1)
+        std[bad] = np.std(boxes[bad], axis=-1)
+    return med, std
 
 
 class Background2D:
@@ -34,17 +58,7 @@ class Background2D:
 
         boxes = padded.reshape(ny, by, nx, bx).swapaxes(1, 2).reshape(
             ny, nx, by * bx)
-        mesh_med = np.empty((ny, nx))
-        mesh_std = np.empty((ny, nx))
-        for i in range(ny):
-            for j in range(nx):
-                vals = boxes[i, j]
-                keep = sigma_clip(vals, sigma=sigma, maxiters=maxiters)
-                kept = vals[keep]
-                if kept.size == 0:
-                    kept = vals
-                mesh_med[i, j] = np.median(kept)
-                mesh_std[i, j] = np.std(kept)
+        mesh_med, mesh_std = _clipped_box_stats(boxes, sigma, maxiters)
 
         if filter_size is not None and ny * nx > 1:
             fy = min(filter_size[0], ny)

@@ -7,12 +7,17 @@ application_sgp_star_stamps.py:63-66, 90-94): centroids and shape moments
 (from the convolved data when provided, as photutils does), segment flux,
 local background from a rectangular annulus, ellipticity and circularized
 FWHM.
+
+All per-segment quantities are accumulated with ``np.bincount`` over the
+label image (one pass per moment), not a Python loop over sources — catalog
+extraction is a host hot path in the batched workloads.
 """
 from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+from scipy import ndimage
 
 from ..utils import sigma_clipped_stats
 from .segmentation import SegmentationImage
@@ -75,70 +80,98 @@ class SourceCatalog:
         self._measure()
 
     def _measure(self):
-        seg = self.segm.data
         labels = self.segm.labels
         n = labels.size
         h, w = self.data.shape
-        out = {k: np.full(n, np.nan) for k in (
-            'xcentroid', 'ycentroid', 'area', 'segment_flux',
-            'segment_fluxerr', 'semimajor_sigma', 'semiminor_sigma',
-            'orientation', 'eccentricity', 'ellipticity', 'fwhm',
-            'min_value', 'max_value', 'local_background',
-            'bbox_xmin', 'bbox_xmax', 'bbox_ymin', 'bbox_ymax')}
+        seg = self.segm.data
+        if n and int(labels[-1]) != n:
+            remap = np.zeros(int(labels.max()) + 1, np.int32)
+            remap[labels] = np.arange(1, n + 1, dtype=np.int32)
+            seg = remap[seg]
+        flat = seg.ravel()
+        m = n + 1
+
+        out = {}
         out['label'] = labels.astype(float)
-        sky = np.full((n, 2), np.nan)
+        dflat = self.data.ravel()
 
-        for i, lab in enumerate(labels):
-            mask = seg == lab
-            ys, xs = np.nonzero(mask)
-            dvals = self.data[ys, xs]
-            cvals = self.conv[ys, xs]
+        out['area'] = np.bincount(flat, minlength=m)[1:].astype(float)
+        out['segment_flux'] = np.bincount(flat, weights=dflat,
+                                          minlength=m)[1:]
+        if self.error is not None:
+            e2 = np.asarray(self.error, np.float64).ravel() ** 2
+            out['segment_fluxerr'] = np.sqrt(
+                np.bincount(flat, weights=e2, minlength=m)[1:])
+        else:
+            out['segment_fluxerr'] = np.full(n, np.nan)
 
-            out['area'][i] = ys.size
-            out['segment_flux'][i] = dvals.sum()
-            if self.error is not None:
-                out['segment_fluxerr'][i] = np.sqrt(
-                    (np.asarray(self.error)[ys, xs] ** 2).sum())
-            out['min_value'][i] = dvals.min()
-            out['max_value'][i] = dvals.max()
-            out['bbox_xmin'][i], out['bbox_xmax'][i] = xs.min(), xs.max()
-            out['bbox_ymin'][i], out['bbox_ymax'][i] = ys.min(), ys.max()
+        if n:
+            out['min_value'] = ndimage.minimum(self.data, seg,
+                                               np.arange(1, m))
+            out['max_value'] = ndimage.maximum(self.data, seg,
+                                               np.arange(1, m))
+        else:
+            out['min_value'] = out['max_value'] = np.empty(0)
 
-            # moments on the convolved data, negative values zeroed
-            wgt = np.maximum(cvals, 0.0)
-            tot = wgt.sum()
-            if tot <= 0:
-                wgt = np.ones_like(cvals)
-                tot = wgt.sum()
-            xc = (wgt * xs).sum() / tot
-            yc = (wgt * ys).sum() / tot
-            out['xcentroid'][i], out['ycentroid'][i] = xc, yc
-            mxx = (wgt * (xs - xc) ** 2).sum() / tot
-            myy = (wgt * (ys - yc) ** 2).sum() / tot
-            mxy = (wgt * (xs - xc) * (ys - yc)).sum() / tot
-            # eigenvalues of the covariance (photutils shape params)
-            t1 = 0.5 * (mxx + myy)
-            t2 = np.sqrt(max(0.25 * (mxx - myy) ** 2 + mxy ** 2, 0.0))
-            lam1 = max(t1 + t2, 1e-12)
-            lam2 = max(t1 - t2, 1e-12)
-            a, b = np.sqrt(lam1), np.sqrt(lam2)
-            out['semimajor_sigma'][i] = a
-            out['semiminor_sigma'][i] = b
-            out['orientation'][i] = np.degrees(
-                0.5 * np.arctan2(2.0 * mxy, mxx - myy))
-            out['eccentricity'][i] = np.sqrt(1.0 - (lam2 / lam1))
-            out['ellipticity'][i] = 1.0 - b / a
-            # circularized FWHM (photutils): 2*sqrt(2 ln2 * (a^2+b^2)/2)
-            out['fwhm'][i] = 2.0 * np.sqrt(np.log(2.0) * (lam1 + lam2))
+        # moments on the convolved data, negative values zeroed; labels
+        # whose positive-flux total is zero fall back to uniform weights
+        yy, xx = np.indices((h, w))
+        wgt = np.maximum(self.conv, 0.0).ravel()
+        tot = np.bincount(flat, weights=wgt, minlength=m)[1:]
+        bad = tot <= 0
+        if bad.any():
+            uni = np.isin(seg, np.flatnonzero(bad) + 1).ravel().astype(float)
+            wgt = np.where(uni > 0, 1.0, wgt)
+            tot = np.bincount(flat, weights=wgt, minlength=m)[1:]
+        xf, yf = xx.ravel().astype(float), yy.ravel().astype(float)
+        sx = np.bincount(flat, weights=wgt * xf, minlength=m)[1:]
+        sy = np.bincount(flat, weights=wgt * yf, minlength=m)[1:]
+        xc, yc = sx / tot, sy / tot
+        sxx = np.bincount(flat, weights=wgt * xf * xf, minlength=m)[1:]
+        syy = np.bincount(flat, weights=wgt * yf * yf, minlength=m)[1:]
+        sxy = np.bincount(flat, weights=wgt * xf * yf, minlength=m)[1:]
+        mxx = sxx / tot - xc * xc
+        myy = syy / tot - yc * yc
+        mxy = sxy / tot - xc * yc
+        out['xcentroid'], out['ycentroid'] = xc, yc
 
+        t1 = 0.5 * (mxx + myy)
+        t2 = np.sqrt(np.maximum(0.25 * (mxx - myy) ** 2 + mxy ** 2, 0.0))
+        lam1 = np.maximum(t1 + t2, 1e-12)
+        lam2 = np.maximum(t1 - t2, 1e-12)
+        a, b = np.sqrt(lam1), np.sqrt(lam2)
+        out['semimajor_sigma'] = a
+        out['semiminor_sigma'] = b
+        out['orientation'] = np.degrees(
+            0.5 * np.arctan2(2.0 * mxy, mxx - myy))
+        out['eccentricity'] = np.sqrt(1.0 - lam2 / lam1)
+        out['ellipticity'] = 1.0 - b / a
+        # circularized FWHM (photutils): 2*sqrt(2 ln2 * (a^2+b^2)/2)
+        out['fwhm'] = 2.0 * np.sqrt(np.log(2.0) * (lam1 + lam2))
+
+        # bounding boxes (find_objects is C-accelerated)
+        out['bbox_xmin'] = np.full(n, np.nan)
+        out['bbox_xmax'] = np.full(n, np.nan)
+        out['bbox_ymin'] = np.full(n, np.nan)
+        out['bbox_ymax'] = np.full(n, np.nan)
+        out['local_background'] = np.zeros(n)
+        slices = ndimage.find_objects(seg) if n else []
+        for i, sl in enumerate(slices):
+            if sl is None:
+                continue
+            ys, xs = sl
+            out['bbox_ymin'][i] = ys.start
+            out['bbox_ymax'][i] = ys.stop - 1
+            out['bbox_xmin'][i] = xs.start
+            out['bbox_xmax'][i] = xs.stop - 1
             if self.localbkg_width > 0:
                 out['local_background'][i] = self._local_bkg(
-                    xs.min(), xs.max(), ys.min(), ys.max())
-            else:
-                out['local_background'][i] = 0.0
+                    xs.start, xs.stop - 1, ys.start, ys.stop - 1)
 
-            if self.wcs is not None:
-                sky[i] = self.wcs.pixel_to_world(xc, yc)
+        sky = np.full((n, 2), np.nan)
+        if self.wcs is not None and n:
+            ra, dec = self.wcs.pixel_to_world(xc, yc)
+            sky[:, 0], sky[:, 1] = ra, dec
 
         self._props = out
         self._sky = sky
@@ -148,8 +181,8 @@ class SourceCatalog:
         h, w = self.data.shape
         yy0, yy1 = max(0, y0 - wdt), min(h, y1 + 1 + wdt)
         xx0, xx1 = max(0, x0 - wdt), min(w, x1 + 1 + wdt)
-        region = self.data[yy0:yy1, xx0:xx1].copy()
-        inner = np.zeros_like(region, bool)
+        region = self.data[yy0:yy1, xx0:xx1]
+        inner = np.zeros(region.shape, bool)
         inner[y0 - yy0:y1 + 1 - yy0, x0 - xx0:x1 + 1 - xx0] = True
         ann = region[~inner]
         if ann.size == 0:

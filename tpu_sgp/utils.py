@@ -7,7 +7,7 @@ import numpy as np
 
 
 def sigma_clip(data: np.ndarray, sigma: float = 3.0,
-               maxiters: int = 10) -> np.ndarray:
+               maxiters: int = 5) -> np.ndarray:
     """Iterative sigma clipping; returns a boolean mask of KEPT values
     (astropy SigmaClip semantics with median center and std)."""
     d = np.asarray(data, np.float64).ravel()
@@ -27,7 +27,7 @@ def sigma_clip(data: np.ndarray, sigma: float = 3.0,
 
 
 def sigma_clipped_stats(data: np.ndarray, sigma: float = 3.0,
-                        maxiters: int = 10) -> Tuple[float, float, float]:
+                        maxiters: int = 5) -> Tuple[float, float, float]:
     """(mean, median, std) of sigma-clipped data (astropy equivalent)."""
     keep = sigma_clip(data, sigma=sigma, maxiters=maxiters)
     vals = np.asarray(data, np.float64)[keep]
