@@ -83,3 +83,21 @@ def test_default_beta_candidates_match_reference_seeds():
     # np.random.seed + normal in the reference equals RandomState here
     np.random.seed(0)
     assert np.isclose(np.random.normal(1.0, 0.05), want[0])
+
+
+def test_bucketed_batch_matches_unbucketed():
+    stamps, psf, bkgs, _ = synthetic_star_stamps(5, size=16, seed=9)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=6)
+    plain = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                           sat_level=65000.0)
+    padded = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                            sat_level=65000.0, bucket=True)
+    assert padded.x.shape[0] == 5          # padding sliced off
+    np.testing.assert_allclose(np.asarray(plain.x), np.asarray(padded.x),
+                               rtol=1e-12, atol=1e-12)
+    from tpu_sgp.parallel.batch import _bucket_size
+    assert _bucket_size(5) == 8
+    assert _bucket_size(256) == 256
+    assert _bucket_size(300) == 512 or _bucket_size(300) == 512
+    assert _bucket_size(2525) == 2560

@@ -62,10 +62,25 @@ def _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level, dtype):
     return stamps, psf, per_stamp_psf, bkgs, fluxes, x0, obj, beta0, lr0, sat
 
 
+def _bucket_size(b: int) -> int:
+    """Round a batch size up to a compile-cache-friendly bucket: powers of
+    two up to 256, then multiples of 256. Workload batch sizes vary with
+    detection filtering; bucketing means re-runs (and the candidate-grid vs
+    final solves) reuse compiled programs instead of paying a fresh
+    multi-minute XLA compile per distinct batch shape."""
+    if b <= 256:
+        n = 1
+        while n < b:
+            n *= 2
+        return n
+    return -(-b // 256) * 256
+
+
 def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
                    x0=None, obj=None, beta0=1.0, lr0=1e-3, sat_level=0.0,
                    mesh: Optional[Mesh] = None,
-                   batch_axis: str = 'batch') -> SGPResult:
+                   batch_axis: str = 'batch',
+                   bucket: bool = False) -> SGPResult:
     """Restore a batch of stamps in one compiled program.
 
     Args:
@@ -78,6 +93,9 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
         whether fluxes / sat_level are honored).
       mesh: optional ``jax.sharding.Mesh``; the batch axis is sharded over
         ``mesh.axis_names`` entry ``batch_axis`` and the PSF replicated.
+      bucket: pad the batch up to a standard bucket size (duplicating the
+        first stamp) so distinct batch sizes reuse compiled programs; the
+        padding is sliced off the result.
 
     Returns a batched SGPResult (leading axis B on every field).
     """
@@ -85,6 +103,17 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
     (stamps, psf, per_stamp_psf, bkgs, fluxes, x0, obj, beta0, lr0,
      sat) = _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level,
                   dtype)
+
+    b_orig = stamps.shape[0]
+    pad = _bucket_size(b_orig) - b_orig if bucket else 0
+    if pad:
+        def _pad(a):
+            reps = jnp.concatenate([a[:1]] * pad, axis=0)
+            return jnp.concatenate([a, reps], axis=0)
+        stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat = map(
+            _pad, (stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat))
+        if per_stamp_psf:
+            psf = _pad(psf)
 
     if mesh is not None:
         shard = NamedSharding(mesh, P(batch_axis))
@@ -99,8 +128,11 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
         lr0 = jax.device_put(lr0, shard)
         sat = jax.device_put(sat, shard)
 
-    return _batched_solve(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
-                          sat, cfg, per_stamp_psf)
+    res = _batched_solve(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
+                         sat, cfg, per_stamp_psf)
+    if pad:
+        res = jax.tree.map(lambda a: a[:b_orig], res)
+    return res
 
 
 def beta_init_search(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,

@@ -167,7 +167,8 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
             np.repeat(sset.psfs, k, axis=0),
             np.repeat(sset.bkgs, k), cfg,
             fluxes=np.repeat(sset.fluxes, k),
-            beta0=np.tile(cands, b), sat_level=CCD_SAT_LEVEL, mesh=mesh)
+            beta0=np.tile(cands, b), sat_level=CCD_SAT_LEVEL, mesh=mesh,
+            bucket=True)
         grid_x = np.asarray(grid.x).reshape(b, k, CUTOUT_SIZE, CUTOUT_SIZE)
         # selection metric: catalog flux fractional difference (reference
         # application_sgp_star_stamps.py:90-97)
@@ -186,14 +187,15 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
         t0 = timer()
         res = restore_stamps(sset.stamps, sset.psfs, sset.bkgs, cfg,
                              fluxes=sset.fluxes, beta0=best_betas,
-                             sat_level=CCD_SAT_LEVEL, mesh=mesh)
+                             sat_level=CCD_SAT_LEVEL, mesh=mesh,
+                             bucket=True)
         jax.block_until_ready(res)
         solve_wall = timer() - t0
     else:
         t0 = timer()
         res = restore_stamps(sset.stamps, sset.psfs, sset.bkgs, cfg,
                              fluxes=sset.fluxes, sat_level=CCD_SAT_LEVEL,
-                             mesh=mesh)
+                             mesh=mesh, bucket=True)
         jax.block_until_ready(res)
         solve_wall = timer() - t0
 
