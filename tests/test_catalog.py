@@ -91,3 +91,36 @@ def test_ellipticity_of_elliptical_source(rng):
                        'semiminor_sigma'])
     assert t['ellipticity'].value[0] > 0.3
     assert abs(abs(t['orientation'].value[0])) < 15  # major axis along x
+
+
+def test_native_deblend_matches_python(rng):
+    """C++ deblend (marker tree + exact watershed) agrees with the NumPy
+    path on child count and membership for a constructed blend."""
+    from tpu_sgp.catalog import native
+    from tpu_sgp.catalog.segmentation import (SegmentationImage,
+                                              deblend_sources,
+                                              detect_sources)
+    if not native.available():
+        import pytest
+        pytest.skip('native toolchain unavailable')
+    img = np.full((41, 41), 0.0)
+    img = _gauss_source(img, 17, 20, 3e4)
+    img = _gauss_source(img, 24, 20, 2e4)
+    img = _gauss_source(img, 20, 31, 1.5e4)
+    segm = detect_sources(img, 5.0, npixels=5)
+    out_native = deblend_sources(img, segm, use_native=True)
+    out_python = deblend_sources(img, segm, use_native=False)
+    assert out_native.nlabels == out_python.nlabels == 3
+    # same pixel membership per child up to label permutation: compare
+    # centroid sets
+    want = sorted([(17, 20), (24, 20), (20, 31)])
+    for out in (out_native, out_python):
+        cents = []
+        for lab in out.labels:
+            ys, xs = np.nonzero(out.data == lab)
+            cents.append((xs.mean(), ys.mean()))
+        # unweighted partition centroids shift ~1px with the watershed
+        # boundary; require each true peak matched within 1.5px
+        for wx, wy in want:
+            assert min(abs(cx - wx) + abs(cy - wy)
+                       for cx, cy in cents) < 1.5

@@ -1,0 +1,69 @@
+"""ctypes bindings for the native (C++) deblending hot loop.
+
+Builds tpu_sgp/native/deblend.cpp on first use (cached .so). Falls back
+cleanly to the vectorized NumPy implementation in segmentation.py when no
+toolchain is present.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / 'native'
+_SRC = _NATIVE_DIR / 'deblend.cpp'
+_SO = _NATIVE_DIR / 'libtpusgp_deblend.so'
+
+_lib = None
+_load_error: Optional[str] = None
+
+
+def _load():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+                            str(_SRC), '-o', str(_SO)],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(str(_SO))
+        lib.deblend_segment.restype = ctypes.c_int32
+        lib.deblend_segment.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+        ]
+        _lib = lib
+    except Exception as exc:  # pragma: no cover - toolchain-dependent
+        _load_error = str(exc)
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def deblend_segment(sub: np.ndarray, inseg: np.ndarray, npixels: int,
+                    nlevels: int, contrast: float):
+    """Native deblend of one segment cutout. Returns the per-pixel child
+    assignment (int32, 1..k inside the segment) or None when the segment
+    stays single."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f'native deblend unavailable: {_load_error}')
+    sub = np.ascontiguousarray(sub, np.float64)
+    mask = np.ascontiguousarray(inseg, np.uint8)
+    out = np.zeros(sub.shape, np.int32)
+    h, w = sub.shape
+    k = lib.deblend_segment(sub, mask, h, w, npixels, nlevels,
+                            float(contrast), out)
+    if k == 0:
+        return None
+    return out

@@ -162,9 +162,23 @@ def _deblend_one(sub: np.ndarray, inseg: np.ndarray, det_threshold: float,
 
 def deblend_sources(data: np.ndarray, segm: SegmentationImage,
                     npixels: int = 5, nlevels: int = 32,
-                    contrast: float = 0.001) -> SegmentationImage:
-    """Split multi-peak segments (photutils deblend_sources equivalent)."""
+                    contrast: float = 0.001,
+                    use_native: bool = True) -> SegmentationImage:
+    """Split multi-peak segments (photutils deblend_sources equivalent).
+
+    Dispatches each candidate segment to the C++ hot loop
+    (tpu_sgp/native/deblend.cpp: marker tree + exact priority-queue
+    watershed) when the toolchain is available; otherwise runs the
+    vectorized NumPy path."""
     data = np.asarray(data, np.float64)
+    native_mod = None
+    if use_native:
+        try:
+            from . import native as _cnative
+            if _cnative.available():
+                native_mod = _cnative
+        except Exception:
+            native_mod = None
     seg = segm.data
     out = np.zeros_like(seg)
     next_label = 1
@@ -174,9 +188,13 @@ def deblend_sources(data: np.ndarray, segm: SegmentationImage,
             continue
         inseg = seg[sl] == lab0
         sub = data[sl]
-        det_thresh = sub[inseg].min()
-        assign = _deblend_one(sub, inseg, det_thresh, npixels, nlevels,
-                              contrast)
+        if native_mod is not None:
+            assign = native_mod.deblend_segment(sub, inseg, npixels,
+                                                nlevels, contrast)
+        else:
+            det_thresh = sub[inseg].min()
+            assign = _deblend_one(sub, inseg, det_thresh, npixels, nlevels,
+                                  contrast)
         region = out[sl]
         if assign is None:
             region[inseg] = next_label
