@@ -82,3 +82,33 @@ def test_cli_whole_image(tmp_path):
                 '--output_dir', str(tmp_path / 'results')])
     assert out['deconvolved'].shape == image.shape
     assert (tmp_path / 'results' / 'deconvolved_sci.fits').exists()
+
+
+def test_simulation_workload_with_sampling():
+    """workloads.simulation: fixture run + vectorized beta-init search."""
+    import pytest
+    if not os.path.exists(
+            '/root/reference/restoration/simulated_test/data/NGC7027_255.mat'):
+        pytest.skip('reference fixtures not mounted')
+    from tpu_sgp.workloads import simulation
+    x, rel, img, obj = simulation.run_kl('NGC7027_255.mat', dtype='float64')
+    assert abs(rel - 0.137888) < 2e-4
+    x, rel, _, _, best = simulation.run_beta(
+        'NGC7027_255.mat', do_sampling=True, n_draws=3, dtype='float64')
+    assert np.isfinite(rel) and rel < 0.2
+    assert 0.8 < best < 1.2
+
+
+def test_cli_whole_image_beta(tmp_path):
+    image, psf, _ = synthetic_star_field(96, 96, n_stars=8, seed=14)
+    img_path = str(tmp_path / 'sci.fits')
+    psf_path = str(tmp_path / 'psf.fits')
+    write_fits(img_path, image, Header({'GAIN': 1.0, 'SATURATE': 65000.0}))
+    write_fits(psf_path, psf)
+    from tpu_sgp.cli import main
+    out = main(['--data_path_sciimg', img_path, '--data_path_psf', psf_path,
+                '--use_beta_div', '--initial_beta', '1.01',
+                '--dtype', 'float64',
+                '--output_dir', str(tmp_path / 'results')])
+    assert np.isfinite(out['deconvolved']).all()
+    assert out['iters'] >= 1
