@@ -19,14 +19,22 @@ from .segmentation import SourceFinder
 
 def source_info(data: np.ndarray, box_size=(5, 5), n_pixels: int = 5,
                 sigma_threshold: float = 1.5, localbkg_width: int = 5,
-                deblend: bool = True, wcs=None
+                deblend: bool = True, wcs=None, threshold_floor: float = 0.0
                 ) -> Tuple[Optional[SourceCatalog], Background2D]:
     """Detect and measure sources. ``data`` must NOT be background
-    subtracted. Returns (SourceCatalog | None, Background2D)."""
+    subtracted. Returns (SourceCatalog | None, Background2D).
+
+    ``threshold_floor`` sets an absolute lower bound on the detection
+    threshold. Deconvolved images have near-zero background RMS, so the
+    sigma threshold collapses and ripple pixels register as sources; the
+    caller can anchor the floor to the ORIGINAL image's noise (the
+    reference's workaround is adding an artificial sky,
+    --add_bkg_to_deconvolved)."""
     data = np.asarray(data, np.float64)
     bkg = Background2D(data, box_size, filter_size=(3, 3))
     data_sub = data - bkg.background
-    threshold = sigma_threshold * bkg.background_rms
+    threshold = np.maximum(sigma_threshold * bkg.background_rms,
+                           threshold_floor)
     kernel = make_2dgaussian_kernel(1.2, size=3)
     convolved = convolve2d_fill(data_sub, kernel)
     finder = SourceFinder(npixels=n_pixels, deblend=deblend)

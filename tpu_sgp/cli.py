@@ -116,11 +116,12 @@ def main(argv=None) -> dict:
             image, (opt.subdivision_size, opt.subdivision_size),
             overlap=opt.subdiv_overlap, wcs=wcs)
 
-        tiles, bkg_maps, fluxes = [], [], []
+        tiles, bkg_maps, fluxes, rms_floors = [], [], [], []
         for i, sub in enumerate(subdivs):
             scat, bkg = source_info(sub.data, localbkg_width=5)
             tiles.append(np.asarray(sub.data, np.float64))
             bkg_maps.append(bkg.background)
+            rms_floors.append(1.5 * bkg.background_rms_median)
             if scat is not None and len(scat):
                 t = scat.to_table(DEFAULT_COLUMNS)
                 fluxes.append(float(np.sum(t['segment_flux'].value)))
@@ -143,12 +144,13 @@ def main(argv=None) -> dict:
         res = restore_stamps(np.stack(tiles), psf, np.stack(bkg_maps), cfg,
                              fluxes=np.array(fluxes),
                              beta0=opt.initial_beta, lr0=opt.initial_lr,
-                             sat_level=sat)
+                             sat_level=sat, bucket=True)
         jax.block_until_ready(res)
         restored_tiles = np.asarray(res.x, np.float64)
 
         for i, sub in enumerate(subdivs):
-            scat, dbkg = source_info(restored_tiles[i], localbkg_width=5)
+            scat, dbkg = source_info(restored_tiles[i], localbkg_width=5,
+                                     threshold_floor=rms_floors[i])
             if scat is not None and len(scat):
                 t = scat.to_table(DEFAULT_COLUMNS)
                 df = _catalog_to_frame(t, sub.wcs)
@@ -179,7 +181,8 @@ def main(argv=None) -> dict:
             **solver_kw, **extra)
         dscat, dbkg = source_info(
             deconvolved, box_size=(opt.box_height, opt.box_width),
-            localbkg_width=5)
+            localbkg_width=5,
+            threshold_floor=1.5 * bkg.background_rms_median)
         if dscat is not None and len(dscat):
             deconv_frames.append(
                 _catalog_to_frame(dscat.to_table(DEFAULT_COLUMNS), wcs))

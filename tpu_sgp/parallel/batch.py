@@ -105,7 +105,14 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
                   dtype)
 
     b_orig = stamps.shape[0]
-    pad = _bucket_size(b_orig) - b_orig if bucket else 0
+    if bucket:
+        target = _bucket_size(b_orig)
+        if mesh is not None:
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            target = -(-target // ndev) * ndev  # sharding needs divisibility
+        pad = target - b_orig
+    else:
+        pad = 0
     if pad:
         def _pad(a):
             reps = jnp.concatenate([a[:1]] * pad, axis=0)
