@@ -62,6 +62,8 @@ def test_cli_subdiv_end_to_end(tmp_path):
     assert np.isfinite(d).all()
     rdir = tmp_path / 'results'
     assert (rdir / 'subdiv_deconvolved_sci.fits').exists()
+    assert (rdir / 'deconv_bkg_sci.fits').exists()
+    assert (rdir / 'deconv_bkgrms_sci.fits').exists()
     assert (rdir / 'orig_sci.fits_scat.csv').exists()
     assert (rdir / 'execution_times.txt').exists()
     assert len(out['orig_catalog']) > 10

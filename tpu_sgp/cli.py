@@ -148,9 +148,12 @@ def main(argv=None) -> dict:
         jax.block_until_ready(res)
         restored_tiles = np.asarray(res.x, np.float64)
 
+        dbkg_tiles, drms_tiles = [], []
         for i, sub in enumerate(subdivs):
             scat, dbkg = source_info(restored_tiles[i], localbkg_width=5,
                                      threshold_floor=rms_floors[i])
+            dbkg_tiles.append(dbkg.background)
+            drms_tiles.append(dbkg.background_rms)
             if scat is not None and len(scat):
                 t = scat.to_table(DEFAULT_COLUMNS)
                 df = _catalog_to_frame(t, sub.wcs)
@@ -163,6 +166,13 @@ def main(argv=None) -> dict:
         deconvolved, footprint = coadd_tiles(
             list(restored_tiles), origins, image.shape,
             match_background=True)
+        # mosaicked background / RMS maps (the reference coadds these from
+        # its temp_deconvolved_bkg*/bkgrms* tiles, sgp.py:1089-1091)
+        deconvolved_bkg, _ = coadd_tiles(dbkg_tiles, origins, image.shape,
+                                         match_background=True)
+        deconvolved_bkg_rms, _ = coadd_tiles(drms_tiles, origins,
+                                             image.shape,
+                                             match_background=False)
         iters = int(np.max(np.asarray(res.iters)))
     else:
         scat, bkg = source_info(image,
@@ -183,6 +193,8 @@ def main(argv=None) -> dict:
             deconvolved, box_size=(opt.box_height, opt.box_width),
             localbkg_width=5,
             threshold_floor=1.5 * bkg.background_rms_median)
+        deconvolved_bkg = dbkg.background
+        deconvolved_bkg_rms = dbkg.background_rms
         if dscat is not None and len(dscat):
             deconv_frames.append(
                 _catalog_to_frame(dscat.to_table(DEFAULT_COLUMNS), wcs))
@@ -203,6 +215,12 @@ def main(argv=None) -> dict:
     write_fits(os.path.join(opt.output_dir,
                             f'{prefix}deconvolved_{basename}'),
                np.nan_to_num(deconvolved), header=out_hdr)
+
+    # background / RMS FITS artifacts (reference sgp.py:1149-1151, 1185-1186)
+    write_fits(os.path.join(opt.output_dir, f'deconv_bkg_{basename}'),
+               np.nan_to_num(deconvolved_bkg))
+    write_fits(os.path.join(opt.output_dir, f'deconv_bkgrms_{basename}'),
+               np.nan_to_num(deconvolved_bkg_rms))
 
     orig_cat = (pd.concat(orig_frames, ignore_index=True)
                 if orig_frames else pd.DataFrame())
