@@ -101,3 +101,26 @@ def test_bucketed_batch_matches_unbucketed():
     assert _bucket_size(256) == 256
     assert _bucket_size(300) == 512 or _bucket_size(300) == 512
     assert _bucket_size(2525) == 2560
+
+
+def test_restoration_session_serves_buckets():
+    from tpu_sgp.parallel.session import RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(10, size=16, seed=12)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=5, dtype='float64')
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    sess.warmup(buckets=(4,))
+    res = sess.restore(stamps, bkgs, fluxes=fluxes)
+    assert res.x.shape == (10, 16, 16)
+    assert np.isfinite(np.asarray(res.x)).all()
+    # streaming: two batches through the generator
+    outs = list(sess.restore_stream([
+        (stamps[:4], bkgs[:4], fluxes[:4]),
+        (stamps[4:8], bkgs[4:8], fluxes[4:8])]))
+    assert len(outs) == 2
+    np.testing.assert_allclose(np.asarray(outs[0].x),
+                               np.asarray(res.x)[:4], rtol=1e-9, atol=1e-9)
+    # shape mismatch is rejected
+    import pytest
+    with pytest.raises(ValueError):
+        sess.restore(np.zeros((2, 8, 8)), np.zeros(2))

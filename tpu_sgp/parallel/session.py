@@ -1,0 +1,74 @@
+"""Serving session: pre-compiled batched restoration with stable shapes.
+
+Production deployments restore streams of cutouts with a fixed PSF and
+configuration; this wrapper owns the config, pins the device-resident PSF,
+pre-compiles the bucketed batch shapes once at startup (warmup), and then
+serves ``restore(stamps, ...)`` calls at device speed with no compile or
+shape surprises.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SGPConfig
+from ..solvers.sgp import SGPResult
+from .batch import _bucket_size, restore_stamps
+
+
+class RestorationSession:
+    def __init__(self, psf: np.ndarray, cfg: Optional[SGPConfig] = None,
+                 stamp_shape: Tuple[int, int] = (31, 31),
+                 sat_level: float = 65000.0, beta0: float = 1.005,
+                 lr0: float = 1e-3, mesh=None):
+        if cfg is None:
+            cfg = SGPConfig(max_iter=100, stop_criterion=3,
+                            tol_convergence=1e-4, init_recon=2, proj_type=1,
+                            has_flux=True, has_sat_level=True,
+                            dtype='float32')
+        self.cfg = cfg
+        self.psf = jnp.asarray(psf, cfg.jnp_dtype)
+        self.stamp_shape = tuple(stamp_shape)
+        self.sat_level = sat_level
+        self.beta0 = beta0
+        self.lr0 = lr0
+        self.mesh = mesh
+
+    def warmup(self, buckets: Sequence[int] = (64, 256, 1024)) -> None:
+        """Compile the solver for each bucket size ahead of serving."""
+        h, w = self.stamp_shape
+        for b in buckets:
+            dummy = np.full((b, h, w), 100.0)
+            dummy[:, h // 2, w // 2] = 1000.0
+            jax.block_until_ready(self.restore(
+                dummy, np.full(b, 100.0),
+                fluxes=np.full(b, 900.0) if self.cfg.has_flux else None))
+
+    def restore(self, stamps, bkgs, fluxes=None, beta0=None) -> SGPResult:
+        """Restore a batch; the batch is bucketed so repeat calls with any
+        size up to the warmed buckets reuse compiled programs."""
+        stamps = np.asarray(stamps)
+        if stamps.shape[1:] != self.stamp_shape:
+            raise ValueError(
+                f'stamps {stamps.shape[1:]} != session {self.stamp_shape}')
+        return restore_stamps(
+            stamps, self.psf, bkgs, self.cfg, fluxes=fluxes,
+            beta0=self.beta0 if beta0 is None else beta0, lr0=self.lr0,
+            sat_level=self.sat_level, mesh=self.mesh, bucket=True)
+
+    def restore_stream(self, batches: Iterable) -> Iterable[SGPResult]:
+        """Generator over (stamps, bkgs, fluxes) tuples — dispatches the
+        next batch while the caller consumes the previous result (JAX's
+        async dispatch overlaps host and device)."""
+        pending = None
+        for item in batches:
+            stamps, bkgs, fluxes = item
+            nxt = self.restore(stamps, bkgs, fluxes=fluxes)
+            if pending is not None:
+                yield jax.block_until_ready(pending)
+            pending = nxt
+        if pending is not None:
+            yield jax.block_until_ready(pending)
