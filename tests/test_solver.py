@@ -174,3 +174,56 @@ def test_errflag_series_matches_manual(rng):
     # should match a direct computation on the returned iterate's PREVIOUS
     # step only loosely — instead check monotone trend of early iterations
     assert err[3] <= err[0]
+
+
+def test_nonmonotone_memory_matches_oracle(rng):
+    """M>1 non-monotone Armijo memory + larger alpha memory."""
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    x, iters, _, _, _ = sgp(img, psf, bkg, init_recon=2, stop_criterion=1,
+                            MAXIT=18, M=3, M_alpha=5, alpha=10.0, tau=0.4)
+    xo, _, _, _ = oracle_solve(img, psf, bkg, init_recon=2,
+                               stop_criterion=1, maxit=18, M=3, m_alpha=5,
+                               alpha=10.0, tau=0.4)
+    _agree(x, xo, rtol=1e-8, atol=1e-8)
+
+
+def test_scale_data_false_matches_oracle(rng):
+    img, psf, bkg, _ = synthetic_stamp(rng, size=24)
+    x, iters, _, _, _ = sgp(img, psf, bkg, init_recon=2, stop_criterion=1,
+                            MAXIT=10, scale_data=False)
+    xo, _, _, _ = oracle_solve(img, psf, bkg, init_recon=2,
+                               stop_criterion=1, maxit=10, scale_data=False)
+    _agree(x, xo, rtol=1e-8, atol=1e-8)
+
+
+def test_seeded_randn_init_matches_oracle(rng):
+    """init_recon=1: the reference's np.random.seed(42) Gaussian init."""
+    img, psf, bkg, _ = synthetic_stamp(rng, size=24)
+    x, iters, _, _, _ = sgp(img, psf, bkg, init_recon=1, stop_criterion=1,
+                            MAXIT=8)
+    np.random.seed(42)
+    x0 = np.random.randn(*img.shape)
+    xo, _, _, _ = oracle_solve(img, psf, bkg, init_recon=1, x0=x0,
+                               stop_criterion=1, maxit=8)
+    _agree(x, xo, rtol=1e-8, atol=1e-8)
+
+
+def test_criterion2_verbose_quirk(rng):
+    """Reference quirk: criterion 2's tolerance is squared only when
+    verbose=True (sgp.py:291-294) — both paths must match the oracle."""
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    for verbose in (True, False):
+        x, iters, _, _, _ = sgp(img, psf, bkg, init_recon=2,
+                                stop_criterion=2, MAXIT=100,
+                                tol_convergence=1e-3, verbose=verbose)
+        xo, ito, _, _ = oracle_solve(img, psf, bkg, init_recon=2,
+                                     stop_criterion=2, maxit=100,
+                                     tol=1e-3, verbose=verbose)
+        assert iters == ito, f'verbose={verbose}'
+        _agree(x, xo, rtol=1e-8, atol=1e-8)
+    # and the quirk is observable: different iteration counts
+    _, it_v, _, _, _ = sgp(img, psf, bkg, init_recon=2, stop_criterion=2,
+                           MAXIT=100, tol_convergence=1e-2, verbose=True)
+    _, it_nv, _, _, _ = sgp(img, psf, bkg, init_recon=2, stop_criterion=2,
+                            MAXIT=100, tol_convergence=1e-2, verbose=False)
+    assert it_v != it_nv
