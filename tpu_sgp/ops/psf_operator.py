@@ -179,14 +179,16 @@ def make_halo_operator(psf: jnp.ndarray, axis_names: Tuple[str, str]
 
     def apply(kernel, x):
         padded = _halo_exchange(x, hy, hx, axis_y, axis_x)
-        # conv_general_dilated computes correlation; flip for convolution
+        # conv_general_dilated computes correlation; flip for convolution.
+        # precision=HIGHEST is required: the TPU conv default is bf16
+        # multiplies (measured 2.7e-3 rel error vs 3.5e-7 at HIGHEST),
+        # far outside the solver's line-search/flux tolerances.
         flipped = kernel[::-1, ::-1]
         out = jax.lax.conv_general_dilated(
             padded[None, None, :, :].astype(x.dtype),
             flipped[None, None, :, :].astype(x.dtype),
             window_strides=(1, 1), padding='VALID',
-            preferred_element_type=(jnp.float32 if x.dtype == jnp.float32
-                                    else None))
+            precision=jax.lax.Precision.HIGHEST)
         return out[0, 0]
 
     def A(x):
