@@ -146,3 +146,29 @@ def test_file_level_mosaic_roundtrip(tmp_path, rng):
         truth.shape, 'image', dirname=d)
     assert foot.min() >= 1
     assert np.nanstd(mosaic - truth) < 1e-6
+
+
+def test_wcs_cdelt_pc_path():
+    hdr = {'CRPIX1': 50.0, 'CRPIX2': 50.0, 'CRVAL1': 150.0, 'CRVAL2': -20.0,
+           'CDELT1': -2.8e-4, 'CDELT2': 2.8e-4,
+           'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN'}
+    w = WCS(hdr)
+    ra, dec = w.pixel_to_world(80, 30)
+    x, y = w.world_to_pixel(ra, dec)
+    assert np.isclose(x, 80, atol=1e-8) and np.isclose(y, 30, atol=1e-8)
+    # linear (non-TAN) fallback
+    lin = WCS({'CTYPE1': 'X', 'CTYPE2': 'Y', 'CDELT1': 2.0, 'CDELT2': 3.0})
+    wx, wy = lin.pixel_to_world(5, 5)
+    assert np.isclose(wx, 10.0) and np.isclose(wy, 15.0)
+
+
+def test_header_comments_roundtrip(tmp_path):
+    hdr = Header({'GAIN': 1.22})
+    hdr.comments['GAIN'] = 'e-/ADU'
+    p = str(tmp_path / 'c.fits')
+    write_fits(p, np.zeros((4, 4)), hdr)
+    _, back = read_fits(p)
+    assert back['GAIN'] == 1.22
+    assert back.comments.get('GAIN') == 'e-/ADU'
+    h2 = back.copy()
+    assert h2.comments == back.comments and h2 is not back

@@ -54,3 +54,13 @@ def test_validation_source():
     rms = np.full_like(img, 2.0)
     assert validation_source(img, (100, 100), bkg, rms, size=20)
     assert not validation_source(img, (30, 30), bkg, rms, size=20)
+
+
+def test_moffat_psf_properties():
+    from tpu_sgp.simulate import moffat_psf, gaussian_psf
+    m = moffat_psf(31, fwhm=3.0, beta=2.5)
+    g = gaussian_psf(31, fwhm=3.0)
+    assert np.isclose(m.sum(), 1.0)
+    assert m[15, 15] == m.max()
+    # Moffat has heavier wings than a Gaussian of equal FWHM
+    assert m[15, 2] > g[15, 2]

@@ -64,3 +64,12 @@ def test_cull_frames(tmp_path, rng):
     assert os.path.exists(os.path.join(d, 'BadFrames', 'bias_3.fits'))
     assert os.path.exists(os.path.join(d, 'BadFrames', 'flat_bad.fits'))
     assert not os.path.exists(os.path.join(d, 'flat_bad.fits'))
+
+
+def test_cull_frames_filter_fix_and_no_move(tmp_path, rng):
+    d = str(tmp_path)
+    write_fits(os.path.join(d, 'sci_1.fits'),
+               rng.normal(500, 10, (16, 16)), Header({'EXPTIME': 30.0}))
+    rep = cull_frames(d, move=False, default_filter='I')
+    assert rep.filter_fixed == {os.path.join(d, 'sci_1.fits'): 'I'}
+    assert os.path.exists(os.path.join(d, 'sci_1.fits'))  # nothing moved
