@@ -26,8 +26,11 @@ import pytest  # noqa: E402
 REFERENCE_DATA = '/root/reference/restoration/simulated_test/data'
 
 
-@pytest.fixture(scope='session')
+@pytest.fixture()
 def rng():
+    # function-scoped: every test draws from a fresh seeded generator, so
+    # outcomes never depend on which other tests ran first (trajectory-
+    # chaotic solver tests are sensitive to their exact problem instance)
     return np.random.default_rng(42)
 
 

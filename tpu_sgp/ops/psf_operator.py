@@ -60,12 +60,15 @@ def make_matmul_operator(psf: jnp.ndarray) -> Tuple[Operator, Operator]:
     h, w = psf.shape
     c = build_circulant_matrix(psf)
     ct = c.T
+    # pin full f32 multiplies: TPU backends may otherwise lower f32 dots to
+    # bf16 passes (measured free on v5e, where defaults were already exact)
+    hi = jax.lax.Precision.HIGHEST
 
     def A(x):
-        return (c @ x.reshape(-1)).reshape(h, w)
+        return jnp.matmul(c, x.reshape(-1), precision=hi).reshape(h, w)
 
     def AT(x):
-        return (ct @ x.reshape(-1)).reshape(h, w)
+        return jnp.matmul(ct, x.reshape(-1), precision=hi).reshape(h, w)
 
     return A, AT
 
