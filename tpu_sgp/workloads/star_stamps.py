@@ -136,7 +136,8 @@ def gather_synthetic(n: int = 256, seed: int = 42) -> StampSet:
                     np.array(fluxes), tables, bkg_maps)
 
 
-def _workload_cfg(use_beta: bool, adapt: bool = True) -> SGPConfig:
+def _workload_cfg(use_beta: bool, adapt: bool = True,
+                  operator: str = 'auto') -> SGPConfig:
     max_projs, gamma, bt, a_min, a_max, alpha, m_alpha, tau, m = DEFAULT_PARAMS
     return SGPConfig(
         max_iter=200, stop_criterion=3, tol_convergence=1e-4, init_recon=2,
@@ -144,7 +145,7 @@ def _workload_cfg(use_beta: bool, adapt: bool = True) -> SGPConfig:
         alpha_init=alpha, alpha_min=a_min, alpha_max=a_max, m_alpha=m_alpha,
         tau_init=tau, m_mem=m, has_flux=True, has_sat_level=True,
         divergence='beta' if use_beta else 'kl', adapt_beta=adapt,
-        schedule_lr=use_beta, dtype='float32', operator='otf')
+        schedule_lr=use_beta, dtype='float32', operator=operator)
 
 
 def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
@@ -155,8 +156,16 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
     sset = (gather_real(data_dir, n_images, seed) if data_dir
             else gather_synthetic(n_synthetic, seed))
     b = sset.stamps.shape[0]
+    # identical per-stamp PSFs collapse to one shared PSF, which selects the
+    # dense-matmul MXU operator instead of per-stamp FFTs
+    psfs = sset.psfs
+    if np.ptp(psfs, axis=0).max() == 0.0:
+        psfs = psfs[0]
 
-    cfg = _workload_cfg(use_beta_div)
+    # per-stamp PSFs must use the FFT operator ('auto' would materialize one
+    # dense 961x961 matrix PER stamp — gigabytes at workload scale)
+    cfg = _workload_cfg(use_beta_div,
+                        operator='auto' if psfs.ndim == 2 else 'otf')
     if use_beta_div:
         # stage 1: candidate grid — every stamp restored with all five
         # seeded beta inits in one batch
@@ -164,7 +173,7 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
         k = cands.size
         grid = restore_stamps(
             np.repeat(sset.stamps, k, axis=0),
-            np.repeat(sset.psfs, k, axis=0),
+            np.repeat(psfs, k, axis=0) if psfs.ndim == 3 else psfs,
             np.repeat(sset.bkgs, k), cfg,
             fluxes=np.repeat(sset.fluxes, k),
             beta0=np.tile(cands, b), sat_level=CCD_SAT_LEVEL, mesh=mesh,
@@ -185,7 +194,7 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
             best_idx[i] = int(np.argmin(ffds))
         best_betas = cands[best_idx]
         t0 = timer()
-        res = restore_stamps(sset.stamps, sset.psfs, sset.bkgs, cfg,
+        res = restore_stamps(sset.stamps, psfs, sset.bkgs, cfg,
                              fluxes=sset.fluxes, beta0=best_betas,
                              sat_level=CCD_SAT_LEVEL, mesh=mesh,
                              bucket=True)
@@ -193,7 +202,7 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
         solve_wall = timer() - t0
     else:
         t0 = timer()
-        res = restore_stamps(sset.stamps, sset.psfs, sset.bkgs, cfg,
+        res = restore_stamps(sset.stamps, psfs, sset.bkgs, cfg,
                              fluxes=sset.fluxes, sat_level=CCD_SAT_LEVEL,
                              mesh=mesh, bucket=True)
         jax.block_until_ready(res)
