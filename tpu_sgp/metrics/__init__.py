@@ -49,7 +49,13 @@ def fit_radprof(radprof, table) -> Tuple[np.ndarray, np.ndarray]:
     p0 = (0.8 * float(np.max(radprof)), 0.0,
           max(GAUSSIAN_FWHM_TO_SIGMA * fwhm, 1e-3))
     try:
-        popt, pcov = curve_fit(_gauss1d, x, radprof, p0=p0, maxfev=5000)
+        import warnings
+        with warnings.catch_warnings():
+            # degenerate profiles (flat/deconvolved spikes) legitimately
+            # yield singular covariance; the reference returns NaN errors
+            # in that case too
+            warnings.simplefilter('ignore')
+            popt, pcov = curve_fit(_gauss1d, x, radprof, p0=p0, maxfev=5000)
         fitted = _gauss1d(x, *popt)
         perr = np.sqrt(np.abs(np.diag(pcov)))
     except Exception:
