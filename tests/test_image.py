@@ -172,3 +172,15 @@ def test_header_comments_roundtrip(tmp_path):
     assert back.comments.get('GAIN') == 'e-/ADU'
     h2 = back.copy()
     assert h2.comments == back.comments and h2 is not back
+
+
+def test_wcs_to_header_roundtrip():
+    hdr = {'CRPIX1': 100.5, 'CRPIX2': 120.5, 'CRVAL1': 250.42,
+           'CRVAL2': 36.46, 'CD1_1': -2.8e-4, 'CD1_2': 1e-6,
+           'CD2_1': 1e-6, 'CD2_2': 2.8e-4,
+           'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN'}
+    w = WCS(hdr)
+    w2 = WCS(w.to_header())
+    for xy in [(0, 0), (123.4, 56.7)]:
+        np.testing.assert_allclose(w.pixel_to_world(*xy),
+                                   w2.pixel_to_world(*xy), rtol=1e-12)
