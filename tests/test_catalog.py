@@ -124,3 +124,20 @@ def test_native_deblend_matches_python(rng):
         for wx, wy in want:
             assert min(abs(cx - wx) + abs(cy - wy)
                        for cx, cy in cents) < 1.5
+
+
+def test_native_local_background_matches_python(rng):
+    from tpu_sgp.catalog import native
+    if not native.available():
+        import pytest
+        pytest.skip('native toolchain unavailable')
+    from tpu_sgp.simulate import synthetic_star_field
+    img, _, _ = synthetic_star_field(200, 200, n_stars=30, seed=4)
+    scat, _ = source_info(img)
+    t = scat.to_table(['bbox_xmin', 'bbox_xmax', 'bbox_ymin', 'bbox_ymax'])
+    boxes = np.stack([np.asarray(t[k].value, int) for k in
+                      ('bbox_xmin', 'bbox_xmax', 'bbox_ymin', 'bbox_ymax')],
+                     axis=1)
+    lb_native = native.local_background_batch(scat.data, boxes, 5)
+    lb_python = np.array([scat._local_bkg(*b) for b in boxes])
+    np.testing.assert_allclose(lb_native, lb_python, rtol=0, atol=1e-12)

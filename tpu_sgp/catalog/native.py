@@ -15,6 +15,7 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / 'native'
 _SRC = _NATIVE_DIR / 'deblend.cpp'
+_SRC2 = _NATIVE_DIR / 'localbkg.cpp'
 _SO = _NATIVE_DIR / 'libtpusgp_deblend.so'
 
 _lib = None
@@ -26,11 +27,20 @@ def _load():
     if _lib is not None or _load_error is not None:
         return _lib
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        newest_src = max(_SRC.stat().st_mtime, _SRC2.stat().st_mtime)
+        if not _SO.exists() or _SO.stat().st_mtime < newest_src:
             subprocess.run(['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                            str(_SRC), '-o', str(_SO)],
+                            str(_SRC), str(_SRC2), '-o', str(_SO)],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(str(_SO))
+        lib.local_background_batch.restype = None
+        lib.local_background_batch.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+            ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+        ]
         lib.deblend_segment.restype = ctypes.c_int32
         lib.deblend_segment.argtypes = [
             np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
@@ -66,4 +76,21 @@ def deblend_segment(sub: np.ndarray, inseg: np.ndarray, npixels: int,
                             float(contrast), out)
     if k == 0:
         return None
+    return out
+
+
+def local_background_batch(data: np.ndarray, boxes: np.ndarray, width: int,
+                           sigma: float = 3.0, maxiters: int = 5
+                           ) -> np.ndarray:
+    """Sigma-clipped annulus medians for all sources in one native call.
+    boxes: (n, 4) int32 [x0, x1, y0, y1] inclusive."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f'native localbkg unavailable: {_load_error}')
+    data = np.ascontiguousarray(data, np.float64)
+    boxes = np.ascontiguousarray(boxes, np.int32)
+    out = np.zeros(boxes.shape[0])
+    h, w = data.shape
+    lib.local_background_batch(data, h, w, boxes, boxes.shape[0], width,
+                               float(sigma), maxiters, out)
     return out

@@ -156,6 +156,7 @@ class SourceCatalog:
         out['bbox_ymax'] = np.full(n, np.nan)
         out['local_background'] = np.zeros(n)
         slices = ndimage.find_objects(seg) if n else []
+        boxes = np.zeros((n, 4), np.int32)
         for i, sl in enumerate(slices):
             if sl is None:
                 continue
@@ -164,9 +165,9 @@ class SourceCatalog:
             out['bbox_ymax'][i] = ys.stop - 1
             out['bbox_xmin'][i] = xs.start
             out['bbox_xmax'][i] = xs.stop - 1
-            if self.localbkg_width > 0:
-                out['local_background'][i] = self._local_bkg(
-                    xs.start, xs.stop - 1, ys.start, ys.stop - 1)
+            boxes[i] = (xs.start, xs.stop - 1, ys.start, ys.stop - 1)
+        if self.localbkg_width > 0 and n:
+            out['local_background'] = self._local_bkg_all(boxes)
 
         sky = np.full((n, 2), np.nan)
         if self.wcs is not None and n:
@@ -175,6 +176,19 @@ class SourceCatalog:
 
         self._props = out
         self._sky = sky
+
+    def _local_bkg_all(self, boxes: np.ndarray) -> np.ndarray:
+        """Sigma-clipped annulus medians for every source; one native call
+        when the C++ library is built, Python loop otherwise."""
+        try:
+            from . import native
+            if native.available():
+                return native.local_background_batch(
+                    self.data, boxes, self.localbkg_width)
+        except Exception:
+            pass
+        return np.array([self._local_bkg(x0, x1, y0, y1)
+                         for x0, x1, y0, y1 in boxes])
 
     def _local_bkg(self, x0, x1, y0, y1) -> float:
         wdt = self.localbkg_width

@@ -1,0 +1,88 @@
+// Native batched local-background measurement.
+//
+// For every source, the catalog measures a sigma-clipped median over the
+// rectangular annulus (bbox grown by `width`, minus the bbox) of the
+// background-subtracted image (photutils localbkg_width semantics; the
+// reference reads it through SourceCatalog(localbkg_width=5),
+// utils.py:244-246). Doing this per source in Python costs ~0.5ms each;
+// this loop does all sources in one call.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+double median_of(std::vector<double>& v) {
+  if (v.empty()) return 0.0;
+  size_t mid = v.size() / 2;
+  std::nth_element(v.begin(), v.begin() + mid, v.end());
+  double m = v[mid];
+  if (v.size() % 2 == 0) {
+    double lo = *std::max_element(v.begin(), v.begin() + mid);
+    m = 0.5 * (m + lo);
+  }
+  return m;
+}
+
+double clipped_median(std::vector<double>& vals, double sigma, int maxiters) {
+  // iterative sigma clip around the median (matches utils.sigma_clip)
+  std::vector<double> cur = vals;
+  for (int it = 0; it < maxiters; ++it) {
+    if (cur.empty()) break;
+    std::vector<double> tmp = cur;
+    double med = median_of(tmp);
+    // clip around the median, but std is about the MEAN (numpy np.std
+    // semantics, matching utils.sigma_clip)
+    double mean = 0.0;
+    for (double v : cur) mean += v;
+    mean /= cur.size();
+    double acc = 0.0;
+    for (double v : cur) acc += (v - mean) * (v - mean);
+    double std = std::sqrt(acc / cur.size());
+    std::vector<double> kept;
+    kept.reserve(cur.size());
+    for (double v : cur)
+      if (std::fabs(v - med) <= sigma * std) kept.push_back(v);
+    if (kept.size() == cur.size()) {
+      cur.swap(kept);
+      break;
+    }
+    cur.swap(kept);
+  }
+  if (cur.empty()) cur = vals;
+  return median_of(cur);
+}
+
+}  // namespace
+
+extern "C" {
+
+// data: (h, w) row-major background-subtracted image.
+// boxes: (n, 4) int32 rows [x0, x1, y0, y1] inclusive bboxes.
+// out: (n,) local background medians.
+void local_background_batch(const double* data, int32_t h, int32_t w,
+                            const int32_t* boxes, int32_t n, int32_t width,
+                            double sigma, int32_t maxiters, double* out) {
+  std::vector<double> ann;
+  for (int i = 0; i < n; ++i) {
+    const int32_t x0 = boxes[i * 4 + 0], x1 = boxes[i * 4 + 1];
+    const int32_t y0 = boxes[i * 4 + 2], y1 = boxes[i * 4 + 3];
+    const int32_t yy0 = std::max(0, y0 - width);
+    const int32_t yy1 = std::min((int32_t)h, y1 + 1 + width);
+    const int32_t xx0 = std::max(0, x0 - width);
+    const int32_t xx1 = std::min((int32_t)w, x1 + 1 + width);
+    ann.clear();
+    for (int32_t y = yy0; y < yy1; ++y) {
+      const bool in_y = (y >= y0 && y <= y1);
+      for (int32_t x = xx0; x < xx1; ++x) {
+        if (in_y && x >= x0 && x <= x1) continue;  // inside the bbox
+        ann.push_back(data[(int64_t)y * w + x]);
+      }
+    }
+    out[i] = ann.empty() ? 0.0 : clipped_median(ann, sigma, maxiters);
+  }
+}
+
+}  // extern "C"
