@@ -18,20 +18,53 @@ import numpy as np
 from scipy.ndimage import median_filter, zoom
 
 
+def _nan_median_std(work: np.ndarray):
+    """Vectorized (median, std) over the last axis ignoring NaNs.
+
+    np.nanmedian falls back to a slow masked-array path for small arrays
+    (dominating stamp-sized Background2D); a sort puts NaNs last, so the
+    median comes from index arithmetic on the valid count.
+    """
+    valid = np.isfinite(work)
+    n = valid.sum(axis=-1)
+    n_safe = np.maximum(n, 1)
+    srt = np.sort(work, axis=-1)                      # NaNs sort to the end
+    lo = (n_safe - 1) // 2
+    hi = n_safe // 2
+    take = np.take_along_axis
+    med = 0.5 * (take(srt, lo[..., None], -1)
+                 + take(srt, hi[..., None], -1))[..., 0]
+    filled = np.where(valid, work, 0.0)
+    mean = filled.sum(axis=-1) / n_safe
+    var = (np.where(valid, (work - mean[..., None]) ** 2, 0.0).sum(axis=-1)
+           / n_safe)
+    std = np.sqrt(var)
+    med[n == 0] = np.nan
+    std[n == 0] = np.nan
+    return med, std
+
+
 def _clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int):
     """(median, std) per box with iterative sigma clipping, vectorized over
     the leading axes. boxes: (..., m)."""
     work = boxes.astype(np.float64, copy=True)
+    # sort-based median wins for small boxes (np.nanmedian's masked-array
+    # fallback dominates stamp-sized grids); introselect-based nanmedian
+    # wins for large boxes
+    if boxes.shape[-1] <= 512:
+        stats = _nan_median_std
+    else:
+        def stats(w):
+            return (np.nanmedian(w, axis=-1), np.nanstd(w, axis=-1))
     with np.errstate(invalid='ignore'):
         for _ in range(maxiters):
-            med = np.nanmedian(work, axis=-1, keepdims=True)
-            std = np.nanstd(work, axis=-1, keepdims=True)
-            out = np.abs(work - med) > sigma * std
+            med, std = stats(work)
+            out = (np.abs(work - med[..., None])
+                   > sigma * std[..., None])
             if not np.any(out & np.isfinite(work)):
                 break
             work[out] = np.nan
-        med = np.nanmedian(work, axis=-1)
-        std = np.nanstd(work, axis=-1)
+        med, std = stats(work)
     # boxes that clipped away entirely fall back to raw stats
     bad = ~np.isfinite(med)
     if bad.any():
