@@ -114,3 +114,23 @@ def test_cli_whole_image_beta(tmp_path):
                 '--output_dir', str(tmp_path / 'results')])
     assert np.isfinite(out['deconvolved']).all()
     assert out['iters'] >= 1
+
+
+def test_cli_scale_psf_and_flip(tmp_path):
+    image, psf, _ = synthetic_star_field(96, 96, n_stars=6, seed=15)
+    img_path = str(tmp_path / 'sci.fits')
+    psf_path = str(tmp_path / 'psf.fits')
+    write_fits(img_path, image, Header({'GAIN': 1.0, 'SATURATE': 65000.0}))
+    write_fits(psf_path, psf, Header({'FWHM': 2.8}))
+    from tpu_sgp.cli import main
+    base = ['--data_path_sciimg', img_path, '--data_path_psf', psf_path,
+            '--dtype', 'float64', '--output_dir']
+    out1 = main(base + [str(tmp_path / 'r1')])
+    out2 = main(base + [str(tmp_path / 'r2'), '--scale_psf',
+                        '--psf_scale_fwhm', '2.0'])
+    out3 = main(base + [str(tmp_path / 'r3'), '--flip_image'])
+    for o in (out1, out2, out3):
+        assert np.isfinite(o['deconvolved']).all()
+    # scaled PSF and flipped image must change the result
+    assert not np.allclose(out1['deconvolved'], out2['deconvolved'])
+    assert not np.allclose(out1['deconvolved'], out3['deconvolved'])
