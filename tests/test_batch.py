@@ -124,3 +124,15 @@ def test_restoration_session_serves_buckets():
     import pytest
     with pytest.raises(ValueError):
         sess.restore(np.zeros((2, 8, 8)), np.zeros(2))
+
+
+def test_batched_errflag_tracking():
+    stamps, psf, bkgs, _ = synthetic_star_stamps(3, size=16, seed=21)
+    truths = stamps - bkgs[:, None, None]  # rough truth stand-in
+    cfg = _cfg(max_iter=6, proj_type=0, has_sat_level=False, errflag=True)
+    res = restore_stamps(stamps, psf, bkgs, cfg,
+                         fluxes=stamps.sum(axis=(1, 2)), obj=truths)
+    err = np.asarray(res.err)
+    assert err.shape == (3, 7)
+    assert np.isfinite(err).all()
+    assert (err > 0).all()
