@@ -142,6 +142,16 @@ class PSF:
     def normalize_psf_mat(self) -> np.ndarray:
         return self.model.normalized_matrix(31)
 
+    def calc_psf_pix(self, coeffs, x, y) -> float:
+        """Single-pixel evaluation (reference psf_calculate.py:52-90)."""
+        return float(self.model.evaluate(np.float64(x), np.float64(y),
+                                         np.asarray(coeffs, np.float64)))
+
+    @staticmethod
+    def check_symmetric(coeffs, rtol=1e-05, atol=1e-08) -> bool:
+        coeffs = np.asarray(coeffs)
+        return bool(np.allclose(coeffs, coeffs.T, rtol=rtol, atol=atol))
+
 
 def read_coo(path: str):
     """Read a DIAPL ``sfind`` star list (.coo): 3 comment rows then
