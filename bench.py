@@ -46,7 +46,11 @@ def main():
     def run():
         res = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
                              sat_level=65000.0)
-        return jax.block_until_ready(res)
+        # jax.block_until_ready does NOT block on the axon tunnel backend
+        # (dispatches queue asynchronously); transferring the per-stamp
+        # iteration counts (4 KB) forces real completion of the whole solve
+        np.asarray(res.iters)
+        return res
 
     res = run()  # compile + warm
     iters = np.asarray(res.iters)

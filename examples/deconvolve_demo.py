@@ -54,11 +54,10 @@ def main():
     cfg = SGPConfig(max_iter=100, stop_criterion=3, init_recon=2,
                     proj_type=1, has_flux=True, has_sat_level=True,
                     dtype='float32')
-    import jax
     t0 = time.perf_counter()
-    res = jax.block_until_ready(
-        restore_stamps(stamps, spsf, bkgs, cfg, fluxes=fluxes,
-                       sat_level=65000.0))
+    res = restore_stamps(stamps, spsf, bkgs, cfg, fluxes=fluxes,
+                         sat_level=65000.0)
+    iters_sync = np.asarray(res.iters)  # real device sync
     wall = time.perf_counter() - t0
     iters = np.asarray(res.iters)
     print(f'batched stamps: 128 restorations in {wall * 1e3:.0f}ms '

@@ -17,13 +17,22 @@ import jax
 import numpy as np
 
 
+def _sync(tree):
+    """Force device completion. jax.block_until_ready is a no-op on some
+    tunneled backends (axon), so completion is forced by materializing every
+    leaf on the host."""
+    jax.tree.map(np.asarray, tree)
+    return tree
+
+
 def timed(fn: Callable, *args, repeats: int = 1, **kw):
-    """(result, best wall seconds) with device completion awaited."""
-    out = jax.block_until_ready(fn(*args, **kw))  # warm/compile
+    """(result, best wall seconds) with device completion awaited (real
+    host transfers — see _sync; transfer time is included)."""
+    out = _sync(fn(*args, **kw))  # warm/compile
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args, **kw))
+        out = _sync(fn(*args, **kw))
         best = min(best, time.perf_counter() - t0)
     return out, best
 

@@ -63,12 +63,18 @@ class RestorationSession:
         """Generator over (stamps, bkgs, fluxes) tuples — dispatches the
         next batch while the caller consumes the previous result (JAX's
         async dispatch overlaps host and device)."""
+        def done(res):
+            # force completion with a tiny transfer; block_until_ready is a
+            # no-op on some tunneled backends
+            np.asarray(res.iters)
+            return res
+
         pending = None
         for item in batches:
             stamps, bkgs, fluxes = item
             nxt = self.restore(stamps, bkgs, fluxes=fluxes)
             if pending is not None:
-                yield jax.block_until_ready(pending)
+                yield done(pending)
             pending = nxt
         if pending is not None:
-            yield jax.block_until_ready(pending)
+            yield done(pending)

@@ -198,14 +198,15 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
                              fluxes=sset.fluxes, beta0=best_betas,
                              sat_level=CCD_SAT_LEVEL, mesh=mesh,
                              bucket=True)
-        jax.block_until_ready(res)
+        np.asarray(res.iters)   # real sync (block_until_ready is a no-op
+                                # on the axon tunnel backend)
         solve_wall = timer() - t0
     else:
         t0 = timer()
         res = restore_stamps(sset.stamps, psfs, sset.bkgs, cfg,
                              fluxes=sset.fluxes, sat_level=CCD_SAT_LEVEL,
                              mesh=mesh, bucket=True)
-        jax.block_until_ready(res)
+        np.asarray(res.iters)   # real sync (see above)
         solve_wall = timer() - t0
 
     restored = np.asarray(res.x)
