@@ -3,25 +3,40 @@
 The general batched solve (vmap of solvers.sgp.solve) executes ~100 small
 XLA kernels per outer iteration; at 31x31-stamp sizes the work per kernel is
 microseconds, so the solve is launch-overhead-bound (~3ms/iteration for a
-1024-batch regardless of math). This kernel runs the ENTIRE solver —
-operator matmuls on the MXU, flux projection, Armijo backtracking, BB
-steplengths, stop rule — inside one pallas_call, with every per-lane buffer
-resident in VMEM across all iterations. The grid tiles the batch; each grid
-step solves TILE stamps to completion.
+1024-batch regardless of math; a bare while_loop costs ~24ms fixed per
+program on this tunnel while its iterations are ~8us). This kernel runs the
+ENTIRE solver — operator matmuls on the MXU, dual-bisection flux projection,
+Armijo backtracking, BB steplengths, stop rule, revert semantics — inside
+one pallas_call, with every per-lane buffer resident in VMEM across all
+iterations. The grid tiles the batch; each grid step solves TILE stamps to
+completion.
+
+Mosaic constraints shaped the implementation: per-lane "scalars" are kept at
+full (TILE, 128) lane width (the remote Mosaic compiler ICEs on narrow
+(TILE, 1) select/add chains in loop carries), selects are arithmetic blends,
+state lives in VMEM scratch refs rather than fori-loop carries, and the
+outer iteration is a scalar-counter while_loop (static fori trip counts
+appear to be fully unrolled, exploding the remote compile).
 
 Scope (asserted): KL divergence, init_recon=2, proj_type=1 with saturation,
-scale_data=True, precomputed flux, stop_criterion 1 or 3, shared PSF.
-Everything else uses the general solver. Semantics mirror solvers/sgp.py for
-this subset (same formulas; per-lane vectorized over the tile).
+scale_data=True, precomputed flux, stop_criterion 1 or 3, shared PSF,
+m_mem=1, m_alpha=3. Everything else uses the general solver. Semantics
+mirror solvers/sgp.py for this subset.
 
-STATUS: EXPERIMENTAL. Validates against the general solver in interpret
-mode (7.7e-7 max rel, identical iteration counts), but the axon remote
-Mosaic compiler currently ICEs ("tpu_compile_helper subprocess exit code 1")
-on an `add` inside the masked-commit blends, even after removing all narrow
-select_n / int / bool vector ops. See NOTES.md for the investigation state;
-wiring into restore_stamps/bench is deferred until the kernel compiles on
-hardware. The payoff case is quantified there (the general batched solve is
-kernel-launch-overhead-bound at ~3ms/iteration for a 1024-batch).
+STATUS: EXPERIMENTAL — correct but not profitable on v5e. It compiles and
+runs on hardware (after three Mosaic findings: narrow (TILE,1) select/int/
+bool ops ICE the remote compiler; static fori trip counts are fully
+unrolled, exploding compiles — use a scalar-counter while_loop; default
+16 MB scoped VMEM needs CompilerParams(vmem_limit_bytes=...) for the
+resident state). Measured: in-kernel dynamic while iterations cost ~100us
+each on this backend, so the ~1.8k serial steps of a full solve take
+~240-400ms per call vs ~45-110ms for the XLA-level general path — the
+launch-overhead arithmetic that motivated the kernel does not hold once
+Mosaic's own loop overhead is accounted. Kept as a validated case study
+(interpret mode matches the general solver; hardware runs produce correct
+iteration schedules) and for backends with cheaper kernel control flow.
+Heavy stress runs once crashed the tunneled TPU worker — do not wire into
+production paths on this backend.
 """
 from __future__ import annotations
 
@@ -34,45 +49,52 @@ import numpy as np
 from ..config import SGPConfig
 from ..ops.psf_operator import build_circulant_matrix
 
-TILE = 64           # stamps per grid step; VMEM budget ~11 MB at 31x31
-_LANE_PAD = 128     # pixel-axis padding for TPU lanes
+TILE = 64           # stamps per grid step; VMEM budget ~12 MB at 31x31
+_LANES = 128        # scalar-state lane width / pixel-axis padding unit
 
 
-def _kernel(gn_ref, bkg_ref, flux_ref, sat_ref, c_ref, x_out, it_out, *,
-            cfg: SGPConfig, n_pix: int):
+def _kernel(gn_ref, bkg_ref, flux_ref, sat_ref, c_ref, x_out, it_out,
+            x_s, xp_s, xm_s, g_s, xtf_s, sc_s, *, cfg: SGPConfig,
+            n_pix: int):
     dt = gn_ref.dtype
     eps = jnp.finfo(dt).eps
     one = jnp.asarray(1.0, dt)
+    p = gn_ref.shape[1]
+    rep = p // _LANES
 
-    gn = gn_ref[:]                      # (TILE, P) P = padded pixels
-    bkg = bkg_ref[:]
-    flux_in = flux_ref[:]               # (TILE, 1)
-    sat = sat_ref[:]                    # (TILE, 1)
-    cmat = c_ref[:]                     # (P, P) zero-padded circulant
+    gn0 = gn_ref[:]                      # (TILE, P)
+    bkg0 = bkg_ref[:]
+    cmat = c_ref[:]                      # (P, P) zero-padded circulant
 
-    # padded pixels carry gn = 0 -> masked out of every reduction
-    col = jax.lax.broadcasted_iota(jnp.int32, gn.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, gn0.shape, 1)
     valid = (col < n_pix).astype(dt)
-    n = jnp.asarray(float(n_pix), dt)
+
+    def wide(a):
+        """(TILE, 1) -> (TILE, LANES) broadcast."""
+        return jnp.broadcast_to(a, (a.shape[0], _LANES))
+
+    def full(a):
+        """(TILE, LANES) scalar state -> (TILE, P) via lane-block repeat."""
+        if rep == 1:
+            return a
+        return jnp.concatenate([a] * rep, axis=1)
 
     def rsum(a):
-        return jnp.sum(a * valid, axis=1, keepdims=True)
+        return wide(jnp.sum(a * valid, axis=1, keepdims=True))
 
     def rmax(a):
-        return jnp.max(jnp.where(valid > 0, a, -jnp.inf), axis=1,
-                       keepdims=True)
+        return wide(jnp.max(jnp.where(valid > 0, a, -jnp.inf), axis=1,
+                            keepdims=True))
 
     def rmin_pos(a):
-        return jnp.min(jnp.where((valid > 0) & (a > 0), a, jnp.inf),
-                       axis=1, keepdims=True)
+        return wide(jnp.min(jnp.where((valid > 0) & (a > 0), a, jnp.inf),
+                            axis=1, keepdims=True))
 
     def blend(pred, a, b):
-        # arithmetic select: Mosaic ICEs on select_n over (TILE, 1) values
-        ind = pred.astype(dt)
-        return b + ind * (a - b)
+        # arithmetic select (Mosaic ICEs on select_n chains here)
+        return b + pred.astype(dt) * (a - b)
 
     def A(x):
-        # out[l] = C @ x[l]: contract x axis 1 with C axis 1
         return jax.lax.dot_general(
             x, cmat, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -85,83 +107,93 @@ def _kernel(gn_ref, bkg_ref, flux_ref, sat_ref, c_ref, x_out, it_out, *,
             precision=jax.lax.Precision.HIGHEST)
 
     # ---- preamble (solvers/sgp.py semantics, per-lane vectorized) --------
-    scaling = rmax(gn)
-    gn = gn / scaling * valid
-    bkg = bkg / scaling
-    x = gn                               # init_recon == 2
-    vmin = rmin_pos(gn)
+    scaling = rmax(gn0)                  # (TILE, LANES)
+    scaling_f = full(scaling)
+    gn = gn0 / scaling_f * valid
+    bkg = bkg0 / scaling_f
+    vmin = full(rmin_pos(gn))
     gn = jnp.where((gn <= 0) & (valid > 0), vmin * eps * eps, gn) * valid
-    flux = flux_in / scaling
-    cap = sat / scaling - eps
+    flux = wide(flux_ref[:, :1]) / scaling    # (TILE, LANES)
+    cap = wide(sat_ref[:, :1]) / scaling - eps
 
     def project(c_point, dia):
-        # per-lane dual bisection (fixed 40 halvings, f32)
-        def xval(lam):
-            return jnp.minimum(cap, jnp.maximum((c_point + lam) / dia, 0.0)
-                               ) * valid
-        lo = jnp.min(jnp.where(valid > 0, -c_point, jnp.inf), axis=1,
-                     keepdims=True)
-        hi = jnp.maximum(rmax(flux * dia - c_point), lo + 1.0)
+        cap_f = full(cap)
 
-        def body(_, carry):
-            lo, hi = carry
+        def xval(lam_w):
+            lam_f = full(lam_w)
+            return jnp.minimum(cap_f,
+                               jnp.maximum((c_point + lam_f) / dia, 0.0)
+                               ) * valid
+
+        lo = wide(jnp.min(jnp.where(valid > 0, -c_point, jnp.inf), axis=1,
+                          keepdims=True))
+        hi = jnp.maximum(rmax(full(flux) * dia - c_point), lo + 1.0)
+
+        def p_cond(c):
+            return c[0] < 40
+
+        def p_body(c):
+            k, lo, hi = c
             mid = 0.5 * (lo + hi)
             r = rsum(xval(mid)) - flux
-            # arithmetic blend instead of select_n: Mosaic ICEs on selects
-            # over (TILE, 1) loop carries
             ind = (r < 0).astype(dt)
-            return (lo + ind * (mid - lo), mid + ind * (hi - mid))
+            return (k + 1, lo + ind * (mid - lo), mid + ind * (hi - mid))
 
-        lo, hi = jax.lax.fori_loop(0, 40, body, (lo, hi))
+        _, lo, hi = jax.lax.while_loop(p_cond, p_body,
+                                       (jnp.int32(0), lo, hi))
         return xval(0.5 * (lo + hi))
-
-    x = project(x, jnp.ones_like(x))
-
-    x_tf = A(x)
-    den = x_tf + bkg
-    safe_den = jnp.where(valid > 0, den, 1.0)
-    g = (1.0 - AT(gn / safe_den)) * valid
 
     def objective(x_tf_t):
         den_t = jnp.where(valid > 0, x_tf_t + bkg, 1.0)
         gn_safe = jnp.where(valid > 0, gn, 1.0)
         return (rsum(gn * jnp.log(gn_safe / den_t)) + rsum(x_tf_t) - flux)
 
+    x = project(gn, jnp.ones_like(gn))   # init_recon == 2 then projection
+    x_tf = A(x)
+    den = jnp.where(valid > 0, x_tf + bkg, 1.0)
+    g = (1.0 - AT(gn / den)) * valid
     fv = objective(x_tf)
 
-    y_b = (flux / (flux + bkg)) * AT(gn)
-    x_lb = rmin_pos(y_b)
-    x_ub = rmax(y_b)
-    widen = x_ub / x_lb < 50.0
-    x_lb = blend(widen, x_lb / 10.0, x_lb)
-    x_ub = blend(widen, x_ub * 10.0, x_ub)
+    y_b = (full(flux) / (full(flux) + bkg)) * AT(gn)
+    x_lb0 = rmin_pos(y_b)
+    x_ub0 = rmax(y_b)
+    widen = x_ub0 / x_lb0 < 50.0
+    x_lb = full(blend(widen, x_lb0 / 10.0, x_lb0))
+    x_ub = full(blend(widen, x_ub0 * 10.0, x_ub0))
 
-    x_mat = jnp.clip(x, x_lb, x_ub)
-    alpha = jnp.full_like(flux, cfg.alpha_init)
-    tau = jnp.full_like(flux, cfg.tau_init)
-    # alpha memory unrolled into (TILE, 1) buffers (m_alpha == 3 asserted;
-    # Mosaic rejects narrow (TILE, 3) vectors)
-    v0 = jnp.full_like(flux, cfg.alpha_max)
-    v1 = jnp.full_like(flux, cfg.alpha_max)
-    v2 = jnp.full_like(flux, cfg.alpha_max)
-    fold = jnp.full_like(flux, -1e30)    # m_mem == 1
-    # keep/it as floats: Mosaic ICEs on narrow bool/int vectors in carries
-    keep = jnp.ones_like(flux)
-    it = jnp.ones_like(flux)
-    x_prev = x
+    # ---- VMEM-resident state --------------------------------------------
+    x_s[:] = x
+    xp_s[:] = x
+    xm_s[:] = jnp.clip(x, x_lb, x_ub)
+    g_s[:] = g
+    xtf_s[:] = x_tf
+    sc_s[0] = fv                                  # objective
+    sc_s[1] = jnp.full_like(fv, cfg.alpha_init)   # alpha
+    sc_s[2] = jnp.full_like(fv, cfg.tau_init)     # tau
+    sc_s[3] = jnp.full_like(fv, cfg.alpha_max)    # valpha memory 0
+    sc_s[4] = jnp.full_like(fv, cfg.alpha_max)    # valpha memory 1
+    sc_s[5] = jnp.full_like(fv, cfg.alpha_max)    # valpha memory 2
+    sc_s[6] = jnp.ones_like(fv)                   # keep flag (1.0/0.0)
+    sc_s[7] = jnp.ones_like(fv)                   # iteration counter
 
     tol = jnp.asarray(cfg.tol_convergence, dt)
 
-    def outer(_, carry):
-        (x, x_prev, x_mat, g, x_tf, fv, alpha, tau, v0, v1, v2, fold,
-         keep, it) = carry
-        keep_b = keep > 0.5
-        x_start = x
+    def outer_body():
+        x = x_s[:]
+        x_mat = xm_s[:]
+        g = g_s[:]
+        x_tf = xtf_s[:]
+        fv = sc_s[0]
+        alpha = sc_s[1]
+        tau = sc_s[2]
+        v1 = sc_s[4]
+        v2 = sc_s[5]
+        keep = sc_s[6]
+        it = sc_s[7]
 
-        v0, v1 = v1, v2                  # roll the alpha memory
         fold_new = fv
 
-        y = x - alpha * x_mat * g
+        y = x - full(alpha) * x_mat * g
         d_metric = 1.0 / jnp.where(valid > 0, x_mat, 1.0)
         y = project(y * d_metric * valid, d_metric)
         d = (y - x) * valid
@@ -172,24 +204,26 @@ def _kernel(gn_ref, bkg_ref, flux_ref, sat_ref, c_ref, x_out, it_out, *,
 
         def bt_cond(c):
             lam, fv_t, acc, k = c
-            return jnp.any(~acc) & (k < cfg.max_backtracks)
+            return jnp.any(acc < 0.5) & (k < cfg.max_backtracks)
 
         def bt_body(c):
             lam, fv_t, acc, k = c
-            fv_try = objective(x_tf + lam * d_tf)
-            ok = (fv_try <= fr + cfg.gamma * lam * gd) | (lam < 1e-12)
-            new_lam = blend(acc | ok, lam, lam * cfg.bt_factor)
-            new_fv = blend(acc, fv_t, fv_try)
-            return (new_lam, new_fv, acc | ok, k + 1)
+            fv_try = objective(x_tf + full(lam) * d_tf)
+            ok = ((fv_try <= fr + cfg.gamma * lam * gd)
+                  | (lam < 1e-12)).astype(dt)
+            done = jnp.maximum(acc, ok)
+            new_lam = blend(done > 0.5, lam, lam * cfg.bt_factor)
+            new_fv = blend(acc > 0.5, fv_t, fv_try)
+            return (new_lam, new_fv, done, k + 1)
 
         lam, fv_new, _, _ = jax.lax.while_loop(
             bt_cond, bt_body,
-            (jnp.ones_like(flux), fv, jnp.zeros_like(keep, dtype=jnp.bool_),
-             jnp.int32(0)))
+            (jnp.ones_like(fv), fv, jnp.zeros_like(fv), jnp.int32(0)))
 
-        x_new = (x + lam * d) * valid
-        sk = lam * d
-        x_tf_new = x_tf + lam * d_tf
+        lam_f = full(lam)
+        x_new = (x + lam_f * d) * valid
+        sk = lam_f * d
+        x_tf_new = x_tf + lam_f * d_tf
         den_new = jnp.where(valid > 0, x_tf_new + bkg, 1.0)
         g_new = (1.0 - AT(gn / den_new)) * valid
         yk = (g_new - g) * valid
@@ -202,17 +236,16 @@ def _kernel(gn_ref, bkg_ref, flux_ref, sat_ref, c_ref, x_out, it_out, *,
         ck = rsum(yk2 * sk)
         alpha1 = blend(
             bk <= 0, jnp.minimum(10.0 * alpha, cfg.alpha_max),
-            jnp.clip(rsum(sk2 * sk2) / blend(bk <= 0, one, bk),
+            jnp.clip(rsum(sk2 * sk2) / blend(bk <= 0, one + 0 * bk, bk),
                      cfg.alpha_min, cfg.alpha_max))
         alpha2 = blend(
             ck <= 0, jnp.minimum(10.0 * alpha, cfg.alpha_max),
-            jnp.clip(ck / blend(ck <= 0, one, rsum(yk2 * yk2)),
+            jnp.clip(ck / blend(ck <= 0, one + 0 * ck, rsum(yk2 * yk2)),
                      cfg.alpha_min, cfg.alpha_max))
-        v2 = alpha2
 
-        vmin_a = jnp.minimum(jnp.minimum(v0, v1), v2)
+        vmin_a = jnp.minimum(jnp.minimum(v1, v2), alpha2)
         ratio_lt = alpha2 / alpha1 < tau
-        early = it <= 20
+        early = it <= 20.5
         use_min = early | ratio_lt
         alpha_new = blend(use_min, vmin_a, alpha1)
         tau_new = blend(early, tau,
@@ -221,32 +254,44 @@ def _kernel(gn_ref, bkg_ref, flux_ref, sat_ref, c_ref, x_out, it_out, *,
         it_new = it + 1.0
         if cfg.stop_criterion == 3:
             reld = (fold_new - fv_new) / fv_new
-            rule = (reld > tol) & (reld >= 0)
+            rule = ((reld > tol) & (reld >= 0)).astype(dt)
         else:
-            rule = keep_b | True
-        keep_new = keep_b & rule & (it_new <= cfg.max_iter)
+            rule = jnp.ones_like(fv)
+        keep_new = keep * rule * (it_new <= cfg.max_iter + 0.5).astype(dt)
 
-        # masked commit: lanes that already stopped freeze their state
-        keep_f = keep
+        kf = keep
+        kf_f = full(kf)
 
-        def sel(new, old):
-            return old + keep_f * (new - old)
+        # masked commits: frozen lanes keep their state; x_prev trails x by
+        # one accepted iteration (the reference's revert-on-exit)
+        xp_s[:] = xp_s[:] + kf_f * (x - xp_s[:])
+        x_s[:] = x + kf_f * (x_new - x)
+        xm_s[:] = x_mat + kf_f * (x_mat_new - x_mat)
+        g_s[:] = g + kf_f * (g_new - g)
+        xtf_s[:] = x_tf + kf_f * (x_tf_new - x_tf)
+        sc_s[0] = fv + kf * (fv_new - fv)
+        sc_s[1] = alpha + kf * (alpha_new - alpha)
+        sc_s[2] = tau + kf * (tau_new - tau)
+        sc_s[3] = sc_s[3] + kf * (v1 - sc_s[3])
+        sc_s[4] = v1 + kf * (v2 - v1)
+        sc_s[5] = v2 + kf * (alpha2 - v2)
+        sc_s[6] = keep * keep_new
+        sc_s[7] = it + kf
 
-        it_next = it + keep
-        return (sel(x_new, x), sel(x_start, x_prev), sel(x_mat_new, x_mat),
-                sel(g_new, g), sel(x_tf_new, x_tf), sel(fv_new, fv),
-                sel(alpha_new, alpha), sel(tau_new, tau),
-                sel(v0, carry[8]), sel(v1, carry[9]), sel(v2, carry[10]),
-                sel(fold_new, fold), keep * keep_new.astype(dt), it_next)
+    # scalar-counter while_loop: a static fori trip count appears to be
+    # fully unrolled by Mosaic, exploding the remote compile at real
+    # max_iter values
+    def w_cond(k):
+        return k < cfg.max_iter
 
-    carry = (x, x_prev, x_mat, g, x_tf, fv, alpha, tau, v0, v1, v2, fold,
-             keep, it)
-    (x, x_prev, _, _, _, _, _, _, _, _, _, _, _, it) = jax.lax.fori_loop(
-        0, cfg.max_iter, outer, carry)
+    def w_body(k):
+        outer_body()
+        return k + 1
 
-    # the reference returns the previous iterate on exit
-    x_out[:] = x_prev * scaling * valid
-    it_out[:] = it - 1.0
+    jax.lax.while_loop(w_cond, w_body, jnp.int32(0))
+
+    x_out[:] = xp_s[:] * scaling_f * valid
+    it_out[:] = sc_s[7] - 1.0
 
 
 def solve_stamps_pallas(gn, psf, bkgs, fluxes, sat_level,
@@ -266,12 +311,11 @@ def solve_stamps_pallas(gn, psf, bkgs, fluxes, sat_level,
     gn = jnp.asarray(gn, dt)
     b, h, w = gn.shape
     n_pix = h * w
-    p = -(-n_pix // _LANE_PAD) * _LANE_PAD
+    p = -(-n_pix // _LANES) * _LANES
 
     pad_b = (-b) % TILE
     gn2 = jnp.zeros((b + pad_b, p), dt)
     gn2 = gn2.at[:b, :n_pix].set(gn.reshape(b, n_pix))
-    # padded lanes get a benign copy of stamp 0
     if pad_b:
         gn2 = gn2.at[b:, :n_pix].set(
             jnp.broadcast_to(gn.reshape(b, n_pix)[0], (pad_b, n_pix)))
@@ -297,7 +341,7 @@ def solve_stamps_pallas(gn, psf, bkgs, fluxes, sat_level,
 
     grid = (b + pad_b) // TILE
     out_shape = (jax.ShapeDtypeStruct((b + pad_b, p), dt),
-                 jax.ShapeDtypeStruct((b + pad_b, 1), dt))
+                 jax.ShapeDtypeStruct((b + pad_b, _LANES), dt))
     x_pad, iters_pad = pl.pallas_call(
         partial(_kernel, cfg=cfg, n_pix=n_pix),
         grid=(grid,),
@@ -315,9 +359,19 @@ def solve_stamps_pallas(gn, psf, bkgs, fluxes, sat_level,
         ],
         out_specs=(pl.BlockSpec((TILE, p), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                   pl.BlockSpec((TILE, _LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((TILE, p), dt),          # x
+            pltpu.VMEM((TILE, p), dt),          # x_prev
+            pltpu.VMEM((TILE, p), dt),          # x_mat
+            pltpu.VMEM((TILE, p), dt),          # g
+            pltpu.VMEM((TILE, p), dt),          # x_tf
+            pltpu.VMEM((8, TILE, _LANES), dt),  # scalar slabs
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == 'cpu',
     )(gn2, bk_full, fl_full, sat_full, c_full)
 
