@@ -31,6 +31,10 @@ def _batched_solve(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0, sat,
                    cfg: SGPConfig, per_stamp_psf: bool) -> SGPResult:
     """Module-level jitted vmap of the solver (stable cache key: one
     compilation per (cfg, shapes), not per call site)."""
+    if cfg.save:
+        raise ValueError('cfg.save (per-iteration FITS dump) is a '
+                         'single-image debug path; lanes of a batch would '
+                         'overwrite each other')
     return jax.vmap(
         lambda g, p, bk, z, f, o, bp, lr, s: solve(g, p, bk, z, f, o, bp,
                                                    lr, s, cfg),
