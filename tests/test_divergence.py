@@ -49,6 +49,30 @@ def test_beta_div_dbeta_vs_autodiff(rng):
         assert np.isclose(closed, npver, rtol=1e-12)
 
 
+def test_beta_div_dbeta_float32_stability_near_special_betas(rng):
+    """The series-switched d/dbeta form stays accurate in f32 where the
+    reference's 1/(beta-1)^2 closed form loses all precision (beta near 1
+    and 0); at the exact singular points it returns the finite limit."""
+    den = rng.uniform(0.2, 5.0, 1024)
+    gn = rng.uniform(0.2, 5.0, 1024)
+    d64, g64 = jnp.asarray(den), jnp.asarray(gn)
+    d32 = jnp.asarray(den, jnp.float32)
+    g32 = jnp.asarray(gn, jnp.float32)
+    for b in (1.0001, 0.9999, 1.000001, 1e-4, -1e-4):
+        exact = float(jnp.sum(dv.beta_div_dbeta(d64, g64, jnp.float64(b))))
+        f32 = float(jnp.sum(dv.beta_div_dbeta(d32, g32, jnp.float32(b))))
+        raw = beta_div_dbeta_np(den.astype(np.float32),
+                                gn.astype(np.float32), np.float32(b)).sum()
+        assert abs(f32 - exact) / abs(exact) < 1e-3, (b, f32, exact)
+        assert abs(f32 - exact) < abs(raw - exact), (b, f32, raw, exact)
+    # exact singular points: finite, equal to the two-sided limit
+    for b, eps in ((1.0, 1e-9), (0.0, 1e-9)):
+        at = float(jnp.sum(dv.beta_div_dbeta(d64, g64, jnp.float64(b))))
+        lim = float(jnp.sum(dv.beta_div_dbeta(d64, g64, jnp.float64(b + eps))))
+        assert np.isfinite(at)
+        assert np.isclose(at, lim, rtol=1e-6), (b, at, lim)
+
+
 def test_beta_grad_reduces_to_kl_at_beta1(rng):
     """betaDivDerivwrtY at beta=1 equals the KL gradient
     (reference tests.py:21-52)."""

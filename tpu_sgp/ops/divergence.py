@@ -13,6 +13,8 @@ Conventions (matching the reference):
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -76,28 +78,54 @@ def beta_div_value(den, gn, beta):
     return beta_div(den, gn, beta)
 
 
+# Taylor coefficients of E2(s) = (s*exp(s) - expm1(s)) / s**2
+#   = sum_{m>=0} (m+1)/(m+2)! * s**m  (E2(0) = 1/2).
+_E2_COEFFS = tuple((m + 1) / float(math.factorial(m + 2)) for m in range(11))
+
+
+def _dpow_kernel(t: jnp.ndarray, v: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """d/dt [ (e^{t*u} - e^{t*v}) / t ]  with u = v + delta, evaluated
+    without cancellation at small t (and exact in the t -> 0 limit, where it
+    equals (u^2 - v^2)/2).
+
+    Factoring e^{t*v} and writing s = t*delta gives
+        e^{t*v} * delta * ( v * expm1(s)/s + delta * E2(s) ),
+        E2(s) = (s*e^s - expm1(s)) / s^2.
+    E2 is the only cancelling piece; it switches to its Taylor series for
+    |s| < 0.25 (truncation ~1e-16 relative there, and the closed form is
+    well-conditioned above it).
+    """
+    s = t * delta
+    small = jnp.abs(s) < 0.25
+    safe_s = jnp.where(s == 0, 1.0, s)
+    e1 = jnp.where(s == 0, 1.0, jnp.expm1(s) / safe_s)
+    closed_s = jnp.where(small, 1.0, s)
+    e2_closed = (closed_s * jnp.exp(closed_s) - jnp.expm1(closed_s)) / (closed_s * closed_s)
+    e2_series = jnp.zeros_like(s) + _E2_COEFFS[-1]
+    for c in _E2_COEFFS[-2::-1]:
+        e2_series = e2_series * s + c
+    e2 = jnp.where(small, e2_series, e2_closed)
+    return jnp.exp(t * v) * delta * (v * e1 + delta * e2)
+
+
 def beta_div_dbeta(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
     """Elementwise d betaDiv / d beta (reference ``betaDivDeriv``, sgp.py:462-495).
 
-    The reference uses a SymPy-derived closed form; here the same closed form
-    is expressed with hoisted subterms. ``jax.grad(beta_div, argnums=2)``
-    is the oracle (tests verify they agree, replacing the reference's
-    PyTorch-autograd check).
+    The reference uses a SymPy-derived closed form whose 1/(beta-1)^2 and
+    1/beta^2 terms catastrophically cancel in float32 near beta = 1 (and 0).
+    Writing the divergence as
+        phi(beta) = gn * (gn^e - den^e)/e - (gn^b - den^b)/b,
+        e = beta - 1, b = beta,
+    each term's beta-derivative is ``_dpow_kernel`` above, which is
+    cancellation-free and continuous through beta in {0, 1}:
+        dphi/dbeta = gn * K(e) - K(b),  K(t) = _dpow_kernel(t, log den, log(gn/den)).
+    Values agree with the reference closed form to f64 roundoff for generic
+    beta; ``jax.grad(beta_div, argnums=2)`` is the test oracle (replacing the
+    reference's PyTorch-autograd check, tests.py:54-68).
     """
-    b = beta
-    bm1 = b - 1.0
-    log_d = jnp.log(den)
-    log_g = jnp.log(gn)
-    d_bm1 = den ** bm1
-    g_b = gn ** b
-    d_b = den ** b
-    return (-gn * d_bm1 * log_d / bm1
-            + gn * d_bm1 / (bm1 * bm1)
-            + g_b * log_g / (b * bm1)
-            - g_b / (b * bm1 * bm1)
-            + d_b * log_d / b
-            - g_b / (b * b * bm1)
-            - d_b / (b * b))
+    v = jnp.log(den)
+    delta = jnp.log(gn / den)
+    return gn * _dpow_kernel(beta - 1.0, v, delta) - _dpow_kernel(beta, v, delta)
 
 
 def beta_grad_wrt_recon(AT, den: jnp.ndarray, gn: jnp.ndarray,
