@@ -7,6 +7,36 @@ mounted read-only at /root/reference): one functional solver core
 flux-conserving projection, and the surrounding framework — PSF modeling,
 source catalogs, tiling/mosaicking, metrics, workloads and CLI.
 """
+import os as _os
+
+
+def _enable_persistent_compile_cache():
+    """Point JAX at an on-disk compilation cache unless the user already
+    configured one (or opted out with TPU_SGP_NO_COMPILE_CACHE=1).
+
+    Workload walls are dominated by one-off XLA compiles of the large
+    batched solves (minutes for a 2560-solve candidate grid); the persistent
+    cache makes every rerun warm. JAX only caches compiles above its
+    min-compile-time threshold, so small/interactive traces are unaffected.
+    """
+    if _os.environ.get('TPU_SGP_NO_COMPILE_CACHE'):
+        return
+    import jax
+    if (_os.environ.get('JAX_COMPILATION_CACHE_DIR')
+            or jax.config.jax_compilation_cache_dir):
+        return
+    cache = _os.environ.get(
+        'TPU_SGP_CACHE_DIR',
+        _os.path.join(_os.path.expanduser('~'), '.cache', 'tpu_sgp', 'jax'))
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache)
+    except OSError:
+        pass  # read-only home etc. — run without a persistent cache
+
+
+_enable_persistent_compile_cache()
+
 from .config import SGPConfig, DEFAULT_PARAMS, DEFAULT_COLUMNS, parity_config
 from .api import sgp, sgp_beta_div, sgp_betaDiv, check_psf_normalized
 from .solvers.sgp import solve, solve_with_state, resume_from_state, SGPResult, SGPState
