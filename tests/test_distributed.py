@@ -94,6 +94,62 @@ def test_distributed_solve_matches_single_device_beta_early_stop():
                                rtol=1e-10)
 
 
+def test_distributed_batch_solve_matches_single_device():
+    """3-D (batch, ty, tx) mesh: per-image results and iteration schedules
+    equal the single-device linear solves."""
+    from tpu_sgp.parallel.distributed import (make_batch_image_mesh,
+                                              solve_distributed_batch)
+    imgs, psfs = [], None
+    for seed in (5, 9):
+        img, psf = _problem(h=64, w=64, n_stars=8, seed=seed)
+        imgs.append(img)
+        psfs = psf  # shared PSF
+    imgs = np.stack(imgs)
+    cfg = SGPConfig(max_iter=40, stop_criterion=3, tol_convergence=1e-4,
+                    init_recon=2, proj_type=1, has_flux=True,
+                    has_sat_level=True, dtype='float64', operator='linear')
+    fluxes = np.array([float(im.sum() - 150.0 * im.size) for im in imgs])
+
+    singles = [_single(im, psfs, cfg, flux=fl, sat=65000.0)
+               for im, fl in zip(imgs, fluxes)]
+
+    mesh = make_batch_image_mesh(batch=2, devices=jax.devices()[:8])
+    assert dict(mesh.shape) == {'batch': 2, 'ty': 2, 'tx': 2}
+    dist = solve_distributed_batch(imgs, psfs, 150.0, cfg, mesh,
+                                   fluxes=fluxes, sat_level=65000.0)
+    assert np.asarray(dist.x).shape == imgs.shape
+    its = np.asarray(dist.iters)
+    for i, single in enumerate(singles):
+        assert int(its[i]) == int(single.iters), i
+        np.testing.assert_allclose(np.asarray(dist.x)[i],
+                                   np.asarray(single.x),
+                                   rtol=1e-6, atol=1e-6)
+    # the two images must follow DIFFERENT schedules for this test to bite
+    assert int(singles[0].iters) != int(singles[1].iters)
+
+
+def test_distributed_batch_beta_per_image_beta0():
+    from tpu_sgp.parallel.distributed import (make_batch_image_mesh,
+                                              solve_distributed_batch)
+    img, psf = _problem(h=64, w=64, n_stars=6, seed=7)
+    imgs = np.stack([img, img])
+    cfg = SGPConfig(max_iter=12, stop_criterion=1, init_recon=2,
+                    proj_type=1, has_flux=False, has_sat_level=False,
+                    divergence='beta', adapt_beta=True, schedule_lr=True,
+                    dtype='float64', operator='linear')
+    mesh = make_batch_image_mesh(batch=2, devices=jax.devices()[:8])
+    dist = solve_distributed_batch(imgs, psf, 150.0, cfg, mesh,
+                                   beta0=np.array([1.01, 0.99]))
+    betas = np.asarray(dist.beta)
+    # identical images, different beta0 -> different adapted betas + results
+    assert betas[0] != betas[1]
+    single = _single(img, psf, cfg, beta0=1.01)
+    np.testing.assert_allclose(np.asarray(dist.x)[0], np.asarray(single.x),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(betas[0]), float(single.beta),
+                               rtol=1e-9)
+
+
 def test_mesh_factorization():
     mesh = make_image_mesh(devices=jax.devices()[:8])
     assert dict(mesh.shape) in ({'ty': 2, 'tx': 4},)

@@ -81,6 +81,15 @@ class SGPConfig:
     # Mesh axis names when the solve runs inside shard_map over a 2-D image
     # grid ('halo' operator): reductions become psum/pmax/pmin collectives.
     axis_names: tuple = ()
+    # Mesh axes to synchronize LOOP TRIP COUNTS over (e.g. the 'batch' axis
+    # of a 3-D (batch, ty, tx) mesh). Device groups that shard different
+    # images execute different iteration/backtrack counts, and a collective
+    # (halo ppermute, objective psum) inside a data-dependent loop then
+    # deadlocks the mesh. With sync_axes the continue flags are OR-reduced
+    # over these axes and already-stopped lanes carry their state unchanged,
+    # so every device executes the identical collective sequence while
+    # results stay exactly per-image.
+    sync_axes: tuple = ()
 
     def __post_init__(self):
         if self.divergence not in ('kl', 'beta'):

@@ -1,6 +1,8 @@
 from .batch import beta_init_search, restore_stamps
-from .distributed import make_image_mesh, solve_distributed
+from .distributed import (make_batch_image_mesh, make_image_mesh,
+                          solve_distributed, solve_distributed_batch)
 from .session import RestorationSession
 
 __all__ = ['restore_stamps', 'beta_init_search', 'make_image_mesh',
-           'solve_distributed', 'RestorationSession']
+           'make_batch_image_mesh', 'solve_distributed',
+           'solve_distributed_batch', 'RestorationSession']

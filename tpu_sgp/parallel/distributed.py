@@ -43,6 +43,28 @@ def make_image_mesh(shape: Tuple[int, int] = None, devices=None,
     return Mesh(mesh_devices, axis_names=axis_names)
 
 
+def make_batch_image_mesh(batch: int = None, devices=None,
+                          axis_names: Tuple[str, str, str] =
+                          ('batch', 'ty', 'tx')) -> Mesh:
+    """Build the 3-D (batch, tile_y, tile_x) mesh of SURVEY §2.3: batch
+    fan-out on the leading axis (DCN across slices on real pods), 2-D image
+    sharding on the trailing axes (ICI halo exchange). With no explicit
+    ``batch`` the leading axis takes the smallest prime factor of the device
+    count, leaving the most devices for the spatial grid."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if batch is None:
+        batch = next((p for p in range(2, n + 1) if n % p == 0), 1)
+    if n % batch:
+        raise ValueError(f'batch axis {batch} does not divide {n} devices')
+    m = n // batch
+    ty = int(np.floor(np.sqrt(m)))
+    while m % ty:
+        ty -= 1
+    mesh_devices = np.array(devices).reshape(batch, ty, m // ty)
+    return Mesh(mesh_devices, axis_names=axis_names)
+
+
 def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
                       flux=None, x0=None, obj=None, beta0=1.0, lr0=1e-3,
                       sat_level=0.0) -> SGPResult:
@@ -94,3 +116,82 @@ def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
 
     gn = jax.device_put(gn, NamedSharding(mesh, img_spec))
     return run(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)
+
+
+def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
+                            fluxes=None, x0=None, objs=None, beta0=1.0,
+                            lr0=1e-3, sat_level=0.0) -> SGPResult:
+    """Solve a batch of large images over a 3-D (batch, ty, tx) mesh.
+
+    The combined mode of SURVEY §2.3: independent restorations fan out over
+    the leading mesh axis while EACH image is sharded spatially over the
+    trailing 2-D axes with halo-exchange convolution. Collective reductions
+    run over ('ty','tx') only, so every image follows its own iteration
+    schedule (per-lane masking under vmap), exactly as in the single-image
+    distributed solve.
+
+    Args:
+      gns: (B, H, W) image batch; B divisible by the batch mesh axis,
+        H/W by the spatial axes.
+      bkgs: scalar, (B,), or (B, H, W) background.
+      fluxes: optional (B,) per-image fluxes (enables flux conservation).
+      beta0: scalar or (B,) initial beta (beta divergence mode).
+    Returns: SGPResult with leading batch dimension on every field.
+    """
+    bax, py, px = tuple(mesh.axis_names)
+    # sync_axes: images on different batch groups converge at different
+    # iteration counts; without lockstep their in-loop collectives deadlock
+    cfg = cfg.replace(operator='halo', axis_names=(py, px), sync_axes=(bax,))
+    dt = cfg.jnp_dtype
+
+    gns = jnp.asarray(gns, dt)
+    if gns.ndim != 3:
+        raise ValueError(f'gns must be (B, H, W), got {gns.shape}')
+    b, h, w = gns.shape
+    nb, ty, tx = mesh.shape[bax], mesh.shape[py], mesh.shape[px]
+    if b % nb or h % ty or w % tx:
+        raise ValueError(f'batch {gns.shape} not divisible by mesh '
+                         f'{nb}x{ty}x{tx}')
+    kh, kw = np.shape(psf)
+    if h // ty < kh // 2 or w // tx < kw // 2:
+        raise ValueError('local tile smaller than PSF half-width halo')
+
+    bkgs = jnp.asarray(bkgs, dt)
+    if bkgs.ndim == 1:
+        bkgs = bkgs[:, None, None]
+    bkgs = jnp.broadcast_to(bkgs, (b, h, w))
+    x0 = jnp.zeros((b, h, w), dt) if x0 is None else jnp.asarray(x0, dt)
+    objs = jnp.zeros((b, h, w), dt) if objs is None else jnp.asarray(objs, dt)
+    psf = jnp.asarray(psf, dt)
+    flux_in = jnp.zeros((b,), dt) if fluxes is None else jnp.asarray(fluxes, dt)
+    cfg = cfg.replace(has_flux=fluxes is not None)
+    beta0 = jnp.broadcast_to(jnp.asarray(beta0, dt), (b,))
+    lr0 = jnp.asarray(lr0, dt)
+    sat = jnp.asarray(sat_level, dt)
+
+    img_spec = P(bax, py, px)
+    vec_spec = P(bax)
+    repl = P()
+
+    @jax.jit
+    def run(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat):
+        def local(g, p, bk, z, f, o, bp, lr, s):
+            # vmap over the local batch shard; mesh collectives inside the
+            # solver reduce over ('ty','tx'), orthogonal to the vmap axis
+            return jax.vmap(
+                lambda g_, bk_, z_, f_, o_, bp_:
+                    solve(g_, p, bk_, z_, f_, o_, bp_, lr, s, cfg),
+            )(g, bk, z, f, o, bp)
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(img_spec, repl, img_spec, img_spec, vec_spec,
+                      img_spec, vec_spec, repl, repl),
+            out_specs=SGPResult(x=img_spec, iters=vec_spec, discr=vec_spec,
+                                err=vec_spec, beta=vec_spec, fv=vec_spec,
+                                scaling=vec_spec),
+            check_vma=False)
+        return fn(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat)
+
+    gns = jax.device_put(gns, NamedSharding(mesh, img_spec))
+    return run(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat)

@@ -187,6 +187,10 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         method = cfg.projection_method
         if method in ('sort', 'pallas') and ax:
             method = 'bisect'  # these need the whole vector on one device
+        if cfg.sync_axes and method == 'secant':
+            # secant trip counts are data-dependent; its per-evaluation psum
+            # would desynchronize device groups — bisect is trip-static
+            method = 'bisect'
         if method == 'pallas':
             from ..projection.pallas_projection import project_df_pallas
             return project_df_pallas(flux, point, dia, scaling,
@@ -255,7 +259,15 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
     bt = jnp.asarray(cfg.bt_factor, dt)
 
     # ---- main loop ---------------------------------------------------------
+    def _any_over_sync(flag):
+        """OR-reduce a continue flag over cfg.sync_axes so every device
+        group in a multi-image mesh runs the same trip count (collectives
+        inside the loop must execute in lockstep across the mesh)."""
+        return jax.lax.psum(flag.astype(jnp.int32), cfg.sync_axes) > 0
+
     def cond(state):
+        if cfg.sync_axes:
+            return _any_over_sync(state[0])
         return state[0]
 
     def body(state):
@@ -280,9 +292,14 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         fr = jnp.max(fold)
 
         # Backtracking on the linearized transform: no FFT inside this loop.
+        # Post-acceptance trips are idempotent (ok stays True, lam/bp frozen),
+        # so OR-reducing the continue flag over sync_axes is result-neutral.
         def bt_cond(c):
             lam, fv_t, bp, accepted, k = c
-            return (~accepted) & (k < cfg.max_backtracks)
+            not_done = (~accepted) & (k < cfg.max_backtracks)
+            if cfg.sync_axes:
+                return _any_over_sync(not_done)
+            return not_done
 
         def bt_body(c):
             lam, _, bp, _, k = c
@@ -306,6 +323,16 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
                 bp_rej = bp
             lam_next = jnp.where(ok, lam, lam * bt)
             bp_next = jnp.where(ok, bp, bp_rej)
+            if cfg.sync_axes:
+                # lanes kept alive only for collective lockstep must not
+                # move (matters for a lane that exited via the k cap with
+                # ok still False — its lam would keep shrinking)
+                lam, fv_prev, bp_prev, acc_prev, _ = c
+                done = acc_prev | (k >= cfg.max_backtracks)
+                lam_next = jnp.where(done, lam, lam_next)
+                bp_next = jnp.where(done, bp_prev, bp_next)
+                fv_t = jnp.where(done, fv_prev, fv_t)
+                ok = jnp.where(done, acc_prev, ok)
             return (lam_next, fv_t, bp_next, ok, k + 1)
 
         lam0 = jnp.asarray(1.0, dt)
@@ -380,9 +407,17 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         # x stays the accepted iterate; the reference's revert-on-exit
         # (sgp.py:424-425) is applied at finalize from x_prev, keeping the
         # state resumable past a MAXIT checkpoint.
-        return SGPState(keep, it_new, x_new, x_prev, ~rule_keep, x_mat_new,
-                        g_new, x_tf_new, fv_new, alpha_new, tau_new, valpha,
-                        fold, beta_p, lr, discr, err)
+        new_state = SGPState(keep, it_new, x_new, x_prev, ~rule_keep,
+                             x_mat_new, g_new, x_tf_new, fv_new, alpha_new,
+                             tau_new, valpha, fold, beta_p, lr, discr, err)
+        if cfg.sync_axes:
+            # this lane only ran for collective lockstep after stopping:
+            # carry its state through unchanged (results stay per-image)
+            active = state[0]
+            new_state = jax.tree.map(
+                lambda n, o: jnp.where(active, n, o), new_state,
+                SGPState(*state))
+        return new_state
 
     if rstate is None:
         state = SGPState(jnp.bool_(True), jnp.int32(1), x, x,
