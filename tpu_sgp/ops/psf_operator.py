@@ -164,10 +164,10 @@ def make_halo_operator(psf: jnp.ndarray, axis_names: Tuple[str, str]
 
     Runs inside ``shard_map`` over mesh axes (axis_y, axis_x): each device
     gathers a PSF-half-width halo from its neighbors over ICI
-    (``lax.ppermute``) and then applies a local VALID correlation with the
-    flipped kernel on the MXU (``lax.conv_general_dilated``) — the
-    TPU-native replacement for the reference's file-based subdivision +
-    mosaic pipeline (SURVEY §5 'long-context analog').
+    (``lax.ppermute``) and then applies a local VALID linear convolution to
+    the halo-extended tile via rFFT — the TPU-native replacement for the
+    reference's file-based subdivision + mosaic pipeline (SURVEY §5
+    'long-context analog').
 
     Semantics match ``make_linear_operator`` exactly (global zero padding),
     so a sharded solve equals the single-device linear solve bit-for-bit up
@@ -182,17 +182,17 @@ def make_halo_operator(psf: jnp.ndarray, axis_names: Tuple[str, str]
 
     def apply(kernel, x):
         padded = _halo_exchange(x, hy, hx, axis_y, axis_x)
-        # conv_general_dilated computes correlation; flip for convolution.
-        # precision=HIGHEST is required: the TPU conv default is bf16
-        # multiplies (measured 2.7e-3 rel error vs 3.5e-7 at HIGHEST),
-        # far outside the solver's line-search/flux tolerances.
-        flipped = kernel[::-1, ::-1]
-        out = jax.lax.conv_general_dilated(
-            padded[None, None, :, :].astype(x.dtype),
-            flipped[None, None, :, :].astype(x.dtype),
-            window_strides=(1, 1), padding='VALID',
-            precision=jax.lax.Precision.HIGHEST)
-        return out[0, 0]
+        # VALID linear convolution of the halo-extended tile via rFFT.
+        # The first kh-1 / kw-1 rows/cols of a circular convolution are the
+        # only ones touched by wrap-around, and they are exactly the ones a
+        # VALID crop discards — so no extra zero padding is needed.
+        # (A conv_general_dilated local apply was measured ~1800x slower
+        # than the FFT on the v5e at HIGHEST precision — see NOTES.md.)
+        ph, pw = padded.shape
+        circ = jnp.fft.irfft2(
+            jnp.fft.rfft2(padded) * jnp.fft.rfft2(kernel, s=(ph, pw)),
+            s=(ph, pw))
+        return circ[kh - 1:, kw - 1:].astype(x.dtype)
 
     def A(x):
         return apply(kern, x)
