@@ -99,16 +99,16 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
         ``mesh.axis_names`` entry ``batch_axis`` and the PSF replicated.
       bucket: pad the batch up to a standard bucket size (duplicating the
         first stamp) so distinct batch sizes reuse compiled programs; the
-        padding is sliced off the result.
+        padding is sliced off the result. Padding happens HOST-side (numpy,
+        pulling device-resident inputs back if needed) so the device only
+        ever sees bucket shapes — eager device ops at arbitrary pre-pad
+        sizes would each compile-and-load a new tiny program, which costs
+        seconds per novel batch size on tunneled backends.
 
     Returns a batched SGPResult (leading axis B on every field).
     """
     dtype = cfg.jnp_dtype
-    (stamps, psf, per_stamp_psf, bkgs, fluxes, x0, obj, beta0, lr0,
-     sat) = _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level,
-                  dtype)
-
-    b_orig = stamps.shape[0]
+    b_orig = int(np.shape(stamps)[0])
     if bucket:
         target = _bucket_size(b_orig)
         if mesh is not None:
@@ -118,13 +118,30 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
     else:
         pad = 0
     if pad:
-        def _pad(a):
-            reps = jnp.concatenate([a[:1]] * pad, axis=0)
-            return jnp.concatenate([a, reps], axis=0)
-        stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat = map(
-            _pad, (stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat))
-        if per_stamp_psf:
-            psf = _pad(psf)
+        def _pad_np(a):
+            a = np.asarray(a)
+            return np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
+        stamps = _pad_np(stamps)
+        if np.ndim(bkgs) >= 1:
+            bkgs = _pad_np(bkgs)
+        if fluxes is not None:
+            fluxes = _pad_np(fluxes)
+        if x0 is not None:
+            x0 = _pad_np(x0)
+        if obj is not None:
+            obj = _pad_np(obj)
+        if np.ndim(beta0) == 1:
+            beta0 = _pad_np(beta0)
+        if np.ndim(lr0) == 1:
+            lr0 = _pad_np(lr0)
+        if np.ndim(sat_level) == 1:
+            sat_level = _pad_np(sat_level)
+        if np.ndim(psf) == 3:
+            psf = _pad_np(psf)
+
+    (stamps, psf, per_stamp_psf, bkgs, fluxes, x0, obj, beta0, lr0,
+     sat) = _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level,
+                  dtype)
 
     if mesh is not None:
         shard = NamedSharding(mesh, P(batch_axis))

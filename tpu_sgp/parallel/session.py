@@ -47,32 +47,60 @@ class RestorationSession:
                 dummy, np.full(b, 100.0),
                 fluxes=np.full(b, 900.0) if self.cfg.has_flux else None))
 
-    def restore(self, stamps, bkgs, fluxes=None, beta0=None) -> SGPResult:
-        """Restore a batch; the batch is bucketed so repeat calls with any
-        size up to the warmed buckets reuse compiled programs."""
+    def _restore_padded(self, stamps, bkgs, fluxes=None, beta0=None):
+        """Dispatch (non-blocking): host-pad to a bucket size and run the
+        pre-compiled batch program. Returns (device SGPResult at bucket
+        size, original batch size). Padding host-side matters: eager device
+        ops at arbitrary pre-pad sizes each compile-and-load a new tiny
+        program, which costs seconds per novel batch size on tunneled
+        backends."""
         stamps = np.asarray(stamps)
         if stamps.shape[1:] != self.stamp_shape:
             raise ValueError(
                 f'stamps {stamps.shape[1:]} != session {self.stamp_shape}')
-        return restore_stamps(
+        b = stamps.shape[0]
+        pad = _bucket_size(b) - b
+        if pad:
+            def _pad_np(a):
+                a = np.asarray(a)
+                return np.concatenate(
+                    [a, np.repeat(a[:1], pad, axis=0)], axis=0)
+            stamps = _pad_np(stamps)
+            if np.ndim(bkgs) >= 1:
+                bkgs = _pad_np(bkgs)
+            if fluxes is not None:
+                fluxes = _pad_np(fluxes)
+            if beta0 is not None and np.ndim(beta0) == 1:
+                beta0 = _pad_np(beta0)
+        res = restore_stamps(
             stamps, self.psf, bkgs, self.cfg, fluxes=fluxes,
             beta0=self.beta0 if beta0 is None else beta0, lr0=self.lr0,
-            sat_level=self.sat_level, mesh=self.mesh, bucket=True)
+            sat_level=self.sat_level, mesh=self.mesh, bucket=False)
+        return res, b
+
+    def restore(self, stamps, bkgs, fluxes=None, beta0=None) -> SGPResult:
+        """Restore a batch. ANY batch size up to the warmed buckets reuses
+        compiled device programs; the padding is sliced off host-side after
+        one transfer. Returns an SGPResult of NumPy arrays (serving results
+        live on the host)."""
+        res, b = self._restore_padded(stamps, bkgs, fluxes=fluxes,
+                                      beta0=beta0)
+        return SGPResult(*(np.asarray(f)[:b] for f in res))
 
     def restore_stream(self, batches: Iterable) -> Iterable[SGPResult]:
         """Generator over (stamps, bkgs, fluxes) tuples — dispatches the
         next batch while the caller consumes the previous result (JAX's
         async dispatch overlaps host and device)."""
-        def done(res):
-            # force completion with a tiny transfer; block_until_ready is a
-            # no-op on some tunneled backends
-            np.asarray(res.iters)
-            return res
+        def done(pending):
+            # transfer forces completion; block_until_ready is a no-op on
+            # some tunneled backends. Slice the bucket padding off host-side.
+            res, b = pending
+            return SGPResult(*(np.asarray(f)[:b] for f in res))
 
         pending = None
         for item in batches:
             stamps, bkgs, fluxes = item
-            nxt = self.restore(stamps, bkgs, fluxes=fluxes)
+            nxt = self._restore_padded(stamps, bkgs, fluxes=fluxes)
             if pending is not None:
                 yield done(pending)
             pending = nxt
