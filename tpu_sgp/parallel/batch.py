@@ -159,8 +159,16 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
     res = _batched_solve(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
                          sat, cfg, per_stamp_psf)
     if pad:
-        res = jax.tree.map(lambda a: a[:b_orig], res)
+        res = _unpad(res, b_orig)
     return res
+
+
+@partial(jax.jit, static_argnames=('n',))
+def _unpad(res: SGPResult, n: int) -> SGPResult:
+    """Slice bucket padding off every result field in ONE device program
+    (eager per-field slices would compile-and-load 7 tiny programs per novel
+    (bucket, batch) pair — seconds on tunneled backends)."""
+    return jax.tree.map(lambda a: a[:n], res)
 
 
 def beta_init_search(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
