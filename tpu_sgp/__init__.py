@@ -31,6 +31,11 @@ def _enable_persistent_compile_cache():
     try:
         _os.makedirs(cache, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache)
+        # persist small programs too: eager ops at workload batch shapes
+        # compile in ~1s each (right at the default 1.0s threshold) and a
+        # run triggers a dozen of them — caching these matters as much as
+        # caching the big solves
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
     except OSError:
         pass  # read-only home etc. — run without a persistent cache
 
