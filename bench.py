@@ -29,10 +29,9 @@ N_REPEATS = 15  # the tunneled chip is contention-bimodal; min over many repeats
 
 def main():
     import jax
-    # persistent compilation cache: repeated bench runs skip the multi-minute
-    # XLA compile
-    jax.config.update('jax_compilation_cache_dir', '/tmp/tpu_sgp_jax_cache')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    # the tpu_sgp import below auto-enables the persistent compilation
+    # cache (~/.cache/tpu_sgp/jax) on non-CPU backends: repeated bench runs
+    # skip the multi-minute XLA compile
     from tpu_sgp import SGPConfig
     from tpu_sgp.parallel.batch import restore_stamps
     from tpu_sgp.simulate import synthetic_star_stamps

@@ -103,6 +103,37 @@ def test_bucketed_batch_matches_unbucketed():
     assert _bucket_size(2525) == 2560
 
 
+def test_bucketed_batch_accepts_scalar_flux_and_beta():
+    """Scalar fluxes/beta0 broadcast fine without bucketing; host-side
+    bucket padding must pass them through untouched (regression: padding a
+    0-d array raised IndexError)."""
+    stamps, psf, bkgs, _ = synthetic_star_stamps(5, size=16, seed=9)
+    cfg = _cfg(max_iter=4)
+    res = restore_stamps(stamps, psf, bkgs, cfg, fluxes=123.0,
+                         sat_level=65000.0, bucket=True)
+    assert res.x.shape[0] == 5
+    plain = restore_stamps(stamps, psf, bkgs, cfg, fluxes=123.0,
+                           sat_level=65000.0)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(plain.x),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_restoration_session_mesh_divisible_buckets():
+    """Session bucketing must round the pad target up to the mesh device
+    count (regression: batch 3 -> bucket 4 crashed an 8-device sharding)."""
+    import jax
+    from jax.sharding import Mesh
+    from tpu_sgp.parallel.session import RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(3, size=16, seed=13)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=4, dtype='float64')
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=('batch',))
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16), mesh=mesh)
+    res = sess.restore(stamps, bkgs, fluxes=fluxes)
+    assert res.x.shape == (3, 16, 16)
+    assert np.isfinite(np.asarray(res.x)).all()
+
+
 def test_restoration_session_serves_buckets():
     from tpu_sgp.parallel.session import RestorationSession
     stamps, psf, bkgs, _ = synthetic_star_stamps(10, size=16, seed=12)

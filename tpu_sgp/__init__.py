@@ -25,6 +25,14 @@ def _enable_persistent_compile_cache():
     if (_os.environ.get('JAX_COMPILATION_CACHE_DIR')
             or jax.config.jax_compilation_cache_dir):
         return
+    # Only auto-enable for an explicitly configured non-CPU platform. On
+    # CPU the cache stores AOT executables tuned to the compiling host's
+    # CPU features; loading them on a different host risks SIGILL (XLA
+    # E-logs exactly that warning), and CPU compiles are cheap anyway.
+    platforms = (jax.config.jax_platforms
+                 or _os.environ.get('JAX_PLATFORMS') or '')
+    if not platforms or platforms.strip().lower().startswith('cpu'):
+        return
     cache = _os.environ.get(
         'TPU_SGP_CACHE_DIR',
         _os.path.join(_os.path.expanduser('~'), '.cache', 'tpu_sgp', 'jax'))

@@ -80,6 +80,27 @@ def _bucket_size(b: int) -> int:
     return -(-b // 256) * 256
 
 
+def _bucket_target(b: int, mesh: Optional[Mesh]) -> int:
+    """Bucket size for a batch, rounded up so a sharded batch axis divides
+    the mesh device count."""
+    target = _bucket_size(b)
+    if mesh is not None:
+        ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        target = -(-target // ndev) * ndev
+    return target
+
+
+def _pad_lead(a, pad: int, b_orig: int):
+    """Host-pad a batch-leading array by repeating row 0 (NumPy — novel
+    eager device shapes cost seconds on tunneled backends). Scalars,
+    ``None``, and arrays whose leading axis is not the batch pass through
+    (they are broadcast to the padded batch later)."""
+    if a is None or np.ndim(a) == 0 or np.shape(a)[0] != b_orig:
+        return a
+    a = np.asarray(a)
+    return np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
+
+
 def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
                    x0=None, obj=None, beta0=1.0, lr0=1e-3, sat_level=0.0,
                    mesh: Optional[Mesh] = None,
@@ -109,35 +130,13 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
     """
     dtype = cfg.jnp_dtype
     b_orig = int(np.shape(stamps)[0])
-    if bucket:
-        target = _bucket_size(b_orig)
-        if mesh is not None:
-            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-            target = -(-target // ndev) * ndev  # sharding needs divisibility
-        pad = target - b_orig
-    else:
-        pad = 0
+    pad = _bucket_target(b_orig, mesh) - b_orig if bucket else 0
     if pad:
-        def _pad_np(a):
-            a = np.asarray(a)
-            return np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
-        stamps = _pad_np(stamps)
-        if np.ndim(bkgs) >= 1:
-            bkgs = _pad_np(bkgs)
-        if fluxes is not None:
-            fluxes = _pad_np(fluxes)
-        if x0 is not None:
-            x0 = _pad_np(x0)
-        if obj is not None:
-            obj = _pad_np(obj)
-        if np.ndim(beta0) == 1:
-            beta0 = _pad_np(beta0)
-        if np.ndim(lr0) == 1:
-            lr0 = _pad_np(lr0)
-        if np.ndim(sat_level) == 1:
-            sat_level = _pad_np(sat_level)
-        if np.ndim(psf) == 3:
-            psf = _pad_np(psf)
+        stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat_level = (
+            _pad_lead(a, pad, b_orig)
+            for a in (stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat_level))
+        if np.ndim(psf) == 3:  # per-stamp PSFs (a 2-D PSF whose height
+            psf = _pad_lead(psf, pad, b_orig)  # happens to equal B is shared)
 
     (stamps, psf, per_stamp_psf, bkgs, fluxes, x0, obj, beta0, lr0,
      sat) = _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level,

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..config import SGPConfig
 from ..solvers.sgp import SGPResult
-from .batch import _bucket_size, restore_stamps
+from .batch import _bucket_target, _pad_lead, restore_stamps
 
 
 class RestorationSession:
@@ -59,19 +59,10 @@ class RestorationSession:
             raise ValueError(
                 f'stamps {stamps.shape[1:]} != session {self.stamp_shape}')
         b = stamps.shape[0]
-        pad = _bucket_size(b) - b
+        pad = _bucket_target(b, self.mesh) - b
         if pad:
-            def _pad_np(a):
-                a = np.asarray(a)
-                return np.concatenate(
-                    [a, np.repeat(a[:1], pad, axis=0)], axis=0)
-            stamps = _pad_np(stamps)
-            if np.ndim(bkgs) >= 1:
-                bkgs = _pad_np(bkgs)
-            if fluxes is not None:
-                fluxes = _pad_np(fluxes)
-            if beta0 is not None and np.ndim(beta0) == 1:
-                beta0 = _pad_np(beta0)
+            stamps, bkgs, fluxes, beta0 = (
+                _pad_lead(a, pad, b) for a in (stamps, bkgs, fluxes, beta0))
         res = restore_stamps(
             stamps, self.psf, bkgs, self.cfg, fluxes=fluxes,
             beta0=self.beta0 if beta0 is None else beta0, lr0=self.lr0,
