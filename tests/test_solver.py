@@ -227,3 +227,54 @@ def test_criterion2_verbose_quirk(rng):
     _, it_nv, _, _, _ = sgp(img, psf, bkg, init_recon=2, stop_criterion=2,
                             MAXIT=100, tol_convergence=1e-2, verbose=False)
     assert it_v != it_nv
+
+
+def test_randomized_config_sweep_matches_oracle(rng):
+    """Differential fuzz across the config space: random hyperparameter
+    combinations must track the NumPy oracle trajectory-exactly in f64.
+    Covers interactions no single-feature test hits (e.g. beta + proj_type 1
+    + non-monotone memory + criterion 4)."""
+    sweep_rng = np.random.default_rng(2024)
+    for trial in range(12):
+        img, psf, bkg, _ = synthetic_stamp(rng, size=16)
+        init_recon = int(sweep_rng.choice([0, 2, 3]))
+        proj_type = int(sweep_rng.choice([0, 1]))
+        stop = int(sweep_rng.choice([1, 2, 3, 4]))
+        divergence = str(sweep_rng.choice(['kl', 'beta']))
+        m_mem = int(sweep_rng.choice([1, 3]))
+        gamma = float(sweep_rng.choice([1e-4, 1e-3]))
+        alpha = float(sweep_rng.choice([1.3, 10.0]))
+        adapt = bool(sweep_rng.choice([True, False]))
+        use_flux = proj_type == 1 or bool(sweep_rng.choice([True, False]))
+        flux = float(np.sum(img - bkg)) if use_flux else None
+        sat = 65000.0 if proj_type == 1 else None
+        maxit = int(sweep_rng.integers(5, 40))
+        tol = float(sweep_rng.choice([1e-3, 1e-4]))
+        label = (f'trial {trial}: init={init_recon} proj={proj_type} '
+                 f'stop={stop} div={divergence} M={m_mem} gamma={gamma} '
+                 f'alpha={alpha} adapt={adapt} maxit={maxit} tol={tol}')
+
+        kw = dict(init_recon=init_recon, proj_type=proj_type,
+                  stop_criterion=stop, MAXIT=maxit, gamma=gamma,
+                  alpha=alpha, M=m_mem, tol_convergence=tol)
+        if flux is not None:
+            kw['flux'] = flux
+        if sat is not None:
+            kw['ccd_sat_level'] = sat
+        if divergence == 'kl':
+            x, iters, discr, _, _ = sgp(img, psf, bkg, **kw)
+        else:
+            x, iters, discr, _, _ = sgp_beta_div(
+                img, psf, bkg, betaParam=1.01, lr=1e-3, adapt_beta=adapt,
+                schedule_lr=True, **kw)
+
+        xo, ito, discro, _ = oracle_solve(
+            img, psf, bkg, init_recon=init_recon, proj_type=proj_type,
+            stop_criterion=stop, maxit=maxit, gamma=gamma, alpha=alpha,
+            M=m_mem, tol=tol, flux=flux, sat=sat,
+            divergence=divergence, beta_param=1.01, lr=1e-3,
+            adapt_beta=(adapt if divergence == 'beta' else False),
+            schedule_lr=(divergence == 'beta'))
+        assert iters == ito, label
+        np.testing.assert_allclose(x, xo, rtol=1e-7, atol=1e-7,
+                                   err_msg=label)
