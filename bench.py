@@ -8,7 +8,7 @@ run as ONE vmapped batch of 256 synthetic 31x31 stamps instead of a serial
 Python loop.
 
 Baseline: the reference restores one stamp in 13.3 ms median on CPU
-(BASELINE.md, results/EXEC_TIME.npy) => 75.2 stamps/s. Batch 4096 best
+(BASELINE.md, results/EXEC_TIME.npy) => 75.2 stamps/s. Batch 6144 best
 amortizes per-kernel overheads; inputs are staged in HBM before the timed
 region (the dev tunnel's ~50 MB/s host link would otherwise dominate —
 a real TPU host's PCIe moves the same batch in ~2 ms).
@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 BASELINE_STAMP_SECONDS = 0.0133  # reference median per-stamp wall (KL, CPU)
-BATCH = 4096
+BATCH = 6144
 N_REPEATS = 15  # the tunneled chip is contention-bimodal; min over many repeats
 
 
@@ -78,7 +78,7 @@ def main():
     stamps_per_s = BATCH / wall
 
     out = {
-        'metric': 'kl_sgp_stamp_restorations_per_second_b4096_tpu',
+        'metric': 'kl_sgp_stamp_restorations_per_second_b6144_tpu',
         'value': round(stamps_per_s, 2),
         'unit': 'stamps/s',
         'vs_baseline': round(stamps_per_s * BASELINE_STAMP_SECONDS, 2),
