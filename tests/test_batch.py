@@ -167,3 +167,35 @@ def test_batched_errflag_tracking():
     assert err.shape == (3, 7)
     assert np.isfinite(err).all()
     assert (err > 0).all()
+
+
+def test_two_phase_compaction_matches_single_phase():
+    """Convergence compaction (phase-1 cap + tail resume + catch-up resume)
+    must reproduce the single-phase batched solve: identical per-lane
+    iteration schedules, per-pixel agreement to solver precision (the
+    resumed lanes run through differently-compiled programs whose fusion
+    reassociates ULPs — measured ~1e-12 relative), and lanes that finish
+    in phase 1 bit-exact. Includes a tail bucket too small for the tail,
+    so the catch-up pass does real work."""
+    stamps, psf, bkgs, _ = synthetic_star_stamps(24, size=16, seed=3)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=60, stop_criterion=3, tol_convergence=1e-4,
+               dtype='float64')
+    single = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                            sat_level=65000.0)
+    it_single = np.asarray(single.iters)
+    assert it_single.min() < it_single.max()  # schedules genuinely differ
+    cap = int(np.median(it_single))
+    for tail in (16, 2):   # 2 => overflow lanes exercise the catch-up pass
+        two = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                             sat_level=65000.0, phase1_iters=cap,
+                             tail_bucket=tail)
+        np.testing.assert_array_equal(np.asarray(two.iters), it_single)
+        np.testing.assert_allclose(np.asarray(two.x), np.asarray(single.x),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f'tail={tail}')
+        # lanes that never left phase 1 are bit-exact
+        done_in_p1 = it_single <= cap
+        assert done_in_p1.any()
+        np.testing.assert_array_equal(np.asarray(two.x)[done_in_p1],
+                                      np.asarray(single.x)[done_in_p1])

@@ -42,6 +42,76 @@ def _batched_solve(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0, sat,
     )(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0, sat)
 
 
+@partial(jax.jit, static_argnames=('cfg', 'per_stamp_psf', 'phase1_iters',
+                                   'tail_bucket'))
+def _batched_solve_two_phase(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
+                             sat, cfg: SGPConfig, per_stamp_psf: bool,
+                             phase1_iters: int,
+                             tail_bucket: int) -> SGPResult:
+    """Convergence-compacted batched solve.
+
+    A batched while_loop runs every lane to the SLOWEST lane's iteration
+    count (median 25, max ~41 on the stamps workload), so the convergence
+    tail sets the whole batch's cost. Three exact phases fix that:
+
+      1. run the full batch capped at ``phase1_iters`` (~p85 of the
+         iteration distribution);
+      2. gather the lanes that hit the cap (device-side argsort of the
+         converged flags — no host round-trip) into a ``tail_bucket``-size
+         batch and resume them to cfg.max_iter via the exact
+         checkpoint/resume path, then scatter the state back;
+      3. resume the FULL batch once more: normally every lane has now
+         stopped and the while_loop exits after one predicate check, but if
+         more than tail_bucket lanes were unconverged (adversarial data)
+         the leftovers finish here — correctness never depends on the
+         tail estimate.
+
+    Per-lane iteration schedules are identical to the single-phase solve
+    and lanes that finish inside phase 1 are bit-exact; resumed lanes agree
+    to solver precision (~1e-12 relative in f64 — the resume program's
+    fusion reassociates ULPs). Worth ~20% on the stamps benchmark.
+    """
+    from ..solvers.sgp import resume_from_state, solve_with_state
+
+    in_ax = (0, 0 if per_stamp_psf else None, 0, 0, 0, 0, 0, 0, 0)
+    cfg1 = cfg.replace(max_iter=phase1_iters)
+    _, st = jax.vmap(
+        lambda g, p, bk, z, f, o, bp, lr, s:
+            solve_with_state(g, p, bk, z, f, o, bp, lr, s, cfg1),
+        in_axes=in_ax,
+    )(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0, sat)
+
+    # pad the phase-1 iteration buffers up to the full budget so the
+    # resumed tail state can be scattered back elementwise
+    pad = cfg.max_iter - phase1_iters
+    st = st._replace(discr=jnp.pad(st.discr, ((0, 0), (0, pad))),
+                     err=jnp.pad(st.err, ((0, 0), (0, pad))))
+
+    # unconverged lanes first (False sorts before True; stable ties)
+    idx = jnp.argsort(st.converged)[:tail_bucket]
+    take = lambda a: jnp.take(a, idx, axis=0)
+    st_tail = jax.tree.map(take, st)
+    args_tail = [take(a) for a in (stamps, bkgs, x0, fluxes, obj, beta0,
+                                   lr0, sat)]
+    psf_tail = take(psf) if per_stamp_psf else psf
+
+    resume_ax = in_ax + (0,)
+    _, st_tail = jax.vmap(
+        lambda g, p, bk, z, f, o, bp, lr, s, rs:
+            resume_from_state(g, p, bk, z, f, o, bp, lr, s, rs, cfg),
+        in_axes=resume_ax,
+    )(args_tail[0], psf_tail, *args_tail[1:], st_tail)
+
+    st = jax.tree.map(lambda full, part: full.at[idx].set(part), st, st_tail)
+
+    res, _ = jax.vmap(
+        lambda g, p, bk, z, f, o, bp, lr, s, rs:
+            resume_from_state(g, p, bk, z, f, o, bp, lr, s, rs, cfg),
+        in_axes=resume_ax,
+    )(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0, sat, st)
+    return res
+
+
 def _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level, dtype):
     stamps = jnp.asarray(stamps, dtype)
     b, h, w = stamps.shape
@@ -105,7 +175,9 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
                    x0=None, obj=None, beta0=1.0, lr0=1e-3, sat_level=0.0,
                    mesh: Optional[Mesh] = None,
                    batch_axis: str = 'batch',
-                   bucket: bool = False) -> SGPResult:
+                   bucket: bool = False,
+                   phase1_iters: Optional[int] = None,
+                   tail_bucket: int = 1024) -> SGPResult:
     """Restore a batch of stamps in one compiled program.
 
     Args:
@@ -125,6 +197,13 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
         ever sees bucket shapes — eager device ops at arbitrary pre-pad
         sizes would each compile-and-load a new tiny program, which costs
         seconds per novel batch size on tunneled backends.
+      phase1_iters: enable convergence compaction (stop criteria 2-4,
+        single-device): run the batch capped here (~p85 of the expected
+        iteration distribution), finish the unconverged tail as a
+        ``tail_bucket``-size batch, then a full-batch catch-up resume
+        guarantees correctness regardless of the tail estimate. Identical
+        iteration schedules, solver-precision agreement, ~20% faster on
+        the stamps benchmark.
 
     Returns a batched SGPResult (leading axis B on every field).
     """
@@ -155,8 +234,18 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
         lr0 = jax.device_put(lr0, shard)
         sat = jax.device_put(sat, shard)
 
-    res = _batched_solve(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
-                         sat, cfg, per_stamp_psf)
+    two_phase = (phase1_iters is not None
+                 and cfg.stop_criterion not in (0, 1)
+                 and phase1_iters < cfg.max_iter
+                 and mesh is None
+                 and int(stamps.shape[0]) > tail_bucket)
+    if two_phase:
+        res = _batched_solve_two_phase(stamps, psf, bkgs, x0, fluxes, obj,
+                                       beta0, lr0, sat, cfg, per_stamp_psf,
+                                       phase1_iters, tail_bucket)
+    else:
+        res = _batched_solve(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
+                             sat, cfg, per_stamp_psf)
     if pad:
         res = _unpad(res, b_orig)
     return res
