@@ -150,8 +150,49 @@ def test_distributed_batch_beta_per_image_beta0():
                                rtol=1e-9)
 
 
+def test_halo_operator_non_square_psf_adjoint():
+    """Regression: the adjoint applies the TRANSPOSED kernel, so its halo
+    widths and crop must follow (kw, kh) — a forward-shaped crop silently
+    corrupted AT for non-square PSFs."""
+    img, _ = _problem(h=48, w=48, n_stars=6, seed=11)
+    rng = np.random.default_rng(0)
+    psf = np.abs(rng.standard_normal((3, 5))) + 0.1
+    psf /= psf.sum()
+    mesh = make_image_mesh(devices=jax.devices()[:8])
+    A_lin, AT_lin = make_operator(jnp.asarray(psf), img.shape, 'linear')
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpu_sgp.ops.psf_operator import make_halo_operator
+
+    def f(x_local, psf_r):
+        A, AT = make_halo_operator(psf_r, tuple(mesh.axis_names))
+        return A(x_local), AT(x_local)
+
+    fn = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P('ty', 'tx'), P()),
+        out_specs=(P('ty', 'tx'), P('ty', 'tx')), check_vma=False))
+    got_a, got_at = fn(jax.device_put(jnp.asarray(img),
+                                      NamedSharding(mesh, P('ty', 'tx'))),
+                       jnp.asarray(psf))
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(A_lin(jnp.asarray(img))),
+                               rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got_at), np.asarray(AT_lin(jnp.asarray(img))),
+                               rtol=1e-10, atol=1e-8)
+    # even-dimension PSFs are rejected loudly, not silently mis-cropped
+    import pytest
+    with pytest.raises(ValueError, match='odd'):
+        make_halo_operator(jnp.ones((4, 5)) / 20.0, ('ty', 'tx'))
+
+
 def test_mesh_factorization():
     mesh = make_image_mesh(devices=jax.devices()[:8])
     assert dict(mesh.shape) in ({'ty': 2, 'tx': 4},)
     mesh6 = make_image_mesh(devices=jax.devices()[:6])
     assert mesh6.shape['ty'] * mesh6.shape['tx'] == 6
+    from tpu_sgp.parallel.distributed import make_batch_image_mesh
+    m8 = make_batch_image_mesh(devices=jax.devices()[:8])
+    assert dict(m8.shape) == {'batch': 2, 'ty': 2, 'tx': 2}
+    # prime device count: everything goes to the spatial grid
+    m7 = make_batch_image_mesh(devices=jax.devices()[:7])
+    assert m7.shape['batch'] == 1
+    assert m7.shape['ty'] * m7.shape['tx'] == 7

@@ -177,11 +177,19 @@ def make_halo_operator(psf: jnp.ndarray, axis_names: Tuple[str, str]
     kern = psf / jnp.sum(psf)
     kern_t = jnp.conj(kern).T
     kern_t = kern_t / jnp.sum(kern_t)
-    kh, kw = psf.shape
-    hy, hx = kh // 2, kw // 2
+    if psf.shape[0] % 2 == 0 or psf.shape[1] % 2 == 0:
+        raise ValueError('halo operator requires odd PSF dimensions '
+                         f'(got {psf.shape}); an even kernel has no centre '
+                         'pixel so the halo-extended VALID convolution '
+                         'cannot reproduce the same-cropped linear operator')
 
     def apply(kernel, x):
-        padded = _halo_exchange(x, hy, hx, axis_y, axis_x)
+        # Geometry follows the kernel being APPLIED: the adjoint kernel is
+        # the axis transpose (kw, kh), so its halo widths and crop swap too
+        # (a fixed forward-shaped crop silently corrupts AT for non-square
+        # PSFs).
+        kh, kw = kernel.shape
+        padded = _halo_exchange(x, kh // 2, kw // 2, axis_y, axis_x)
         # VALID linear convolution of the halo-extended tile via rFFT.
         # The first kh-1 / kw-1 rows/cols of a circular convolution are the
         # only ones touched by wrap-around, and they are exactly the ones a

@@ -73,6 +73,11 @@ def _batched_solve_two_phase(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
     """
     from ..solvers.sgp import resume_from_state, solve_with_state
 
+    if cfg.save:
+        raise ValueError('cfg.save (per-iteration FITS dump) is a '
+                         'single-image debug path; lanes of a batch would '
+                         'overwrite each other')
+
     in_ax = (0, 0 if per_stamp_psf else None, 0, 0, 0, 0, 0, 0, 0)
     cfg1 = cfg.replace(max_iter=phase1_iters)
     _, st = jax.vmap(
@@ -171,6 +176,23 @@ def _pad_lead(a, pad: int, b_orig: int):
     return np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
 
 
+def _pad_args_to_bucket(mesh, stamps, bkgs, fluxes=None, x0=None, obj=None,
+                        beta0=None, lr0=None, sat_level=None, psf=None):
+    """THE bucket-padding policy (single implementation — the serving
+    session and the batch API must not drift): host-pad every batch-leading
+    argument up to the mesh-divisible bucket size. Returns the padded
+    argument tuple plus the original batch size."""
+    b = int(np.shape(stamps)[0])
+    pad = _bucket_target(b, mesh) - b
+    if pad:
+        stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat_level = (
+            _pad_lead(a, pad, b)
+            for a in (stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat_level))
+        if psf is not None and np.ndim(psf) == 3:  # per-stamp PSFs (a 2-D
+            psf = _pad_lead(psf, pad, b)  # PSF whose height equals B is shared)
+    return (stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat_level, psf), b
+
+
 def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
                    x0=None, obj=None, beta0=1.0, lr0=1e-3, sat_level=0.0,
                    mesh: Optional[Mesh] = None,
@@ -209,13 +231,11 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
     """
     dtype = cfg.jnp_dtype
     b_orig = int(np.shape(stamps)[0])
-    pad = _bucket_target(b_orig, mesh) - b_orig if bucket else 0
-    if pad:
-        stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat_level = (
-            _pad_lead(a, pad, b_orig)
-            for a in (stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat_level))
-        if np.ndim(psf) == 3:  # per-stamp PSFs (a 2-D PSF whose height
-            psf = _pad_lead(psf, pad, b_orig)  # happens to equal B is shared)
+    if bucket:
+        ((stamps, bkgs, fluxes, x0, obj, beta0, lr0, sat_level, psf),
+         b_orig) = _pad_args_to_bucket(mesh, stamps, bkgs, fluxes, x0, obj,
+                                       beta0, lr0, sat_level, psf)
+    pad = int(np.shape(stamps)[0]) - b_orig
 
     (stamps, psf, per_stamp_psf, bkgs, fluxes, x0, obj, beta0, lr0,
      sat) = _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level,

@@ -49,12 +49,16 @@ def make_batch_image_mesh(batch: int = None, devices=None,
     """Build the 3-D (batch, tile_y, tile_x) mesh of SURVEY §2.3: batch
     fan-out on the leading axis (DCN across slices on real pods), 2-D image
     sharding on the trailing axes (ICI halo exchange). With no explicit
-    ``batch`` the leading axis takes the smallest prime factor of the device
-    count, leaving the most devices for the spatial grid."""
+    ``batch`` the leading axis takes the smallest nontrivial factor of the
+    device count (or 1 for a prime count), leaving the most devices for the
+    spatial grid."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if batch is None:
-        batch = next((p for p in range(2, n + 1) if n % p == 0), 1)
+        # smallest factor <= sqrt(n); for prime n (no nontrivial factor)
+        # everything goes to the spatial grid rather than the batch axis
+        batch = next((p for p in range(2, int(np.sqrt(n)) + 1)
+                      if n % p == 0), 1)
     if n % batch:
         raise ValueError(f'batch axis {batch} does not divide {n} devices')
     m = n // batch
@@ -84,7 +88,10 @@ def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
     if h % ty or w % tx:
         raise ValueError(f'image {gn.shape} not divisible by mesh {ty}x{tx}')
     kh, kw = np.shape(psf)
-    if h // ty < kh // 2 or w // tx < kw // 2:
+    # the adjoint applies the transposed kernel, so each axis needs the
+    # larger of the two half-widths
+    half = max(kh, kw) // 2
+    if h // ty < half or w // tx < half:
         raise ValueError('local tile smaller than PSF half-width halo')
 
     bkg = jnp.broadcast_to(jnp.asarray(bkg, dt), (h, w))
@@ -153,7 +160,10 @@ def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
         raise ValueError(f'batch {gns.shape} not divisible by mesh '
                          f'{nb}x{ty}x{tx}')
     kh, kw = np.shape(psf)
-    if h // ty < kh // 2 or w // tx < kw // 2:
+    # the adjoint applies the transposed kernel, so each axis needs the
+    # larger of the two half-widths
+    half = max(kh, kw) // 2
+    if h // ty < half or w // tx < half:
         raise ValueError('local tile smaller than PSF half-width halo')
 
     bkgs = jnp.asarray(bkgs, dt)

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..config import SGPConfig
 from ..solvers.sgp import SGPResult
-from .batch import _bucket_target, _pad_lead, restore_stamps
+from .batch import _pad_args_to_bucket, restore_stamps
 
 
 class RestorationSession:
@@ -37,8 +37,15 @@ class RestorationSession:
         self.lr0 = lr0
         self.mesh = mesh
 
-    def warmup(self, buckets: Sequence[int] = (64, 256, 1024)) -> None:
-        """Compile the solver for each bucket size ahead of serving."""
+    def warmup(self, buckets: Sequence[int] = (64, 256, 512, 768,
+                                               1024)) -> None:
+        """Compile the solver for each bucket size ahead of serving.
+
+        The defaults cover every bucket the padding policy produces for
+        batches of 33..1024 (powers of two up to 256, then multiples of
+        256); list exactly the bucket sizes your serving batches will pad
+        to — a request landing in a non-warmed bucket pays a full solver
+        compile at serve time."""
         h, w = self.stamp_shape
         for b in buckets:
             dummy = np.full((b, h, w), 100.0)
@@ -58,11 +65,9 @@ class RestorationSession:
         if stamps.shape[1:] != self.stamp_shape:
             raise ValueError(
                 f'stamps {stamps.shape[1:]} != session {self.stamp_shape}')
-        b = stamps.shape[0]
-        pad = _bucket_target(b, self.mesh) - b
-        if pad:
-            stamps, bkgs, fluxes, beta0 = (
-                _pad_lead(a, pad, b) for a in (stamps, bkgs, fluxes, beta0))
+        (stamps, bkgs, fluxes, _, _, beta0, _, _, _), b = \
+            _pad_args_to_bucket(self.mesh, stamps, bkgs, fluxes=fluxes,
+                                beta0=beta0)
         res = restore_stamps(
             stamps, self.psf, bkgs, self.cfg, fluxes=fluxes,
             beta0=self.beta0 if beta0 is None else beta0, lr0=self.lr0,
@@ -70,8 +75,9 @@ class RestorationSession:
         return res, b
 
     def restore(self, stamps, bkgs, fluxes=None, beta0=None) -> SGPResult:
-        """Restore a batch. ANY batch size up to the warmed buckets reuses
-        compiled device programs; the padding is sliced off host-side after
+        """Restore a batch. Any batch size whose pad bucket was warmed
+        reuses compiled device programs (the default warmup covers all
+        buckets for 33..1024); the padding is sliced off host-side after
         one transfer. Returns an SGPResult of NumPy arrays (serving results
         live on the host)."""
         res, b = self._restore_padded(stamps, bkgs, fluxes=fluxes,
