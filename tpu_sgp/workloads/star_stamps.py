@@ -177,7 +177,7 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
             np.repeat(sset.bkgs, k), cfg,
             fluxes=np.repeat(sset.fluxes, k),
             beta0=np.tile(cands, b), sat_level=CCD_SAT_LEVEL, mesh=mesh,
-            bucket=True)
+            bucket=True, phase1_iters=32)
         grid_x = np.asarray(grid.x).reshape(b, k, CUTOUT_SIZE, CUTOUT_SIZE)
         # selection metric: catalog flux fractional difference (reference
         # application_sgp_star_stamps.py:90-97)
@@ -197,7 +197,7 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
         res = restore_stamps(sset.stamps, psfs, sset.bkgs, cfg,
                              fluxes=sset.fluxes, beta0=best_betas,
                              sat_level=CCD_SAT_LEVEL, mesh=mesh,
-                             bucket=True)
+                             bucket=True, phase1_iters=32)
         np.asarray(res.iters)   # real sync (block_until_ready is a no-op
                                 # on the axon tunnel backend)
         solve_wall = timer() - t0
@@ -205,7 +205,7 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
         t0 = timer()
         res = restore_stamps(sset.stamps, psfs, sset.bkgs, cfg,
                              fluxes=sset.fluxes, sat_level=CCD_SAT_LEVEL,
-                             mesh=mesh, bucket=True)
+                             mesh=mesh, bucket=True, phase1_iters=32)
         np.asarray(res.iters)   # real sync (see above)
         solve_wall = timer() - t0
 
