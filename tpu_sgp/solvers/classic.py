@@ -16,7 +16,6 @@ operators so they compose with the batching/sharding machinery.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

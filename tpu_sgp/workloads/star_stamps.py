@@ -21,7 +21,6 @@ from dataclasses import dataclass
 from timeit import default_timer as timer
 from typing import List, Optional
 
-import jax
 import numpy as np
 
 from ..catalog import source_info
