@@ -199,3 +199,21 @@ def test_two_phase_compaction_matches_single_phase():
         assert done_in_p1.any()
         np.testing.assert_array_equal(np.asarray(two.x)[done_in_p1],
                                       np.asarray(single.x)[done_in_p1])
+
+
+def test_restoration_session_with_compaction():
+    """A session configured with phase1_iters serves identical results
+    (big batches route through the two-phase solve, small ones don't)."""
+    from tpu_sgp.parallel.session import RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(40, size=16, seed=17)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=60, stop_criterion=3, tol_convergence=1e-4,
+               dtype='float64')
+    plain = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    compact = RestorationSession(psf, cfg, stamp_shape=(16, 16),
+                                 phase1_iters=20, tail_bucket=8)
+    a = plain.restore(stamps, bkgs, fluxes=fluxes)
+    b = compact.restore(stamps, bkgs, fluxes=fluxes)
+    np.testing.assert_array_equal(np.asarray(b.iters), np.asarray(a.iters))
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x),
+                               rtol=1e-6, atol=1e-6)

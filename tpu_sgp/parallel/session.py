@@ -23,7 +23,15 @@ class RestorationSession:
     def __init__(self, psf: np.ndarray, cfg: Optional[SGPConfig] = None,
                  stamp_shape: Tuple[int, int] = (31, 31),
                  sat_level: float = 65000.0, beta0: float = 1.005,
-                 lr0: float = 1e-3, mesh=None):
+                 lr0: float = 1e-3, mesh=None,
+                 phase1_iters: Optional[int] = None,
+                 tail_bucket: int = 512):
+        """``phase1_iters`` enables convergence compaction for served
+        batches larger than ``tail_bucket`` (single-device sessions):
+        measure your workload's iteration distribution once and pass ~its
+        p95 — a bad estimate costs time, never correctness. Kept explicit
+        (not auto-tuned) so ``warmup`` pre-compiles the exact programs
+        serving will run; an adaptive cap would recompile at serve time."""
         if cfg is None:
             cfg = SGPConfig(max_iter=100, stop_criterion=3,
                             tol_convergence=1e-4, init_recon=2, proj_type=1,
@@ -36,6 +44,8 @@ class RestorationSession:
         self.beta0 = beta0
         self.lr0 = lr0
         self.mesh = mesh
+        self.phase1_iters = phase1_iters
+        self.tail_bucket = tail_bucket
 
     def warmup(self, buckets: Sequence[int] = (64, 256, 512, 768,
                                                1024)) -> None:
@@ -71,7 +81,8 @@ class RestorationSession:
         res = restore_stamps(
             stamps, self.psf, bkgs, self.cfg, fluxes=fluxes,
             beta0=self.beta0 if beta0 is None else beta0, lr0=self.lr0,
-            sat_level=self.sat_level, mesh=self.mesh, bucket=False)
+            sat_level=self.sat_level, mesh=self.mesh, bucket=False,
+            phase1_iters=self.phase1_iters, tail_bucket=self.tail_bucket)
         return res, b
 
     def restore(self, stamps, bkgs, fluxes=None, beta0=None) -> SGPResult:
