@@ -217,3 +217,32 @@ def test_restoration_session_with_compaction():
     np.testing.assert_array_equal(np.asarray(b.iters), np.asarray(a.iters))
     np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_flatten_matches_2d_layout():
+    """flatten=True ravels stamps for TPU tiling; the matmul contraction
+    order changes, so f64 agreement is to ULP accumulation, and the
+    operator itself is mathematically identical."""
+    from tpu_sgp.ops.psf_operator import (make_matmul_flat_operator,
+                                          make_matmul_operator)
+    stamps, psf, bkgs, _ = synthetic_star_stamps(6, size=16, seed=19)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=10)
+    a = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                       sat_level=65000.0)
+    b = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                       sat_level=65000.0, flatten=True)
+    assert b.x.shape == (6, 16, 16)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x),
+                               rtol=1e-8, atol=1e-8)
+    # operator equivalence (exact reshape identity)
+    k = np.asarray(psf, np.float64)
+    A2, AT2 = make_matmul_operator(jnp.asarray(k))
+    A1, AT1 = make_matmul_flat_operator(jnp.asarray(k))
+    v = np.asarray(stamps[0], np.float64)
+    np.testing.assert_allclose(np.asarray(A1(jnp.asarray(v.ravel()))),
+                               np.asarray(A2(jnp.asarray(v))).ravel(),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(AT1(jnp.asarray(v.ravel()))),
+                               np.asarray(AT2(jnp.asarray(v))).ravel(),
+                               rtol=1e-13, atol=1e-13)

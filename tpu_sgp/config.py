@@ -95,7 +95,8 @@ class SGPConfig:
         if self.divergence not in ('kl', 'beta'):
             raise ValueError(f"divergence must be 'kl' or 'beta', got "
                              f"{self.divergence!r}")
-        if self.operator not in ('auto', 'otf', 'matmul', 'linear', 'halo'):
+        if self.operator not in ('auto', 'otf', 'matmul', 'matmul_flat',
+                                 'linear', 'halo'):
             raise ValueError(f'unknown operator {self.operator!r}')
         if self.projection_method not in ('bisect', 'pallas', 'sort',
                                           'secant'):

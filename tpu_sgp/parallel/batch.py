@@ -199,7 +199,8 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
                    batch_axis: str = 'batch',
                    bucket: bool = False,
                    phase1_iters: Optional[int] = None,
-                   tail_bucket: int = 1024) -> SGPResult:
+                   tail_bucket: int = 1024,
+                   flatten: bool = False) -> SGPResult:
     """Restore a batch of stamps in one compiled program.
 
     Args:
@@ -241,6 +242,25 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
      sat) = _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level,
                   dtype)
 
+    img_shape = stamps.shape[1:]
+    if flatten:
+        # ravel each stamp: a (B, 31, 31) array tiles as T(8,128) over the
+        # trailing dims (31->32 x 31->128, a 4.3x pad) while (B, 961) pads
+        # only to 1024 lanes. Measured SHAPE-DEPENDENT on v5e (+8% at
+        # B=4096, -12% at B=6144 — the solve is launch-bound, not
+        # bandwidth-bound, so the layout only moves second-order terms);
+        # benchmark your batch shape before enabling. Requires the shared
+        # dense operator; the matmul contraction order changes, so f32
+        # trajectories are rounding-equivalent rather than bitwise (f64
+        # agrees to ULPs).
+        if per_stamp_psf:
+            raise ValueError('flatten requires a shared PSF')
+        if cfg.operator not in ('auto', 'matmul', 'matmul_flat'):
+            raise ValueError('flatten requires the dense matmul operator')
+        cfg = cfg.replace(operator='matmul_flat')
+        stamps, bkgs, x0, obj = (a.reshape(a.shape[0], -1)
+                                 for a in (stamps, bkgs, x0, obj))
+
     if mesh is not None:
         shard = NamedSharding(mesh, P(batch_axis))
         repl = NamedSharding(mesh, P())
@@ -268,6 +288,8 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
                              sat, cfg, per_stamp_psf)
     if pad:
         res = _unpad(res, b_orig)
+    if flatten:
+        res = res._replace(x=res.x.reshape((res.x.shape[0],) + img_shape))
     return res
 
 
