@@ -246,3 +246,21 @@ def test_flatten_matches_2d_layout():
     np.testing.assert_allclose(np.asarray(AT1(jnp.asarray(v.ravel()))),
                                np.asarray(AT2(jnp.asarray(v))).ravel(),
                                rtol=1e-13, atol=1e-13)
+
+
+def test_two_phase_compaction_per_stamp_psfs():
+    """The tail gather must also gather per-stamp PSFs."""
+    stamps, psf, bkgs, _ = synthetic_star_stamps(12, size=16, seed=23)
+    psfs = np.stack([np.roll(psf, i % 3, axis=0) for i in range(12)])
+    psfs /= psfs.sum(axis=(1, 2), keepdims=True)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=50, stop_criterion=3, tol_convergence=1e-4,
+               dtype='float64', operator='otf')
+    single = restore_stamps(stamps, psfs, bkgs, cfg, fluxes=fluxes,
+                            sat_level=65000.0)
+    two = restore_stamps(stamps, psfs, bkgs, cfg, fluxes=fluxes,
+                         sat_level=65000.0, phase1_iters=10, tail_bucket=4)
+    np.testing.assert_array_equal(np.asarray(two.iters),
+                                  np.asarray(single.iters))
+    np.testing.assert_allclose(np.asarray(two.x), np.asarray(single.x),
+                               rtol=1e-6, atol=1e-6)
