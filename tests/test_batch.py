@@ -157,6 +157,26 @@ def test_restoration_session_serves_buckets():
         sess.restore(np.zeros((2, 8, 8)), np.zeros(2))
 
 
+def test_restoration_session_warns_on_unwarmed_bucket():
+    import pytest
+    from tpu_sgp.parallel.batch import _bucket_target
+    from tpu_sgp.parallel.session import RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(10, size=16, seed=12)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=4, dtype='float64')
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    # warmup(max_batch=N) covers every bucket the policy produces for 1..N
+    sess.warmup(max_batch=6)
+    assert sess._warmed == {_bucket_target(b, None) for b in range(1, 7)}
+    with pytest.warns(UserWarning, match='not warmed'):
+        sess.restore(stamps, bkgs, fluxes=fluxes)   # 10 -> bucket 16
+    # the bucket is now compiled: serving it again is silent
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        sess.restore(stamps, bkgs, fluxes=fluxes)
+
+
 def test_batched_errflag_tracking():
     stamps, psf, bkgs, _ = synthetic_star_stamps(3, size=16, seed=21)
     truths = stamps - bkgs[:, None, None]  # rough truth stand-in

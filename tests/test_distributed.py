@@ -184,6 +184,61 @@ def test_halo_operator_non_square_psf_adjoint():
         make_halo_operator(jnp.ones((4, 5)) / 20.0, ('ty', 'tx'))
 
 
+def test_distributed_autopad_matches_single_device_on_padded_problem():
+    """Non-divisible shapes are auto-padded with background sky and cropped:
+    the result equals the single-device solve of the SAME padded problem."""
+    from tpu_sgp.parallel.distributed import pad_to_mesh
+    img, psf = _problem(h=90, w=94, n_stars=10, seed=13)  # 2x4 mesh: 90%2=0, 94%4=2
+    cfg = SGPConfig(max_iter=8, stop_criterion=1, init_recon=2,
+                    proj_type=0, has_flux=False, has_sat_level=False,
+                    dtype='float64', operator='linear')
+    mesh = make_image_mesh(devices=jax.devices()[:8])
+    dist = solve_distributed(img, psf, 150.0, cfg, mesh)
+    assert np.asarray(dist.x).shape == img.shape
+
+    bkg = jnp.full(img.shape, 150.0, jnp.float64)
+    gp, bp, (hp, wp) = pad_to_mesh(jnp.asarray(img, jnp.float64), bkg, 2, 4,
+                                   max(psf.shape) // 2)
+    assert (hp, wp) == (90, 96)
+    z = jnp.zeros((hp, wp), jnp.float64)
+    single = solve(gp, jnp.asarray(psf, jnp.float64), bp, z, 0.0, z,
+                   1.0, 1e-3, 0.0, cfg)
+    np.testing.assert_allclose(np.asarray(dist.x),
+                               np.asarray(single.x)[:90, :94],
+                               rtol=1e-9, atol=1e-9)
+    # padded margin reconstructs to ~source-free sky: tiny flux vs the image
+    pad_flux = float(np.asarray(single.x)[:, 94:].sum())
+    assert pad_flux < 1e-3 * float(np.asarray(single.x).sum())
+
+
+def test_distributed_batch_autopad_batch_axis():
+    """B not divisible by the batch mesh axis: lanes are repeated then
+    cropped, and real-lane results are unchanged (lanes are independent)."""
+    from tpu_sgp.parallel.distributed import (make_batch_image_mesh,
+                                              solve_distributed_batch)
+    imgs = []
+    for seed in (5, 9, 11):
+        img, psf = _problem(h=64, w=64, n_stars=8, seed=seed)
+        imgs.append(img)
+    imgs = np.stack(imgs)                      # B=3 over batch axis 2
+    cfg = SGPConfig(max_iter=25, stop_criterion=3, tol_convergence=1e-4,
+                    init_recon=2, proj_type=1, has_flux=True,
+                    has_sat_level=True, dtype='float64', operator='linear')
+    fluxes = np.array([float(im.sum() - 150.0 * im.size) for im in imgs])
+    mesh = make_batch_image_mesh(batch=2, devices=jax.devices()[:8])
+    dist = solve_distributed_batch(imgs, psf, 150.0, cfg, mesh,
+                                   fluxes=fluxes, sat_level=65000.0)
+    assert np.asarray(dist.x).shape == imgs.shape
+    assert np.asarray(dist.iters).shape == (3,)
+    for i in range(3):
+        single = _single(imgs[i], psf, cfg, flux=float(fluxes[i]),
+                         sat=65000.0)
+        assert int(np.asarray(dist.iters)[i]) == int(single.iters), i
+        np.testing.assert_allclose(np.asarray(dist.x)[i],
+                                   np.asarray(single.x),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_mesh_factorization():
     mesh = make_image_mesh(devices=jax.devices()[:8])
     assert dict(mesh.shape) in ({'ty': 2, 'tx': 4},)

@@ -85,6 +85,35 @@ def test_slice_bboxes_match_reference_algorithm():
     assert cov.all()
 
 
+def test_slice_bboxes_differential_vs_marching_loop():
+    """Closed-form grid == the reference's marching-loop algorithm
+    (/root/reference/restoration/utils.py:332-375) across shapes/overlaps."""
+    def oracle(H, W, sh, sw, ovh, ovw):
+        boxes = []
+        y_overlap, x_overlap = int(ovh * sh), int(ovw * sw)
+        y_min = y_max = 0
+        while y_max < H:
+            y_max = y_min + sh
+            x_min = x_max = 0
+            while x_max < W:
+                x_max = x_min + sw
+                if y_max > H or x_max > W:
+                    xm, ym = min(W, x_max), min(H, y_max)
+                    boxes.append([max(0, xm - sw), max(0, ym - sh), xm, ym])
+                else:
+                    boxes.append([x_min, y_min, x_max, y_max])
+                x_min = x_max - x_overlap
+            y_min = y_max - y_overlap
+        return boxes
+
+    for H, W in [(410, 410), (410, 300), (100, 100), (99, 101), (31, 501),
+                 (1024, 768), (1, 1), (250, 250)]:
+        for sh, sw in [(100, 100), (64, 128), (31, 31)]:
+            for ov in [0.0, 0.1, 0.2, 0.5]:
+                got = calculate_slice_bboxes(H, W, sh, sw, ov, ov)
+                assert got == oracle(H, W, sh, sw, ov, ov), (H, W, sh, sw, ov)
+
+
 def test_create_subdivisions_shapes():
     img = np.zeros((410, 410))
     subs = create_subdivisions(img, (100, 100), overlap=10)

@@ -30,9 +30,20 @@ def test_fit_radprof_recovers_gaussian():
     truth = 120.0 * np.exp(-0.5 * (x / 2.0) ** 2)
     noisy = truth + rng.normal(0, 0.5, truth.shape)
     table = {'fwhm': np.array([2.0 * 2.35482])}
-    fitted, perr = fit_radprof(noisy, table)
+    fitted, perr, ok = fit_radprof(noisy, table)
     np.testing.assert_allclose(fitted, truth, rtol=0.05, atol=1.0)
     assert np.all(np.isfinite(perr))
+    assert ok is True
+
+
+def test_fit_radprof_fallback_is_flagged():
+    # a profile the optimizer cannot fit (NaNs) triggers the seed-curve
+    # fallback, which must be distinguishable via ok=False + NaN perr
+    bad = np.full(16, np.nan)
+    fitted, perr, ok = fit_radprof(bad, {'fwhm': np.array([3.0])})
+    assert ok is False
+    assert np.all(np.isnan(perr))
+    assert len(fitted) == len(bad)           # seed curve, same grid
 
 
 def test_wasserstein_zero_for_identical():

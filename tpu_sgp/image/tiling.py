@@ -17,32 +17,32 @@ from .cutout import Cutout2D
 from .wcs import WCS
 
 
+def _axis_spans(dim: int, size: int, overlap: int) -> np.ndarray:
+    """(n, 2) array of (start, end) tile spans along one axis: stride
+    ``size - overlap``, last span pulled back inside ``[0, dim]``."""
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError(f'tile size {size} must exceed overlap {overlap}')
+    n = 1 + max(0, -(-(dim - size) // stride))   # ceil((dim-size)/stride)
+    ends = np.minimum(np.arange(n, dtype=np.int64) * stride + size, dim)
+    starts = np.maximum(ends - size, 0)
+    return np.stack([starts, ends], axis=1)
+
+
 def calculate_slice_bboxes(image_height: int, image_width: int,
                            slice_height: int = 512, slice_width: int = 512,
                            overlap_height_ratio: float = 0.2,
                            overlap_width_ratio: float = 0.2) -> List[List[int]]:
-    """Overlapping tile bounding boxes in xyxy, identical marching order to
-    the reference implementation (row-major, edge tiles shifted inward)."""
-    boxes = []
-    y_overlap = int(overlap_height_ratio * slice_height)
-    x_overlap = int(overlap_width_ratio * slice_width)
-    y_min = 0
-    y_max = 0
-    while y_max < image_height:
-        y_max = y_min + slice_height
-        x_min = x_max = 0
-        while x_max < image_width:
-            x_max = x_min + slice_width
-            if y_max > image_height or x_max > image_width:
-                xmax = min(image_width, x_max)
-                ymax = min(image_height, y_max)
-                boxes.append([max(0, xmax - slice_width),
-                              max(0, ymax - slice_height), xmax, ymax])
-            else:
-                boxes.append([x_min, y_min, x_max, y_max])
-            x_min = x_max - x_overlap
-        y_min = y_max - y_overlap
-    return boxes
+    """Overlapping tile bounding boxes in xyxy — same tile set and row-major
+    order as the reference (a closed-form grid rather than a marching loop):
+    stride = size - int(ratio*size), edge tiles shifted inward so every box
+    is full-size whenever the image allows it."""
+    ys = _axis_spans(image_height, slice_height,
+                     int(overlap_height_ratio * slice_height))
+    xs = _axis_spans(image_width, slice_width,
+                     int(overlap_width_ratio * slice_width))
+    return [[int(x0), int(y0), int(x1), int(y1)]
+            for y0, y1 in ys for x0, x1 in xs]
 
 
 def create_subdivisions(image: np.ndarray,

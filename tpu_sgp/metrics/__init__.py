@@ -8,12 +8,13 @@ simulation tests.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
-__all__ = ['radial_profile', 'fit_radprof', 'wasserstein_distance_norm',
-           'relative_error', 'validation_source', 'flux_fractional_difference']
+__all__ = ['radial_profile', 'fit_radprof', 'RadProfFit',
+           'wasserstein_distance_norm', 'relative_error',
+           'validation_source', 'flux_fractional_difference']
 
 
 def radial_profile(data: np.ndarray, center: Tuple[float, float]) -> list:
@@ -36,10 +37,20 @@ def _gauss1d(x, amplitude, mean, stddev):
     return amplitude * np.exp(-0.5 * ((x - mean) / stddev) ** 2)
 
 
-def fit_radprof(radprof, table) -> Tuple[np.ndarray, np.ndarray]:
+class RadProfFit(NamedTuple):
+    """Result of ``fit_radprof``: unpacks as the historical
+    (fitted, perr) pair plus an explicit ``ok`` flag so callers can tell a
+    converged fit from the seed-curve fallback."""
+    fitted: np.ndarray
+    perr: np.ndarray
+    ok: bool
+
+
+def fit_radprof(radprof, table) -> RadProfFit:
     """Least-squares Gaussian1D fit to a radial profile, seeded from the
-    catalog FWHM (reference utils.py:180-202). Returns (fitted profile,
-    parameter errors)."""
+    catalog FWHM (reference utils.py:180-202). Returns
+    ``RadProfFit(fitted, perr, ok)``; ``ok=False`` means the optimizer
+    failed and ``fitted`` is the seed curve (perr all-NaN)."""
     from scipy.optimize import curve_fit
     from ..utils import GAUSSIAN_FWHM_TO_SIGMA
 
@@ -58,10 +69,12 @@ def fit_radprof(radprof, table) -> Tuple[np.ndarray, np.ndarray]:
             popt, pcov = curve_fit(_gauss1d, x, radprof, p0=p0, maxfev=5000)
         fitted = _gauss1d(x, *popt)
         perr = np.sqrt(np.abs(np.diag(pcov)))
+        ok = True
     except Exception:
         fitted = _gauss1d(x, *p0)
         perr = np.full(3, np.nan)
-    return fitted, perr
+        ok = False
+    return RadProfFit(fitted, perr, ok)
 
 
 def wasserstein_distance_norm(p, q) -> float:

@@ -69,14 +69,45 @@ def make_batch_image_mesh(batch: int = None, devices=None,
     return Mesh(mesh_devices, axis_names=axis_names)
 
 
+def _padded_extent(dim: int, parts: int, half: int) -> int:
+    """Smallest extent >= dim that divides by ``parts`` with a local tile of
+    at least ``half`` (the PSF half-width halo constraint)."""
+    tile = max(-(-dim // parts), half)
+    return tile * parts
+
+
+def pad_to_mesh(gn, bkg, ty: int, tx: int, half: int):
+    """Pad (gn, bkg) on the bottom/right to mesh-divisible extents.
+
+    Padded pixels are filled with the (edge-replicated) background, i.e.
+    they are source-free sky: the solver reconstructs ~0 flux there and the
+    global reductions (flux sum, objective, stop norms) see only a benign
+    background extension. Returns (gn_pad, bkg_pad, (H, W) padded shape).
+    """
+    h, w = gn.shape
+    hp = _padded_extent(h, ty, half)
+    wp = _padded_extent(w, tx, half)
+    if (hp, wp) == (h, w):
+        return gn, bkg, (h, w)
+    pad = ((0, hp - h), (0, wp - w))
+    bkg_pad = jnp.pad(bkg, pad, mode='edge')
+    gn_pad = jnp.pad(gn, pad, mode='constant')
+    mask = jnp.pad(jnp.ones((h, w), bool), pad, mode='constant')
+    gn_pad = jnp.where(mask, gn_pad, bkg_pad)
+    return gn_pad, bkg_pad, (hp, wp)
+
+
 def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
                       flux=None, x0=None, obj=None, beta0=1.0, lr0=1e-3,
                       sat_level=0.0) -> SGPResult:
     """Solve one large image sharded over a 2-D mesh.
 
     cfg.operator / cfg.axis_names are overridden to the halo configuration.
-    Image height/width must divide by the respective mesh axis sizes, and
-    each local tile must be at least a PSF half-width tall/wide.
+    Images whose height/width do not divide by the mesh axis sizes (or whose
+    local tile would be smaller than the PSF half-width halo) are auto-padded
+    on the bottom/right with background-filled sky and the result is cropped
+    back — the padding perturbs the global reductions only by a source-free
+    background margin.
     """
     axis_names = tuple(mesh.axis_names)
     cfg = cfg.replace(operator='halo', axis_names=axis_names)
@@ -85,18 +116,18 @@ def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
     gn = jnp.asarray(gn, dt)
     h, w = gn.shape
     ty, tx = (mesh.shape[axis_names[0]], mesh.shape[axis_names[1]])
-    if h % ty or w % tx:
-        raise ValueError(f'image {gn.shape} not divisible by mesh {ty}x{tx}')
     kh, kw = np.shape(psf)
     # the adjoint applies the transposed kernel, so each axis needs the
     # larger of the two half-widths
     half = max(kh, kw) // 2
-    if h // ty < half or w // tx < half:
-        raise ValueError('local tile smaller than PSF half-width halo')
 
     bkg = jnp.broadcast_to(jnp.asarray(bkg, dt), (h, w))
-    x0 = jnp.zeros((h, w), dt) if x0 is None else jnp.asarray(x0, dt)
-    obj = jnp.zeros((h, w), dt) if obj is None else jnp.asarray(obj, dt)
+    gn, bkg, (hp, wp) = pad_to_mesh(gn, bkg, ty, tx, half)
+    pad = ((0, hp - h), (0, wp - w))
+    x0 = (jnp.zeros((hp, wp), dt) if x0 is None
+          else jnp.pad(jnp.asarray(x0, dt), pad))
+    obj = (jnp.zeros((hp, wp), dt) if obj is None
+           else jnp.pad(jnp.asarray(obj, dt), pad))
     psf = jnp.asarray(psf, dt)
     flux_in = jnp.asarray(0.0 if flux is None else flux, dt)
     cfg = cfg.replace(has_flux=flux is not None)
@@ -122,7 +153,10 @@ def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
         return fn(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)
 
     gn = jax.device_put(gn, NamedSharding(mesh, img_spec))
-    return run(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)
+    res = run(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)
+    if (hp, wp) != (h, w):
+        res = res._replace(x=res.x[:h, :w])
+    return res
 
 
 def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
@@ -138,8 +172,10 @@ def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
     distributed solve.
 
     Args:
-      gns: (B, H, W) image batch; B divisible by the batch mesh axis,
-        H/W by the spatial axes.
+      gns: (B, H, W) image batch. Non-divisible B is auto-padded by
+        repeating lane 0 (exact — lanes are independent); non-divisible
+        H/W are auto-padded with background-filled sky (see ``pad_to_mesh``)
+        and cropped on return.
       bkgs: scalar, (B,), or (B, H, W) background.
       fluxes: optional (B,) per-image fluxes (enables flux conservation).
       beta0: scalar or (B,) initial beta (beta divergence mode).
@@ -156,26 +192,51 @@ def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
         raise ValueError(f'gns must be (B, H, W), got {gns.shape}')
     b, h, w = gns.shape
     nb, ty, tx = mesh.shape[bax], mesh.shape[py], mesh.shape[px]
-    if b % nb or h % ty or w % tx:
-        raise ValueError(f'batch {gns.shape} not divisible by mesh '
-                         f'{nb}x{ty}x{tx}')
     kh, kw = np.shape(psf)
     # the adjoint applies the transposed kernel, so each axis needs the
     # larger of the two half-widths
     half = max(kh, kw) // 2
-    if h // ty < half or w // tx < half:
-        raise ValueError('local tile smaller than PSF half-width halo')
 
     bkgs = jnp.asarray(bkgs, dt)
     if bkgs.ndim == 1:
         bkgs = bkgs[:, None, None]
     bkgs = jnp.broadcast_to(bkgs, (b, h, w))
-    x0 = jnp.zeros((b, h, w), dt) if x0 is None else jnp.asarray(x0, dt)
-    objs = jnp.zeros((b, h, w), dt) if objs is None else jnp.asarray(objs, dt)
+    # spatial auto-pad (background-filled, see pad_to_mesh) + batch auto-pad
+    # (repeat lane 0 — exact: lanes are independent and per-lane masked)
+    hp = _padded_extent(h, ty, half)
+    wp = _padded_extent(w, tx, half)
+    bp_ = -(-b // nb) * nb
+    if (hp, wp) != (h, w):
+        pad3 = ((0, 0), (0, hp - h), (0, wp - w))
+        bkg_pad = jnp.pad(bkgs, pad3, mode='edge')
+        mask = jnp.pad(jnp.ones((b, h, w), bool), pad3)
+        gns = jnp.where(mask, jnp.pad(gns, pad3), bkg_pad)
+        bkgs = bkg_pad
+        if x0 is not None:
+            x0 = jnp.pad(jnp.asarray(x0, dt), pad3)
+        if objs is not None:
+            objs = jnp.pad(jnp.asarray(objs, dt), pad3)
+    if bp_ != b:
+        def _repeat0(a):
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (bp_ - b,) + a.shape[1:])])
+        gns, bkgs = _repeat0(gns), _repeat0(bkgs)
+        if x0 is not None:
+            x0 = _repeat0(jnp.asarray(x0, dt))
+        if objs is not None:
+            objs = _repeat0(jnp.asarray(objs, dt))
+        if fluxes is not None:
+            fluxes = _repeat0(jnp.asarray(fluxes, dt))
+        beta0 = _repeat0(jnp.broadcast_to(jnp.asarray(beta0, dt), (b,)))
+    bfull = bp_
+    x0 = jnp.zeros((bfull, hp, wp), dt) if x0 is None else jnp.asarray(x0, dt)
+    objs = (jnp.zeros((bfull, hp, wp), dt) if objs is None
+            else jnp.asarray(objs, dt))
     psf = jnp.asarray(psf, dt)
-    flux_in = jnp.zeros((b,), dt) if fluxes is None else jnp.asarray(fluxes, dt)
+    flux_in = (jnp.zeros((bfull,), dt) if fluxes is None
+               else jnp.asarray(fluxes, dt))
     cfg = cfg.replace(has_flux=fluxes is not None)
-    beta0 = jnp.broadcast_to(jnp.asarray(beta0, dt), (b,))
+    beta0 = jnp.broadcast_to(jnp.asarray(beta0, dt), (bfull,))
     lr0 = jnp.asarray(lr0, dt)
     sat = jnp.asarray(sat_level, dt)
 
@@ -204,4 +265,8 @@ def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
         return fn(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat)
 
     gns = jax.device_put(gns, NamedSharding(mesh, img_spec))
-    return run(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat)
+    res = run(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat)
+    if (bfull, hp, wp) != (b, h, w):
+        res = SGPResult(*(f[:b] for f in res))._replace(
+            x=res.x[:b, :h, :w])
+    return res

@@ -46,16 +46,23 @@ class RestorationSession:
         self.mesh = mesh
         self.phase1_iters = phase1_iters
         self.tail_bucket = tail_bucket
+        self._warmed: set = set()
 
-    def warmup(self, buckets: Sequence[int] = (64, 256, 512, 768,
-                                               1024)) -> None:
+    def warmup(self, buckets: Sequence[int] = (64, 256, 512, 768, 1024),
+               max_batch: Optional[int] = None) -> None:
         """Compile the solver for each bucket size ahead of serving.
 
         The defaults cover every bucket the padding policy produces for
         batches of 33..1024 (powers of two up to 256, then multiples of
-        256); list exactly the bucket sizes your serving batches will pad
-        to — a request landing in a non-warmed bucket pays a full solver
-        compile at serve time."""
+        256). Pass ``max_batch`` to instead warm EVERY bucket the padding
+        policy can produce for batches 1..max_batch — the safe choice when
+        the serving batch-size ceiling is known. A request landing in a
+        non-warmed bucket still works but pays a full solver compile at
+        serve time (the session warns when that happens)."""
+        from .batch import _bucket_target
+        if max_batch is not None:
+            buckets = sorted({_bucket_target(b, self.mesh)
+                              for b in range(1, max_batch + 1)})
         h, w = self.stamp_shape
         for b in buckets:
             dummy = np.full((b, h, w), 100.0)
@@ -78,6 +85,16 @@ class RestorationSession:
         (stamps, bkgs, fluxes, _, _, beta0, _, _, _), b = \
             _pad_args_to_bucket(self.mesh, stamps, bkgs, fluxes=fluxes,
                                 beta0=beta0)
+        bucket = stamps.shape[0]
+        if self._warmed and bucket not in self._warmed:
+            import warnings
+            warnings.warn(
+                f'RestorationSession: batch {b} pads to bucket {bucket}, '
+                f'which was not warmed (warmed: {sorted(self._warmed)}) — '
+                f'this request pays a full solver compile. Warm it with '
+                f'warmup(buckets=[{bucket}]) or warmup(max_batch=...).',
+                stacklevel=3)
+        self._warmed.add(bucket)
         res = restore_stamps(
             stamps, self.psf, bkgs, self.cfg, fluxes=fluxes,
             beta0=self.beta0 if beta0 is None else beta0, lr0=self.lr0,

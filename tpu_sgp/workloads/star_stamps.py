@@ -213,8 +213,8 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
 
     metrics = {k: [] for k in (
         'FLUX_FRACTIONAL_DIFFERENCE', 'FWHM_RATIO', 'ELLIPTICITY_RATIO',
-        'WD_RADIAL_PROFILE_DISTANCE', 'NUM_ITERS', 'EXEC_TIME', 'ORIG_FLUX',
-        'RESTORED_FLUX')}
+        'WD_RADIAL_PROFILE_DISTANCE', 'WD_FIT_OK', 'NUM_ITERS', 'EXEC_TIME',
+        'ORIG_FLUX', 'RESTORED_FLUX')}
     for i in range(b):
         scat, rbkg = source_info(restored[i], localbkg_width=5)
         if scat is None or len(scat) == 0:
@@ -229,8 +229,9 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
         rest_prof = radial_profile(
             restored[i] - rbkg.background,
             (rt['xcentroid'].value[ri], rt['ycentroid'].value[ri]))
-        fo, _ = fit_radprof(orig_prof, ot)
-        fr, _ = fit_radprof(rest_prof, {'fwhm': rt['fwhm'].value[ri:ri + 1]})
+        fo, _, fo_ok = fit_radprof(orig_prof, ot)
+        fr, _, fr_ok = fit_radprof(rest_prof,
+                                   {'fwhm': rt['fwhm'].value[ri:ri + 1]})
 
         metrics['ORIG_FLUX'].append(ot['segment_flux'].value[0])
         metrics['RESTORED_FLUX'].append(rt['segment_flux'].value[ri])
@@ -243,6 +244,8 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
                                               1e-12))
         metrics['WD_RADIAL_PROFILE_DISTANCE'].append(
             wasserstein_distance_norm(fo, fr))
+        # both profile fits converged (False => WD computed on a seed curve)
+        metrics['WD_FIT_OK'].append(bool(fo_ok and fr_ok))
         metrics['NUM_ITERS'].append(int(iters[i]))
         # amortized per-stamp device wall for the batched solve
         metrics['EXEC_TIME'].append(solve_wall / b)
