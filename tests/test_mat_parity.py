@@ -44,6 +44,24 @@ def test_satellite_kl():
     assert abs(_rel_err(x, obj) - 0.289815) < 5e-3
 
 
+@pytest.mark.slow
+def test_satellite_kl_50iter_trajectory_matches_oracle():
+    """Medium-horizon trajectory pin: at 50 iterations the JAX solver and
+    the independent NumPy oracle must still agree to ~1e-5 relative (f64),
+    bounding where the roundoff-chaos divergence of the 332-iter run can
+    begin. Complements the loose scientific-outcome assertion above."""
+    from oracle_numpy import oracle_solve
+    gn, psf, bkg, obj = _unpack(load_mat_fixture('satellite_25500.mat'))
+    x, iters, discr, _, _ = sgp(gn, psf, bkg, init_recon=3,
+                                stop_criterion=1, MAXIT=50)
+    xo, ito, discro, _ = oracle_solve(gn, psf, bkg, init_recon=3,
+                                      stop_criterion=1, maxit=50)
+    assert iters == ito == 50
+    scale = float(np.abs(xo).max())
+    np.testing.assert_allclose(x, xo, rtol=1e-5, atol=1e-5 * scale)
+    np.testing.assert_allclose(discr, discro, rtol=1e-6)
+
+
 def test_ngc7027_beta():
     gn, psf, bkg, obj = _unpack(load_mat_fixture('NGC7027_255.mat'))
     x, _, _, _, _ = sgp_beta_div(gn, psf, bkg, init_recon=3,

@@ -27,8 +27,14 @@ PSF_NORM_TOL_FACTOR = 1e4  # * eps, reference sgp.py:99
 
 
 def check_psf_normalized(psf: np.ndarray) -> None:
-    check = abs(float(np.sum(np.asarray(psf, np.float64))) - 1.0)
-    tol = PSF_NORM_TOL_FACTOR * np.finfo(float).eps
+    """|sum(psf) - 1| <= 1e4*eps (reference sgp.py:97-102), with eps taken
+    at the PSF's own precision: a float32 PSF (the TPU fast path) was
+    normalized in float32 arithmetic and cannot be held to float64 eps."""
+    psf = np.asarray(psf)
+    eps = np.finfo(psf.dtype if np.issubdtype(psf.dtype, np.floating)
+                   else np.float64).eps
+    check = abs(float(np.sum(psf, dtype=np.float64)) - 1.0)
+    tol = PSF_NORM_TOL_FACTOR * eps
     if check > tol:
         raise ValueError(
             f'PSF is not normalized! Provide a normalized PSF! '

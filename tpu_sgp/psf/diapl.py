@@ -54,6 +54,20 @@ class DiaplPSFModel:
                    fitrad=data[11], x_orig=data[12], y_orig=data[13],
                    vec_coeffs=np.asarray(data[14:], np.float64))
 
+    def to_txt(self, path: str) -> None:
+        """Write the ``.bin.txt`` coefficient layout (one value per line:
+        14 header fields then vec_coeffs; /root/reference/psf/README.md:1-19)
+        so fitted models round-trip through ``from_txt``."""
+        with open(path, 'w') as f:
+            for v in (self.hw, self.ndeg_spat, self.ndeg_local, self.ngauss):
+                f.write(f'{int(v)}\n')
+            for v in (self.recenter, self.cos, self.sin, self.ax, self.ay,
+                      self.sigma_inc, self.sigma_mscale, self.fitrad,
+                      self.x_orig, self.y_orig):
+                f.write(f'{v:.17g}\n')
+            for v in self.vec_coeffs:
+                f.write(f'{v:.17g}\n')
+
     @property
     def n_local(self) -> int:
         """Coefficients per spatial term: ngauss * #monomials(ldeg)."""

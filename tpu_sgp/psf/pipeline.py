@@ -98,6 +98,120 @@ def find_stars(image: np.ndarray, sat_level: float = 65000.0,
     return out
 
 
+def select_psf_stars(image: np.ndarray, stars: np.ndarray, *,
+                     hw: int = 15, max_stars: int = 100,
+                     min_flux: float = 100.0,
+                     min_sep: Optional[float] = None) -> np.ndarray:
+    """Pick PSF-fit candidates from an sfind-equivalent star list
+    (getpsf.par NPSF_MAX/MIN_FLUX analog): unsaturated, above min_flux,
+    fully inside the frame, isolated by min_sep (default 2*hw), brightest
+    first."""
+    if min_sep is None:
+        min_sep = 2.0 * hw
+    h, w = image.shape
+    x, y, f = stars['x'], stars['y'], stars['approx_flux']
+    ok = ((stars['num_saturated_pixels_in_aperture'] == 0)
+          & (f >= min_flux)
+          & (x >= hw) & (x < w - hw) & (y >= hw) & (y < h - hw))
+    idx = np.flatnonzero(ok)[np.argsort(-f[ok])]
+    picked: List[int] = []
+    for i in idx:
+        if len(picked) >= max_stars:
+            break
+        d2 = [(x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2 for j in picked]
+        # neighbors too close to a brighter pick contaminate its cutout
+        near = np.flatnonzero(((x - x[i]) ** 2 + (y - y[i]) ** 2
+                               < min_sep ** 2) & (np.arange(len(x)) != i))
+        if near.size and (f[near] > 0.2 * f[i]).any():
+            continue
+        if d2 and min(d2) < min_sep ** 2:
+            continue
+        picked.append(int(i))
+    return stars[picked]
+
+
+def estimate_psf_model(image: np.ndarray, *,
+                       hw: int = 15, sat_level: float = 65000.0,
+                       max_stars: int = 100, min_flux: float = 100.0,
+                       x_orig: Optional[float] = None,
+                       y_orig: Optional[float] = None,
+                       **fit_kwargs):
+    """Fit a DIAPL-format PSF model to one (sub-)frame with no external
+    binaries: sfind-equivalent detection -> candidate selection ->
+    background-subtracted flux-normalized cutouts -> ``fit_psf_model``
+    (the reference's getpsf step, psf_estimation.bash:126).
+
+    Returns (DiaplPSFModel, stars_used) or (None, empty) when no usable
+    stars are found.
+
+    Deliberate deviation: the default fit radius is 5.0 px rather than
+    getpsf.par's FITRAD=3.0 — rendering a 31x31 matrix extrapolates the
+    fit into the wings, and a radius of 3 was measured to leave the wings
+    unconstrained under noise (24% matrix error vs 0.4% at radius 5 on the
+    synthetic round-trip). Pass fitrad=3.0 for strict DIAPL parity."""
+    from .fit import FitStar, fit_psf_model
+
+    fit_kwargs.setdefault('fitrad', 5.0)
+
+    found = find_stars(image, sat_level=sat_level)
+    picked = select_psf_stars(image, found, hw=hw, max_stars=max_stars,
+                              min_flux=min_flux)
+    fit_stars = []
+    for row in picked:
+        x0, y0 = float(row['x']), float(row['y'])
+        cut = Cutout2D(image, (x0, y0), size=2 * hw + 1)
+        if cut.data.shape != (2 * hw + 1, 2 * hw + 1):
+            continue
+        data = (cut.data - row['local_bkg_level']) / max(row['approx_flux'],
+                                                         1e-12)
+        ox, oy = cut.origin_original
+        fit_stars.append(FitStar(data, x0, y0, cx=x0 - ox, cy=y0 - oy))
+    if not fit_stars:
+        return None, picked
+    if x_orig is None:
+        x_orig = image.shape[1] / 2.0
+    if y_orig is None:
+        y_orig = image.shape[0] / 2.0
+    fit_kwargs.setdefault('recenter', True)
+    model = fit_psf_model(fit_stars, hw=hw, x_orig=x_orig, y_orig=y_orig,
+                          **fit_kwargs)
+    return model, picked
+
+
+def psf_estimation(image: np.ndarray, *, nx: int = 2, ny: int = 5,
+                   margin: int = 20, hw: int = 15,
+                   sat_level: float = 65000.0,
+                   out_dir: Optional[str] = None,
+                   name: str = 'frame', **fit_kwargs) -> dict:
+    """End-to-end PSF estimation over an nx x ny sub-frame grid — the
+    native equivalent of the reference's psf_estimation.bash +
+    get_psf_coeffs.bash (cutfitsim -> fwhmm -> sfind -> getpsf -> tmpsf),
+    with every stage in-process.
+
+    Returns {(ix, iy): DiaplPSFModel} for sub-frames with enough stars.
+    With ``out_dir`` set, also writes per-sub-frame artifacts in the
+    reference layout: ``psf{name}_{ix}_{iy}.bin.txt`` coefficient files,
+    rendered+normalized ``psf{name}_{ix}_{iy}_img.fits`` matrices, and
+    ``{name}_{ix}_{iy}.coo`` star lists."""
+    models = {}
+    for cut, (ix, iy) in cut_subframes(image, nx=nx, ny=ny, margin=margin):
+        sub = np.asarray(cut.data, np.float64)
+        model, stars = estimate_psf_model(sub, hw=hw, sat_level=sat_level,
+                                          **fit_kwargs)
+        if model is None:
+            continue
+        models[(ix, iy)] = model
+        if out_dir is not None:
+            os.makedirs(out_dir, exist_ok=True)
+            stem = f'{name}_{ix}_{iy}'
+            model.to_txt(os.path.join(out_dir, f'psf{stem}.bin.txt'))
+            from ..image import writeto
+            writeto(os.path.join(out_dir, f'psf{stem}_img.fits'),
+                    model.normalized_matrix(2 * hw + 1), overwrite=True)
+            write_coo(os.path.join(out_dir, f'{stem}.coo'), stars)
+    return models
+
+
 def write_coo(path: str, stars: np.ndarray,
               header_lines: Optional[List[str]] = None) -> None:
     """Write a DIAPL-layout .coo list (3 header lines then whitespace
