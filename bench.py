@@ -54,15 +54,19 @@ def main():
 
     cfg = SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
                     init_recon=2, proj_type=1, has_flux=True,
-                    has_sat_level=True, dtype='float32', divergence='kl')
+                    has_sat_level=True, dtype='float32', divergence='kl',
+                    track_discr=False)
 
     def run():
         # convergence compaction: run all lanes to ~p95 of the iteration
         # distribution, finish the tail as a small batch (bit-equal
-        # schedules; ~19% measured)
+        # schedules; ~19% measured). flatten: raveled (B, 961) stamp layout
+        # (measured faster than (B, 31, 31) with the raveled projection
+        # sweep); track_discr=False drops the per-iteration series scatter
+        # nobody reads here.
         res = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
                              sat_level=65000.0, phase1_iters=31,
-                             tail_bucket=512)
+                             tail_bucket=512, flatten=True)
         # jax.block_until_ready does NOT block on the axon tunnel backend
         # (dispatches queue asynchronously); transferring the per-stamp
         # iteration counts (4 KB) forces real completion of the whole solve

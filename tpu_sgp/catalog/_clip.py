@@ -1,0 +1,85 @@
+"""Sorted-window sigma clipping for Background2D box statistics.
+
+Sigma clipping removes exactly the values outside [med - s*std, med + s*std]
+— a CONTIGUOUS range in sorted order. So the boxes are sorted ONCE and each
+clip iteration only narrows per-box [lo, hi) index bounds, with median /
+mean / var recovered from prefix sums in O(1) per box. Results are identical
+to the remove-and-recompute loop (NaNs sort to the end and compare False on
+both clip sides, so windows only narrow), without re-sorting or re-scanning
+per iteration. After the first pass only the boxes whose window is still
+narrowing are revisited — most converge in 1-2 clips, so late iterations
+touch a small active subset instead of the whole mesh.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _window_stats(srt, s1, s2, lo, hi):
+    """(median, std) of the sorted rows ``srt`` restricted to [lo, hi).
+    srt: (n, m) sorted rows; s1/s2: (n, m+1) prefix sums of values/squares;
+    lo/hi: (n,) window bounds."""
+    rows = np.arange(srt.shape[0])
+    cnt = np.maximum(hi - lo, 1)
+    ssum = s1[rows, hi] - s1[rows, lo]
+    ssq = s2[rows, hi] - s2[rows, lo]
+    mean = ssum / cnt
+    var = np.maximum(ssq / cnt - mean * mean, 0.0)
+    mi = lo + (cnt - 1) // 2
+    hi_i = lo + cnt // 2
+    med = 0.5 * (srt[rows, mi] + srt[rows, hi_i])
+    return med, np.sqrt(var)
+
+
+def clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int):
+    """(median, std) per box with iterative sigma clipping, vectorized over
+    the leading axes. boxes: (..., m)."""
+    shape = boxes.shape[:-1]
+    mdim = boxes.shape[-1]
+    srt = np.sort(boxes.astype(np.float64, copy=False), axis=-1)
+    nbox = int(np.prod(shape)) if shape else 1
+    srt = srt.reshape(nbox, mdim)
+    nvalid = np.isfinite(srt).sum(axis=-1)
+    z = np.where(np.isfinite(srt), srt, 0.0)
+    s1 = np.zeros((nbox, mdim + 1))
+    s2 = np.zeros((nbox, mdim + 1))
+    np.cumsum(z, axis=-1, out=s1[:, 1:])
+    np.cumsum(z * z, axis=-1, out=s2[:, 1:])
+
+    lo = np.zeros(nbox, np.int64)
+    hi = nvalid.astype(np.int64)
+    med, std = _window_stats(srt, s1, s2, lo, hi)
+    active = np.arange(nbox)
+    for _ in range(maxiters):
+        s_a = srt[active]
+        lo_val = med[active] - sigma * std[active]
+        hi_val = med[active] + sigma * std[active]
+        # clip x with |x - med| > sigma*std, i.e. keep lo_val <= x <= hi_val
+        below = np.sum(s_a < lo_val[:, None], axis=-1)
+        in_or_below = np.sum(s_a <= hi_val[:, None], axis=-1)
+        new_lo = np.maximum(lo[active], below)
+        new_hi = np.minimum(hi[active], in_or_below)
+        new_hi = np.maximum(new_hi, new_lo)  # guard inverted windows
+        changed = (new_lo != lo[active]) | (new_hi != hi[active])
+        if not changed.any():
+            break
+        upd = active[changed]
+        lo[upd] = new_lo[changed]
+        hi[upd] = new_hi[changed]
+        med_u, std_u = _window_stats(srt[upd], s1[upd], s2[upd],
+                                     lo[upd], hi[upd])
+        med[upd] = med_u
+        std[upd] = std_u
+        active = upd
+
+    empty = ((hi - lo) <= 0) | (nvalid == 0)
+    med[empty] = np.nan
+    std[empty] = np.nan
+    med = med.reshape(shape)
+    std = std.reshape(shape)
+    # boxes that clipped away entirely fall back to raw stats
+    bad = ~np.isfinite(med)
+    if bad.any():
+        med[bad] = np.median(boxes[bad], axis=-1)
+        std[bad] = np.std(boxes[bad], axis=-1)
+    return med, std

@@ -6,71 +6,20 @@ The reference estimates background with
 mesh box, 3x3 median filter over the mesh, spline upsampling to full
 resolution. The RMS map is the sigma-clipped std per box.
 
-The per-box sigma clipping is fully vectorized across the mesh (one
-nanmedian/nanstd per clip iteration over the whole (ny, nx, box) stack)
-— the workload calls this per stamp/tile, so it is a host hot path.
+The per-box sigma clipping is fully vectorized across the mesh (single-sort
+window narrowing, see ``_clip.py``), and the spline upsampling runs as two
+separable BLAS matmuls — the workload calls this per stamp/tile and per
+survey frame, so it is a host hot path at both stamp and megapixel scale.
 """
 from __future__ import annotations
 
 from typing import Tuple, Union
 
 import numpy as np
-from scipy.ndimage import median_filter, zoom
+from scipy.ndimage import median_filter, spline_filter
 
 
-def _nan_median_std(work: np.ndarray):
-    """Vectorized (median, std) over the last axis ignoring NaNs.
-
-    np.nanmedian falls back to a slow masked-array path for small arrays
-    (dominating stamp-sized Background2D); a sort puts NaNs last, so the
-    median comes from index arithmetic on the valid count.
-    """
-    valid = np.isfinite(work)
-    n = valid.sum(axis=-1)
-    n_safe = np.maximum(n, 1)
-    srt = np.sort(work, axis=-1)                      # NaNs sort to the end
-    lo = (n_safe - 1) // 2
-    hi = n_safe // 2
-    take = np.take_along_axis
-    med = 0.5 * (take(srt, lo[..., None], -1)
-                 + take(srt, hi[..., None], -1))[..., 0]
-    filled = np.where(valid, work, 0.0)
-    mean = filled.sum(axis=-1) / n_safe
-    var = (np.where(valid, (work - mean[..., None]) ** 2, 0.0).sum(axis=-1)
-           / n_safe)
-    std = np.sqrt(var)
-    med[n == 0] = np.nan
-    std[n == 0] = np.nan
-    return med, std
-
-
-def _clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int):
-    """(median, std) per box with iterative sigma clipping, vectorized over
-    the leading axes. boxes: (..., m)."""
-    work = boxes.astype(np.float64, copy=True)
-    # sort-based median wins for small boxes (np.nanmedian's masked-array
-    # fallback dominates stamp-sized grids); introselect-based nanmedian
-    # wins for large boxes
-    if boxes.shape[-1] <= 512:
-        stats = _nan_median_std
-    else:
-        def stats(w):
-            return (np.nanmedian(w, axis=-1), np.nanstd(w, axis=-1))
-    with np.errstate(invalid='ignore'):
-        for _ in range(maxiters):
-            med, std = stats(work)
-            out = (np.abs(work - med[..., None])
-                   > sigma * std[..., None])
-            if not np.any(out & np.isfinite(work)):
-                break
-            work[out] = np.nan
-        med, std = stats(work)
-    # boxes that clipped away entirely fall back to raw stats
-    bad = ~np.isfinite(med)
-    if bad.any():
-        med[bad] = np.median(boxes[bad], axis=-1)
-        std[bad] = np.std(boxes[bad], axis=-1)
-    return med, std
+from ._clip import clipped_box_stats as _clipped_box_stats
 
 
 class Background2D:
@@ -116,9 +65,74 @@ class Background2D:
     def _upsample(mesh, box, out_shape, order):
         if mesh.size == 1:
             return np.full(out_shape, mesh.ravel()[0])
-        up = zoom(mesh, box, order=order, mode='reflect', grid_mode=True)
+        up = _zoom_separable(mesh, box, order)
         # clip spline overshoot to the mesh value range (photutils
         # BkgZoomInterpolator does the same) — unclipped order-3 splines ring
         # around source-dominated boxes and can drive the RMS map negative
         up = np.clip(up, mesh.min(), mesh.max())
         return up[:out_shape[0], :out_shape[1]]
+
+
+def _bspline3(t: np.ndarray) -> np.ndarray:
+    at = np.abs(t)
+    return np.where(at <= 1.0, (4.0 - 6.0 * at * at + 3.0 * at ** 3) / 6.0,
+                    np.where(at < 2.0, (2.0 - at) ** 3 / 6.0, 0.0))
+
+
+def _reflect_index(j: np.ndarray, n: int) -> np.ndarray:
+    """scipy 'reflect' boundary folding ((d c b a | a b c d | d c b a))."""
+    if n == 1:
+        return np.zeros_like(j)
+    j = np.mod(j, 2 * n)
+    return np.where(j >= n, 2 * n - 1 - j, j)
+
+
+_ZOOM_W_CACHE: dict = {}
+
+
+def _zoom_axis_weights(n_in: int, factor: int, order: int) -> np.ndarray:
+    """(n_in*factor, n_in) interpolation-weight matrix for one axis of a
+    grid_mode zoom: output sample i reads input coordinate
+    x = (i + 0.5)/factor - 0.5 through the order-1/3 B-spline kernel with
+    'reflect' folding."""
+    key = (n_in, factor, order)
+    w = _ZOOM_W_CACHE.get(key)
+    if w is not None:
+        return w
+    n_out = n_in * factor
+    x = (np.arange(n_out) + 0.5) / factor - 0.5
+    w = np.zeros((n_out, n_in))
+    if order == 1:
+        base = np.floor(x).astype(np.int64)
+        offsets = (0, 1)
+
+        def kern(t):
+            return np.maximum(1.0 - np.abs(t), 0.0)
+    else:
+        base = np.floor(x).astype(np.int64) - 1
+        offsets = (0, 1, 2, 3)
+        kern = _bspline3
+    rows = np.arange(n_out)
+    for o in offsets:
+        j = base + o
+        np.add.at(w, (rows, _reflect_index(j, n_in)), kern(x - j))
+    _ZOOM_W_CACHE[key] = w
+    return w
+
+
+def _zoom_separable(mesh: np.ndarray, box, order: int) -> np.ndarray:
+    """Integer-factor spline zoom (scipy ``zoom(..., mode='reflect',
+    grid_mode=True)`` semantics) as two small matmuls.
+
+    scipy's zoom evaluates the 2-D spline pointwise over the full output
+    grid (~0.16 s for a 1 Mpx background map); a separable integer-factor
+    zoom is (Wy @ spline_filter(mesh)) @ Wx.T with axis-weight matrices
+    built once per (size, factor) — ~10 ms via BLAS. Agrees with scipy to
+    roundoff (differentially tested)."""
+    by, bx = int(box[0]), int(box[1])
+    filt = (spline_filter(mesh, order=order, mode='reflect',
+                          output=np.float64)
+            if order > 1 else np.asarray(mesh, np.float64))
+    wy = _zoom_axis_weights(mesh.shape[0], by, order)
+    wx = _zoom_axis_weights(mesh.shape[1], bx, order)
+    return wy @ filt @ wx.T

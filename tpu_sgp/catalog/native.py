@@ -49,6 +49,14 @@ def _load():
             ctypes.c_double,
             np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
         ]
+        lib.deblend_all.restype = ctypes.c_int32
+        lib.deblend_all.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+        ]
         _lib = lib
     except Exception as exc:  # pragma: no cover - toolchain-dependent
         _load_error = str(exc)
@@ -77,6 +85,25 @@ def deblend_segment(sub: np.ndarray, inseg: np.ndarray, npixels: int,
     if k == 0:
         return None
     return out
+
+
+def deblend_all(data: np.ndarray, seg: np.ndarray, nseg: int, npixels: int,
+                nlevels: int, contrast: float) -> tuple:
+    """Deblend EVERY segment of a frame in one native call (the per-segment
+    ctypes dispatch cost ~0.1 ms dominated megapixel frames). ``seg`` labels
+    must be 1..nseg (detect_sources output). Returns (out_seg int32 (h, w),
+    n_labels) with children renumbered sequentially in parent order —
+    identical to looping deblend_segment."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f'native deblend unavailable: {_load_error}')
+    data = np.ascontiguousarray(data, np.float64)
+    seg = np.ascontiguousarray(seg, np.int32)
+    out = np.zeros(seg.shape, np.int32)
+    h, w = seg.shape
+    n = lib.deblend_all(data, seg, h, w, int(nseg), npixels, nlevels,
+                        float(contrast), out)
+    return out, int(n)
 
 
 def local_background_batch(data: np.ndarray, boxes: np.ndarray, width: int,

@@ -8,16 +8,17 @@ application_sgp_star_stamps.py:63-66, 90-94): centroids and shape moments
 local background from a rectangular annulus, ellipticity and circularized
 FWHM.
 
-All per-segment quantities are accumulated with ``np.bincount`` over the
-label image (one pass per moment), not a Python loop over sources — catalog
-extraction is a host hot path in the batched workloads.
+All per-segment quantities are computed from the in-segment pixels gathered
+in ONE pass over the label image (``np.flatnonzero`` + ``bincount``/
+``ufunc.at`` on the gathered vectors), not a Python loop over sources and
+not repeated full-image passes — catalog extraction is a host hot path in
+the batched workloads.
 """
 from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
-from scipy import ndimage
 
 from ..utils import sigma_clipped_stats
 from .segmentation import SegmentationImage
@@ -88,48 +89,56 @@ class SourceCatalog:
             remap = np.zeros(int(labels.max()) + 1, np.int32)
             remap[labels] = np.arange(1, n + 1, dtype=np.int32)
             seg = remap[seg]
-        flat = seg.ravel()
         m = n + 1
+
+        # Every per-segment statistic only involves in-segment pixels, which
+        # are typically a few percent of a survey frame: gather them ONCE and
+        # run all accumulations on the gathered vectors (one full-image pass
+        # total, instead of one per moment) — catalog extraction is a host
+        # hot path at megapixel scale.
+        nz = np.flatnonzero(seg.ravel())
+        lab = seg.ravel()[nz]
+        dval = self.data.ravel()[nz]
+        yf = (nz // w).astype(np.float64)
+        xf = (nz % w).astype(np.float64)
 
         out = {}
         out['label'] = labels.astype(float)
-        dflat = self.data.ravel()
 
-        out['area'] = np.bincount(flat, minlength=m)[1:].astype(float)
-        out['segment_flux'] = np.bincount(flat, weights=dflat,
+        out['area'] = np.bincount(lab, minlength=m)[1:].astype(float)
+        out['segment_flux'] = np.bincount(lab, weights=dval,
                                           minlength=m)[1:]
         if self.error is not None:
-            e2 = np.asarray(self.error, np.float64).ravel() ** 2
+            e2 = np.asarray(self.error, np.float64).ravel()[nz] ** 2
             out['segment_fluxerr'] = np.sqrt(
-                np.bincount(flat, weights=e2, minlength=m)[1:])
+                np.bincount(lab, weights=e2, minlength=m)[1:])
         else:
             out['segment_fluxerr'] = np.full(n, np.nan)
 
         if n:
-            out['min_value'] = ndimage.minimum(self.data, seg,
-                                               np.arange(1, m))
-            out['max_value'] = ndimage.maximum(self.data, seg,
-                                               np.arange(1, m))
+            minv = np.full(m, np.inf)
+            maxv = np.full(m, -np.inf)
+            np.minimum.at(minv, lab, dval)
+            np.maximum.at(maxv, lab, dval)
+            out['min_value'] = minv[1:]
+            out['max_value'] = maxv[1:]
         else:
             out['min_value'] = out['max_value'] = np.empty(0)
 
         # moments on the convolved data, negative values zeroed; labels
         # whose positive-flux total is zero fall back to uniform weights
-        yy, xx = np.indices((h, w))
-        wgt = np.maximum(self.conv, 0.0).ravel()
-        tot = np.bincount(flat, weights=wgt, minlength=m)[1:]
+        wgt = np.maximum(self.conv.ravel()[nz], 0.0)
+        tot = np.bincount(lab, weights=wgt, minlength=m)[1:]
         bad = tot <= 0
         if bad.any():
-            uni = np.isin(seg, np.flatnonzero(bad) + 1).ravel().astype(float)
-            wgt = np.where(uni > 0, 1.0, wgt)
-            tot = np.bincount(flat, weights=wgt, minlength=m)[1:]
-        xf, yf = xx.ravel().astype(float), yy.ravel().astype(float)
-        sx = np.bincount(flat, weights=wgt * xf, minlength=m)[1:]
-        sy = np.bincount(flat, weights=wgt * yf, minlength=m)[1:]
+            wgt = np.where(bad[lab - 1], 1.0, wgt)
+            tot = np.bincount(lab, weights=wgt, minlength=m)[1:]
+        sx = np.bincount(lab, weights=wgt * xf, minlength=m)[1:]
+        sy = np.bincount(lab, weights=wgt * yf, minlength=m)[1:]
         xc, yc = sx / tot, sy / tot
-        sxx = np.bincount(flat, weights=wgt * xf * xf, minlength=m)[1:]
-        syy = np.bincount(flat, weights=wgt * yf * yf, minlength=m)[1:]
-        sxy = np.bincount(flat, weights=wgt * xf * yf, minlength=m)[1:]
+        sxx = np.bincount(lab, weights=wgt * xf * xf, minlength=m)[1:]
+        syy = np.bincount(lab, weights=wgt * yf * yf, minlength=m)[1:]
+        sxy = np.bincount(lab, weights=wgt * xf * yf, minlength=m)[1:]
         mxx = sxx / tot - xc * xc
         myy = syy / tot - yc * yc
         mxy = sxy / tot - xc * yc
@@ -149,23 +158,24 @@ class SourceCatalog:
         # circularized FWHM (photutils): 2*sqrt(2 ln2 * (a^2+b^2)/2)
         out['fwhm'] = 2.0 * np.sqrt(np.log(2.0) * (lam1 + lam2))
 
-        # bounding boxes (find_objects is C-accelerated)
-        out['bbox_xmin'] = np.full(n, np.nan)
-        out['bbox_xmax'] = np.full(n, np.nan)
-        out['bbox_ymin'] = np.full(n, np.nan)
-        out['bbox_ymax'] = np.full(n, np.nan)
+        # bounding boxes from the gathered pixel coordinates (after the
+        # remap every label 1..n is populated, so no None slices exist)
+        xi, yi = (nz % w).astype(np.int32), (nz // w).astype(np.int32)
+        bx0 = np.full(m, w, np.int32)
+        bx1 = np.full(m, -1, np.int32)
+        by0 = np.full(m, h, np.int32)
+        by1 = np.full(m, -1, np.int32)
+        np.minimum.at(bx0, lab, xi)
+        np.maximum.at(bx1, lab, xi)
+        np.minimum.at(by0, lab, yi)
+        np.maximum.at(by1, lab, yi)
+        out['bbox_xmin'] = bx0[1:].astype(float)
+        out['bbox_xmax'] = bx1[1:].astype(float)
+        out['bbox_ymin'] = by0[1:].astype(float)
+        out['bbox_ymax'] = by1[1:].astype(float)
         out['local_background'] = np.zeros(n)
-        slices = ndimage.find_objects(seg) if n else []
-        boxes = np.zeros((n, 4), np.int32)
-        for i, sl in enumerate(slices):
-            if sl is None:
-                continue
-            ys, xs = sl
-            out['bbox_ymin'][i] = ys.start
-            out['bbox_ymax'][i] = ys.stop - 1
-            out['bbox_xmin'][i] = xs.start
-            out['bbox_xmax'][i] = xs.stop - 1
-            boxes[i] = (xs.start, xs.stop - 1, ys.start, ys.stop - 1)
+        boxes = np.stack([bx0[1:], bx1[1:], by0[1:], by1[1:]],
+                         axis=1) if n else np.zeros((0, 4), np.int32)
         if self.localbkg_width > 0 and n:
             out['local_background'] = self._local_bkg_all(boxes)
 

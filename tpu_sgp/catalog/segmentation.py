@@ -180,6 +180,16 @@ def deblend_sources(data: np.ndarray, segm: SegmentationImage,
         except Exception:
             native_mod = None
     seg = segm.data
+    if native_mod is not None:
+        # whole-frame native path: segment loop, bboxes, and cutout gathers
+        # all inside ONE C call (labels are contiguous from detect_sources;
+        # arbitrary label sets take the per-segment path below)
+        nseg = int(seg.max())
+        labs = segm.labels
+        if labs.size == nseg and (labs == np.arange(1, nseg + 1)).all():
+            out, _ = native_mod.deblend_all(data, seg, nseg, npixels,
+                                            nlevels, contrast)
+            return SegmentationImage(out)
     out = np.zeros_like(seg)
     next_label = 1
     slices = ndimage.find_objects(seg)

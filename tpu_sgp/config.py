@@ -72,6 +72,13 @@ class SGPConfig:
     lr_exp_param: float = 0.1
     # Misc ----------------------------------------------------------------
     errflag: bool = False          # track ||x - obj|| / ||obj|| per iteration
+    track_discr: bool = True       # record the per-iteration discrepancy
+                                   # series. Under vmap the per-lane buffer
+                                   # write is a (B, max_iter+1) scatter every
+                                   # iteration; serving/bench paths that never
+                                   # read the series turn it off (the final
+                                   # discrepancy stays available as
+                                   # discr_coeff-scaled ``fv``)
     save: bool = False             # per-iteration FITS dump (debug; host callback)
     verbose: bool = True           # reference quirk: criterion-2 tol is squared only when verbose
     has_flux: bool = True          # whether a precomputed flux is supplied

@@ -158,4 +158,63 @@ int32_t deblend_segment(const double* vals, const uint8_t* inseg, int32_t h,
   return next_id - 1;
 }
 
+// Whole-frame deblend: every segment of `seg` (labels 1..nseg) in ONE call.
+// The per-segment Python/ctypes dispatch overhead (~0.1 ms x thousands of
+// segments) dominated megapixel frames; here the segment loop, the bounding
+// boxes, and the cutout gathers all run natively. `out` (h*w int32,
+// caller-zeroed) receives the deblended segmentation with children
+// renumbered sequentially in parent-label order — the exact numbering of
+// catalog/segmentation.py:deblend_sources. Returns the output label count.
+int32_t deblend_all(const double* data, const int32_t* seg, int32_t H,
+                    int32_t W, int32_t nseg, int32_t npixels, int32_t nlevels,
+                    double contrast, int32_t* out) {
+  const int64_t total = (int64_t)H * W;
+  // bounding boxes in one pass (x0, x1, y0, y1 inclusive)
+  std::vector<int32_t> bx0(nseg + 1, W), bx1(nseg + 1, -1);
+  std::vector<int32_t> by0(nseg + 1, H), by1(nseg + 1, -1);
+  for (int64_t i = 0; i < total; ++i) {
+    int32_t s = seg[i];
+    if (s <= 0 || s > nseg) continue;
+    int32_t y = (int32_t)(i / W), x = (int32_t)(i % W);
+    bx0[s] = std::min(bx0[s], x);
+    bx1[s] = std::max(bx1[s], x);
+    by0[s] = std::min(by0[s], y);
+    by1[s] = std::max(by1[s], y);
+  }
+
+  std::vector<double> vals;
+  std::vector<uint8_t> inseg;
+  std::vector<int32_t> sub;
+  int32_t next_label = 1;
+  for (int32_t s = 1; s <= nseg; ++s) {
+    if (bx1[s] < bx0[s]) continue;  // label absent from the image
+    const int32_t x0 = bx0[s], y0 = by0[s];
+    const int32_t w = bx1[s] - x0 + 1, h = by1[s] - y0 + 1;
+    const int64_t size = (int64_t)h * w;
+    vals.assign(size, 0.0);
+    inseg.assign(size, 0);
+    sub.assign(size, 0);
+    for (int32_t y = 0; y < h; ++y) {
+      const int64_t grow = (int64_t)(y0 + y) * W + x0;
+      const int64_t lrow = (int64_t)y * w;
+      for (int32_t x = 0; x < w; ++x) {
+        vals[lrow + x] = data[grow + x];
+        inseg[lrow + x] = seg[grow + x] == s;
+      }
+    }
+    const int32_t k = deblend_segment(vals.data(), inseg.data(), h, w,
+                                      npixels, nlevels, contrast, sub.data());
+    for (int32_t y = 0; y < h; ++y) {
+      const int64_t grow = (int64_t)(y0 + y) * W + x0;
+      const int64_t lrow = (int64_t)y * w;
+      for (int32_t x = 0; x < w; ++x) {
+        if (!inseg[lrow + x]) continue;
+        out[grow + x] = k == 0 ? next_label : sub[lrow + x] + next_label - 1;
+      }
+    }
+    next_label += k == 0 ? 1 : k;
+  }
+  return next_label - 1;
+}
+
 }  // extern "C"

@@ -87,10 +87,13 @@ def _batched_solve_two_phase(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
     )(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0, sat)
 
     # pad the phase-1 iteration buffers up to the full budget so the
-    # resumed tail state can be scattered back elementwise
+    # resumed tail state can be scattered back elementwise; disabled
+    # series buffers are (B, 1) sentinels and need no padding
     pad = cfg.max_iter - phase1_iters
-    st = st._replace(discr=jnp.pad(st.discr, ((0, 0), (0, pad))),
-                     err=jnp.pad(st.err, ((0, 0), (0, pad))))
+    if cfg.track_discr:
+        st = st._replace(discr=jnp.pad(st.discr, ((0, 0), (0, pad))))
+    if cfg.errflag:
+        st = st._replace(err=jnp.pad(st.err, ((0, 0), (0, pad))))
 
     # unconverged lanes first (False sorts before True; stable ties)
     idx = jnp.argsort(st.converged)[:tail_bucket]
@@ -246,12 +249,11 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
     if flatten:
         # ravel each stamp: a (B, 31, 31) array tiles as T(8,128) over the
         # trailing dims (31->32 x 31->128, a 4.3x pad) while (B, 961) pads
-        # only to 1024 lanes. Measured SHAPE-DEPENDENT on v5e (+8% at
-        # B=4096, -12% at B=6144 — the solve is launch-bound, not
-        # bandwidth-bound, so the layout only moves second-order terms);
-        # benchmark your batch shape before enabling. Requires the shared
-        # dense operator; the matmul contraction order changes, so f32
-        # trajectories are rounding-equivalent rather than bitwise (f64
+        # only to 1024 lanes. With the raveled K-point projection sweep this
+        # measured consistently faster on v5e (2.0 vs 2.7 ms/iter at
+        # B=6144, interleaved min-of-10); bench.py uses it. Requires the
+        # shared dense operator; the matmul contraction order changes, so
+        # f32 trajectories are rounding-equivalent rather than bitwise (f64
         # agrees to ULPs).
         if per_stamp_psf:
             raise ValueError('flatten requires a shared PSF')

@@ -234,8 +234,12 @@ def project_df_bisect(b, c, dia, scaling, sat_level=None,
         has_sat = sat_level is not None
     dtype = jnp.result_type(c)
     if n_iters is None:
-        # enough halvings to push the bracket below dtype resolution
-        n_iters = 54 if dtype == jnp.float64 else 40
+        # enough halvings to push the bracket below dtype resolution: past
+        # ~mantissa-bits of relative bracket width, the primal recovery
+        # x = clip((c+lam)/dia) is itself rounding at every pixel, so extra
+        # steps only re-derive the same floating-point x (28 > 24 keeps a
+        # 16x safety margin below f32 resolution; 54 > 53 likewise for f64)
+        n_iters = 54 if dtype == jnp.float64 else 28
     c = jnp.asarray(c, dtype)
     dia = jnp.asarray(dia, dtype)
     b = jnp.asarray(b, dtype)
@@ -262,20 +266,28 @@ def project_df_bisect(b, c, dia, scaling, sat_level=None,
     bits_per_step = np.log2(k_pts + 1)
     n_steps = int(np.ceil(n_iters / bits_per_step))
     fracs = (jnp.arange(1, k_pts + 1, dtype=dtype) / (k_pts + 1))
-    ndim = jnp.ndim(c)
-    fr_shape = (k_pts,) + (1,) * ndim
-    fracs_b = fracs.reshape(fr_shape)
-    sum_axes = tuple(range(1, ndim + 1))
+    fracs_b = fracs[:, None]
+
+    # The K-point sweep runs on RAVELED pixels: a (K, H, W) block tiles as
+    # T(8,128) over the trailing dims (31x31 pads 4.3x and every sweep pays
+    # it), while (K, H*W) pads only 961 -> 1024. The multiply by a hoisted
+    # 1/dia replaces K divides per pixel per step with one.
+    c_flat = c.reshape(-1)
+    inv_dia = (1.0 / dia) * jnp.ones_like(c)
+    inv_flat = inv_dia.reshape(-1)
+    cap_term = ((cap * dia) * jnp.ones_like(c)).reshape(-1) \
+        if has_sat else None
 
     def body(_, carry):
         lo, hi = carry
         width = hi - lo
-        mids = lo + width * fracs_b                       # (K, ...)
-        xs = (c[None] + mids) / dia[None]
-        xs = jnp.maximum(xs, 0.0)
+        mids = lo + width * fracs_b                       # (K, 1)
+        xs = jnp.maximum(c_flat[None] + mids, 0.0)        # (K, N): x * dia
         if has_sat:
-            xs = jnp.minimum(xs, cap)
-        r = jnp.sum(xs, axis=sum_axes)                    # (K,)
+            # clip in the dia-scaled domain (dia > 0), saving a second
+            # (K, N) pass: min(cap, z/dia) == min(cap*dia, z)/dia
+            xs = jnp.minimum(xs, cap_term[None])
+        r = jnp.sum(xs * inv_flat[None], axis=-1)         # (K,)
         if axes:
             r = jax.lax.psum(r, axes)
         nbelow = jnp.sum((r - b) < 0)                     # root segment index

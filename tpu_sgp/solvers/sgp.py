@@ -61,7 +61,14 @@ class SGPResult(NamedTuple):
 class SGPState(NamedTuple):
     """Full loop state: checkpoint this pytree and resume a solve exactly
     (SURVEY §5 checkpoint/resume — everything else is recomputed
-    deterministically from the inputs)."""
+    deterministically from the inputs).
+
+    The scaling matrix X is deliberately NOT part of the state: it is a
+    pure function of the accepted iterate (clip(x, bounds), ones on the
+    very first iteration of an init_recon=0 run) and recomputing it at the
+    top of the loop body fuses into the descent step for free, while
+    carrying it would cost a full extra array write+read per iteration —
+    the hot loop is HBM-bound, not FLOP-bound."""
     keep: jnp.ndarray       # loop-continue flag
     it: jnp.ndarray         # reference iter_ counter (starts at 1)
     x: jnp.ndarray          # accepted iterate (never reverted — see x_prev)
@@ -69,7 +76,6 @@ class SGPState(NamedTuple):
                             # exit (sgp.py:424-425), applied at finalize so
                             # the state stays resumable
     converged: jnp.ndarray  # a stop RULE fired (as opposed to the MAXIT cap)
-    x_mat: jnp.ndarray      # scaling matrix X
     g: jnp.ndarray          # gradient
     x_tf: jnp.ndarray       # A(x) cache
     fv: jnp.ndarray
@@ -219,13 +225,16 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         x = proj(x, jnp.ones(shape, dt))
 
     # ---- error tracking ---------------------------------------------------
-    err = jnp.zeros((cfg.max_iter + 1,), dt)
+    # Disabled buffers shrink to (1,) so the loop carries (and under vmap,
+    # scatter-writes) nothing it will not output.
     if cfg.errflag:
+        err = jnp.zeros((cfg.max_iter + 1,), dt)
         obj_s = jnp.asarray(obj, dt) / scaling
         obj_sum = gsum(obj_s * obj_s, ax)
         e0 = x - obj_s
         err = err.at[0].set(jnp.sqrt(gsum(e0 * e0, ax) / obj_sum))
     else:
+        err = jnp.zeros((1,), dt)
         obj_s = jnp.zeros(shape, dt)
         obj_sum = jnp.asarray(1.0, dt)
 
@@ -245,13 +254,20 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
     x_lb = jnp.where(widen, x_lb / 10.0, x_lb)
     x_ub = jnp.where(widen, x_ub * 10.0, x_ub)
 
-    discr = jnp.zeros((cfg.max_iter + 1,), dt)
-    discr = discr.at[0].set(discr_coeff * fv)
-
-    if cfg.init_recon == 0:
-        x_mat = jnp.ones(shape, dt)
+    if cfg.track_discr:
+        discr = jnp.zeros((cfg.max_iter + 1,), dt)
+        discr = discr.at[0].set(discr_coeff * fv)
     else:
-        x_mat = jnp.clip(x, x_lb, x_ub)
+        discr = jnp.zeros((1,), dt)
+
+    def scaling_matrix(x, it):
+        """X = clip(x, bounds) (reference sgp.py:267-288) — recomputed from
+        the iterate rather than carried (see SGPState). init_recon=0 starts
+        from X = ones (reference sgp.py:283)."""
+        xm = jnp.clip(x, x_lb, x_ub)
+        if cfg.init_recon == 0:
+            xm = jnp.where(it == 1, jnp.ones(shape, dt), xm)
+        return xm
 
     alpha = jnp.asarray(cfg.alpha_init, dt)
     tau = jnp.asarray(cfg.tau_init, dt)
@@ -271,9 +287,10 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         return state[0]
 
     def body(state):
-        (_, it, x, _, _, x_mat, g, x_tf, fv, alpha, tau, valpha, fold,
+        (_, it, x, _, _, g, x_tf, fv, alpha, tau, valpha, fold,
          beta_p, lr, discr, err) = state
         x_prev = x
+        x_mat = scaling_matrix(x, it)
 
         valpha = valpha.at[:-1].set(valpha[1:])
         fold = fold.at[:-1].set(fold[1:]).at[-1].set(fv)
@@ -378,7 +395,8 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
                                 it.astype(dt))
 
         it_new = it + 1
-        discr = discr.at[it_new - 1].set(discr_coeff * fv_new)
+        if cfg.track_discr:
+            discr = discr.at[it_new - 1].set(discr_coeff * fv_new)
         if cfg.errflag:
             e = x_new - obj_s
             err = err.at[it_new - 1].set(
@@ -408,7 +426,7 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         # (sgp.py:424-425) is applied at finalize from x_prev, keeping the
         # state resumable past a MAXIT checkpoint.
         new_state = SGPState(keep, it_new, x_new, x_prev, ~rule_keep,
-                             x_mat_new, g_new, x_tf_new, fv_new, alpha_new,
+                             g_new, x_tf_new, fv_new, alpha_new,
                              tau_new, valpha, fold, beta_p, lr, discr, err)
         if cfg.sync_axes:
             # this lane only ran for collective lockstep after stopping:
@@ -421,17 +439,26 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
 
     if rstate is None:
         state = SGPState(jnp.bool_(True), jnp.int32(1), x, x,
-                         jnp.bool_(False), x_mat, g, x_tf, fv, alpha, tau,
+                         jnp.bool_(False), g, x_tf, fv, alpha, tau,
                          valpha, fold, beta_p, lr, discr, err)
     else:
         state = SGPState(*rstate)
-        pad = cfg.max_iter + 1 - state.discr.shape[0]
-        if pad < 0:
-            raise ValueError('resume max_iter smaller than checkpoint buffers')
-        if pad > 0:
-            state = state._replace(
-                discr=jnp.pad(state.discr, (0, pad)),
-                err=jnp.pad(state.err, (0, pad)))
+        # grow whichever tracked series buffers the new budget needs;
+        # disabled buffers are (1,) sentinels and stay that way
+        if cfg.track_discr and state.discr.shape[0] > 1:
+            pad = cfg.max_iter + 1 - state.discr.shape[0]
+            if pad < 0:
+                raise ValueError(
+                    'resume max_iter smaller than checkpoint buffers')
+            if pad > 0:
+                state = state._replace(discr=jnp.pad(state.discr, (0, pad)))
+        if cfg.errflag and state.err.shape[0] > 1:
+            pad = cfg.max_iter + 1 - state.err.shape[0]
+            if pad < 0:
+                raise ValueError(
+                    'resume max_iter smaller than checkpoint buffers')
+            if pad > 0:
+                state = state._replace(err=jnp.pad(state.err, (0, pad)))
         # continue unless a stop rule fired; a MAXIT-capped checkpoint
         # resumes under the (possibly larger) new budget
         state = state._replace(
