@@ -4,17 +4,23 @@ Workload mirrors the reference star-stamps benchmark configuration
 (/root/reference/restoration/application_sgp_star_stamps.py:107-112):
 KL-SGP, proj_type=1 (flux-conserving projection), init_recon=2,
 stop_criterion=3, precomputed flux, ccd_sat_level=65000, scale_data=True —
-run as ONE vmapped batch of 256 synthetic 31x31 stamps instead of a serial
+run as ONE vmapped batch of synthetic 31x31 stamps instead of a serial
 Python loop.
 
-Baseline: the reference restores one stamp in 13.3 ms median on CPU
-(BASELINE.md, results/EXEC_TIME.npy) => 75.2 stamps/s. Batch 6144 best
-amortizes per-kernel overheads; inputs are staged in HBM before the timed
-region (the dev tunnel's ~50 MB/s host link would otherwise dominate —
-a real TPU host's PCIe moves the same batch in ~2 ms).
+Baselines (BASELINE.md):
+  * KL stamps: reference median 13.3 ms/stamp on CPU (results/EXEC_TIME.npy)
+  * beta stamps: 20.0 ms/stamp (results/EXEC_TIME_BETA.npy)
+  * 410x410 whole frame: 6.54 s / 51 iters = 128 ms/iter
+    (results/SUBDIV_EXEC_TIME*.npy)
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "stamps/s", "vs_baseline": N}
+Inputs are staged in HBM before the timed region (the dev tunnel's
+~50 MB/s host link would otherwise dominate — a real TPU host's PCIe moves
+the same batch in ~2 ms), and every timing synchronizes through a real
+transfer because jax.block_until_ready is a no-op on this backend.
+
+Prints one JSON line per metric; the LAST line is the primary metric the
+driver records:
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
 """
 import json
 import sys
@@ -22,9 +28,104 @@ import time
 
 import numpy as np
 
-BASELINE_STAMP_SECONDS = 0.0133  # reference median per-stamp wall (KL, CPU)
+BASELINE_STAMP_SECONDS = 0.0133       # reference median per-stamp wall (KL)
+BASELINE_BETA_STAMP_SECONDS = 0.0200  # reference median per-stamp wall (beta)
+BASELINE_FRAME_MS_PER_ITER = 128.0    # reference 410x410 sparse subframe
 BATCH = 6144
+BETA_BATCH = 2048
 N_REPEATS = 15  # the tunneled chip is contention-bimodal; min over many repeats
+
+
+def _sync(res):
+    """Force completion via a real transfer (block_until_ready no-ops on
+    the tunneled axon backend)."""
+    np.asarray(res.iters)
+    return res
+
+
+def _min_wall(fn, repeats=N_REPEATS):
+    fn()  # compile + warm
+    walls = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        walls.append(time.perf_counter() - t0)
+    return min(walls)
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({'metric': metric, 'value': round(value, 2),
+                      'unit': unit, 'vs_baseline': round(vs_baseline, 2)}))
+
+
+def bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
+                      bkgs, fluxes):
+    """beta-SGP (the paper's headline algorithm) with in-backtrack beta
+    adaptation + lr schedule, workload hyperparameters."""
+    s, b, f = (a[:BETA_BATCH] for a in (stamps, bkgs, fluxes))
+    cfg = SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
+                    init_recon=2, proj_type=1, has_flux=True,
+                    has_sat_level=True, dtype='float32', divergence='beta',
+                    adapt_beta=True, schedule_lr=True, track_discr=False)
+    wall = _min_wall(lambda: _sync(restore_stamps(
+        s, psf, b, cfg, fluxes=f, beta0=1.005, lr0=1e-3, sat_level=65000.0,
+        flatten=True)))
+    rate = BETA_BATCH / wall
+    _emit('beta_sgp_stamp_restorations_per_second_b2048_tpu', rate,
+          'stamps/s', rate * BASELINE_BETA_STAMP_SECONDS)
+
+
+def bench_whole_frame(jnp, jax, SGPConfig):
+    """410x410 whole-frame solve (reference subdivision benchmark geometry:
+    PSF 31x31 != image, linear operator, crit-3 tol 1e-5)."""
+    from tpu_sgp.simulate import synthetic_star_field
+    from tpu_sgp.solvers.sgp import solve
+
+    img, psf, _ = synthetic_star_field(410, 410, n_stars=60, psf_size=31,
+                                       fwhm=3.0, seed=7)
+    cfg = SGPConfig(max_iter=500, stop_criterion=3, tol_convergence=1e-5,
+                    init_recon=2, proj_type=1, has_flux=False,
+                    has_sat_level=False, dtype='float32',
+                    track_discr=False)
+    dt = jnp.float32
+    gn = jax.device_put(jnp.asarray(img, dt))
+    psf_d = jax.device_put(jnp.asarray(psf, dt))
+    bkg = jnp.full(img.shape, 150.0, dt)
+    z = jnp.zeros(img.shape, dt)
+
+    def run():
+        res = solve(gn, psf_d, bkg, z, 0.0, z, 1.0, 1e-3, 0.0, cfg)
+        np.asarray(res.iters)
+        return res
+
+    run()
+    iters = int(np.asarray(run().iters))
+    wall = _min_wall(run)
+    ms_per_iter = wall * 1e3 / max(iters, 1)
+    _emit('whole_frame_410_ms_per_iteration_tpu', ms_per_iter, 'ms/iter',
+          BASELINE_FRAME_MS_PER_ITER / ms_per_iter)
+    print(f'# whole-frame iters={iters} wall={wall * 1e3:.1f}ms',
+          file=sys.stderr)
+
+
+def bench_serving_p50(np_stamps, np_psf, np_bkgs, np_fluxes):
+    """Serving-session latency at a warmed bucket (p50 over 25 calls of a
+    256-stamp request through RestorationSession.restore, host round-trip
+    included)."""
+    from tpu_sgp.parallel.session import RestorationSession
+
+    sess = RestorationSession(np_psf)
+    sess.warmup(buckets=(256,))
+    s, b, f = np_stamps[:256], np_bkgs[:256], np_fluxes[:256]
+    lats = []
+    for _ in range(25):
+        t0 = time.perf_counter()
+        sess.restore(s, b, fluxes=f)
+        lats.append(time.perf_counter() - t0)
+    p50 = float(np.median(lats)) * 1e3
+    # baseline: the reference restores 256 stamps serially in 256*13.3ms
+    _emit('serving_p50_latency_256_stamps_ms_tpu', p50, 'ms',
+          256 * BASELINE_STAMP_SECONDS * 1e3 / p50)
 
 
 def main():
@@ -32,26 +133,32 @@ def main():
     # the tpu_sgp import below auto-enables the persistent compilation
     # cache (~/.cache/tpu_sgp/jax) on non-CPU backends: repeated bench runs
     # skip the multi-minute XLA compile
+    import jax.numpy as jnp
+
     from tpu_sgp import SGPConfig
     from tpu_sgp.parallel.batch import restore_stamps
     from tpu_sgp.simulate import synthetic_star_stamps
 
-    stamps, psf, bkgs, _ = synthetic_star_stamps(BATCH, size=31, seed=42)
+    np_stamps, np_psf, np_bkgs, _ = synthetic_star_stamps(BATCH, size=31,
+                                                          seed=42)
     # Workload uses catalog flux; background-subtracted sum is the analog.
-    fluxes = stamps.sum(axis=(1, 2)) - 31 * 31 * bkgs
+    np_fluxes = np_stamps.sum(axis=(1, 2)) - 31 * 31 * np_bkgs
 
-    # Stage inputs in HBM before the timed region. The timed quantity is
-    # restoration throughput on the chip; on a real TPU host the 15.7 MB
-    # input moves over PCIe in ~2 ms, but this dev tunnel ships it at
-    # ~50 MB/s (~250 ms), which would otherwise dominate the measurement
-    # (the solve itself was flat at ~300 ms whether run for 10 or 41
-    # iterations before this change).
-    import jax.numpy as jnp
-    stamps = jax.device_put(jnp.asarray(stamps, jnp.float32))
-    psf = jax.device_put(jnp.asarray(psf, jnp.float32))
-    bkgs = jax.device_put(jnp.asarray(bkgs, jnp.float32))
-    fluxes = jax.device_put(jnp.asarray(fluxes, jnp.float32))
+    stamps = jax.device_put(jnp.asarray(np_stamps, jnp.float32))
+    psf = jax.device_put(jnp.asarray(np_psf, jnp.float32))
+    bkgs = jax.device_put(jnp.asarray(np_bkgs, jnp.float32))
+    fluxes = jax.device_put(jnp.asarray(np_fluxes, jnp.float32))
 
+    # --- secondary metrics (every line is driver-parseable JSON) ----------
+    try:
+        bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
+                          bkgs, fluxes)
+        bench_whole_frame(jnp, jax, SGPConfig)
+        bench_serving_p50(np_stamps, np_psf, np_bkgs, np_fluxes)
+    except Exception as exc:  # secondary metrics must never kill the primary
+        print(f'# secondary bench failed: {exc!r}', file=sys.stderr)
+
+    # --- primary metric (LAST line: the driver records this one) ----------
     cfg = SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
                     init_recon=2, proj_type=1, has_flux=True,
                     has_sat_level=True, dtype='float32', divergence='kl',
@@ -64,16 +171,11 @@ def main():
         # (measured faster than (B, 31, 31) with the raveled projection
         # sweep); track_discr=False drops the per-iteration series scatter
         # nobody reads here.
-        res = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
-                             sat_level=65000.0, phase1_iters=31,
-                             tail_bucket=512, flatten=True)
-        # jax.block_until_ready does NOT block on the axon tunnel backend
-        # (dispatches queue asynchronously); transferring the per-stamp
-        # iteration counts (4 KB) forces real completion of the whole solve
-        np.asarray(res.iters)
-        return res
+        return _sync(restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                                    sat_level=65000.0, phase1_iters=31,
+                                    tail_bucket=512, flatten=True))
 
-    res = run()  # compile + warm
+    res = run()
     iters = np.asarray(res.iters)
     walls = []
     for _ in range(N_REPEATS):
@@ -84,18 +186,12 @@ def main():
           file=sys.stderr)
     wall = min(walls)
     stamps_per_s = BATCH / wall
-
-    out = {
-        'metric': 'kl_sgp_stamp_restorations_per_second_b6144_tpu',
-        'value': round(stamps_per_s, 2),
-        'unit': 'stamps/s',
-        'vs_baseline': round(stamps_per_s * BASELINE_STAMP_SECONDS, 2),
-    }
-    print(json.dumps(out))
     print(f'# batch={BATCH} wall={wall * 1e3:.1f}ms '
           f'iters median={int(np.median(iters))} max={int(iters.max())} '
           f'finite={bool(np.isfinite(np.asarray(res.x)).all())}',
           file=sys.stderr)
+    _emit('kl_sgp_stamp_restorations_per_second_b6144_tpu', stamps_per_s,
+          'stamps/s', stamps_per_s * BASELINE_STAMP_SECONDS)
 
 
 if __name__ == '__main__':

@@ -139,3 +139,35 @@ def test_pallas_projection_matches_bisect(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-10, atol=1e-12)
     assert np.isclose(float(jnp.sum(got)), 500.0, rtol=1e-9)
+
+
+def test_bisect_f32_flux_conservation(rng):
+    """The f32 bisect stops at 28 bracket bits (flux_projection.py); flux
+    conservation and the oracle distance must stay at f32 resolution."""
+    from tpu_sgp.projection.flux_projection import project_df_bisect
+    for trial in range(6):
+        b = float(rng.uniform(10.0, 500.0))
+        c = rng.normal(0.0, 2.0, 961).astype(np.float32)
+        dia = rng.uniform(0.5, 2.0, 961).astype(np.float32)
+        x = np.asarray(project_df_bisect(b, jnp.asarray(c),
+                                         jnp.asarray(dia), 1.0))
+        assert x.dtype == np.float32
+        assert (x >= 0).all()
+        assert abs(x.sum() - b) <= 4e-6 * b, (trial, x.sum(), b)
+        ref = project_df_np(b, np.asarray(c, np.float64),
+                            np.asarray(dia, np.float64), 1.0)
+        np.testing.assert_allclose(x, ref, rtol=0, atol=2e-5 * abs(ref).max())
+
+
+def test_bisect_f32_with_saturation_matches_oracle(rng):
+    from tpu_sgp.projection.flux_projection import project_df_bisect
+    b = 120.0
+    c = rng.normal(1.0, 3.0, 400).astype(np.float32)
+    dia = rng.uniform(0.5, 2.0, 400).astype(np.float32)
+    x = np.asarray(project_df_bisect(b, jnp.asarray(c), jnp.asarray(dia),
+                                     1.0, sat_level=4.0))
+    ref = project_df_np(b, np.asarray(c, np.float64),
+                        np.asarray(dia, np.float64), 1.0, sat=4.0)
+    assert (x <= 4.0).all() and (x >= 0).all()
+    assert abs(x.sum() - b) <= 4e-6 * b
+    np.testing.assert_allclose(x, ref, rtol=0, atol=2e-5 * abs(ref).max())

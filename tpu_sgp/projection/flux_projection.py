@@ -209,6 +209,11 @@ def project_df(b, c, dia, scaling, sat_level=None, max_projs: int = 1000,
 project_df_batched = jax.vmap(
     project_df, in_axes=(0, 0, 0, 0, None), out_axes=0)
 
+# Interior points per sectioning step of project_df_bisect. 7 narrows the
+# bracket 3 bits/step at one (K, N) sweep per step; measured against K=15
+# (4 bits/step, 2x the sweep arithmetic) on v5e — see docs/PERFORMANCE.md.
+_K_PTS = 7
+
 
 def project_df_bisect(b, c, dia, scaling, sat_level=None,
                       has_sat: bool | None = None,
@@ -262,7 +267,7 @@ def project_df_bisect(b, c, dia, scaling, sat_level=None,
     # K+1 per step. The plain 1-point bisection is launch-latency bound on
     # TPU (~40us/step for ~3us of memory traffic), so trading 7x the
     # arithmetic for 3x fewer sequential steps is a clear win.
-    k_pts = 7
+    k_pts = _K_PTS
     bits_per_step = np.log2(k_pts + 1)
     n_steps = int(np.ceil(n_iters / bits_per_step))
     fracs = (jnp.arange(1, k_pts + 1, dtype=dtype) / (k_pts + 1))
