@@ -129,8 +129,10 @@ def _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level, dtype):
     bkgs = jnp.asarray(bkgs, dtype)
     if bkgs.ndim == 0:
         bkgs = jnp.broadcast_to(bkgs, (b,))
-    if bkgs.ndim == 1:
-        bkgs = jnp.broadcast_to(bkgs[:, None, None], (b, h, w))
+    # scalar per-stamp backgrounds stay (B,): each vmap lane sees a scalar
+    # that broadcasts in-register inside the solver (den = A(x) + bkg three
+    # times per iteration), instead of a materialized (B, H, W) map the
+    # loop re-reads — only true background MAPS keep the full shape
 
     fluxes = (jnp.zeros((b,), dtype) if fluxes is None
               else jnp.broadcast_to(jnp.asarray(fluxes, dtype), (b,)))
