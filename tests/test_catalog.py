@@ -141,3 +141,30 @@ def test_native_local_background_matches_python(rng):
     lb_native = native.local_background_batch(scat.data, boxes, 5)
     lb_python = np.array([scat._local_bkg(*b) for b in boxes])
     np.testing.assert_allclose(lb_native, lb_python, rtol=0, atol=1e-12)
+
+
+def test_clipped_box_stats_flat_high_level_boxes():
+    """Prefix-sum variance must not cancel: a flat sky box at 6e4 counts
+    with std 1e-5 previously returned an RMS ~300x too large (inflating
+    detection thresholds). The offset-before-prefix-sums form matches the
+    direct remove-and-recompute loop."""
+    from tpu_sgp.catalog._clip import clipped_box_stats
+    rng = np.random.default_rng(0)
+    for level, s in [(6e4, 1e-5), (1e6, 1e-3), (100.0, 1.0)]:
+        x = level + rng.normal(0, s, (20, 900))
+        med, std = clipped_box_stats(x, 3.0, 10)
+
+        def direct(row):
+            w = row.copy()
+            for _ in range(10):
+                m, sd = np.median(w), np.std(w)
+                out = np.abs(w - m) > 3 * sd
+                if not out.any():
+                    break
+                w = w[~out]
+            return np.median(w), np.std(w)
+
+        for i in range(3):
+            dm, ds = direct(x[i])
+            assert abs(med[i] - dm) <= 1e-12 * max(abs(dm), 1.0)
+            assert abs(std[i] - ds) <= 1e-6 * max(ds, 1e-12)

@@ -70,3 +70,19 @@ def test_orbax_backend_roundtrip(rng, tmp_path):
         pytest.skip(f'orbax unavailable: {exc}')
     for a, b in zip(state, restored):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_resume_refuses_enabling_untracked_series(rng):
+    """A checkpoint created with track_discr=False has no history; resuming
+    with the flag on must raise, not return a bogus (1,) series."""
+    import pytest
+
+    img, psf, bkg, _ = synthetic_stamp(rng, size=16)
+    cfg = SGPConfig(max_iter=3, stop_criterion=1, init_recon=2,
+                    proj_type=0, has_flux=False, has_sat_level=False,
+                    dtype='float64', track_discr=False)
+    args = _args(img, psf, bkg, cfg)
+    _, st = solve_with_state(*args, cfg)
+    with pytest.raises(ValueError, match='without it'):
+        resume_from_state(*args, st, cfg.replace(track_discr=True,
+                                                 max_iter=6))

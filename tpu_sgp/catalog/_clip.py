@@ -17,8 +17,10 @@ import numpy as np
 
 def _window_stats(srt, s1, s2, lo, hi):
     """(median, std) of the sorted rows ``srt`` restricted to [lo, hi).
-    srt: (n, m) sorted rows; s1/s2: (n, m+1) prefix sums of values/squares;
-    lo/hi: (n,) window bounds."""
+    srt: (n, m) OFFSET sorted rows (a per-box shift subtracted — see
+    ``clipped_box_stats``; medians/stds are shift-invariant apart from the
+    median offset the caller re-adds); s1/s2: (n, m+1) prefix sums of the
+    offset values/squares; lo/hi: (n,) window bounds."""
     rows = np.arange(srt.shape[0])
     cnt = np.maximum(hi - lo, 1)
     ssum = s1[rows, hi] - s1[rows, lo]
@@ -40,7 +42,20 @@ def clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int):
     nbox = int(np.prod(shape)) if shape else 1
     srt = srt.reshape(nbox, mdim)
     nvalid = np.isfinite(srt).sum(axis=-1)
-    z = np.where(np.isfinite(srt), srt, 0.0)
+    finite = np.isfinite(srt)
+    # Shift each box by its raw median before building prefix sums: the
+    # E[x^2]-E[x]^2 variance identity cancels catastrophically when
+    # mean >> std (a flat 6e4-count sky box with std 1e-5 came back 300x
+    # too large), and medians/windows are shift-invariant, so working on
+    # offsets makes the prefix-sum variance as accurate as the direct
+    # (x-mean)^2 form. The offset is re-added to the returned medians.
+    mid_lo = np.maximum((nvalid - 1) // 2, 0)
+    mid_hi = np.maximum(nvalid // 2, 0)
+    rows0 = np.arange(nbox)
+    offset = 0.5 * (np.where(nvalid > 0, srt[rows0, mid_lo], 0.0)
+                    + np.where(nvalid > 0, srt[rows0, mid_hi], 0.0))
+    srt = srt - offset[:, None]
+    z = np.where(finite, srt, 0.0)
     s1 = np.zeros((nbox, mdim + 1))
     s2 = np.zeros((nbox, mdim + 1))
     np.cumsum(z, axis=-1, out=s1[:, 1:])
@@ -72,6 +87,7 @@ def clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int):
         std[upd] = std_u
         active = upd
 
+    med = med + offset  # back to the input value scale
     empty = ((hi - lo) <= 0) | (nvalid == 0)
     med[empty] = np.nan
     std[empty] = np.nan

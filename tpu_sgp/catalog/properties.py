@@ -99,8 +99,10 @@ class SourceCatalog:
         nz = np.flatnonzero(seg.ravel())
         lab = seg.ravel()[nz]
         dval = self.data.ravel()[nz]
-        yf = (nz // w).astype(np.float64)
-        xf = (nz % w).astype(np.float64)
+        yi = (nz // w).astype(np.int32)
+        xi = (nz % w).astype(np.int32)
+        yf = yi.astype(np.float64)
+        xf = xi.astype(np.float64)
 
         out = {}
         out['label'] = labels.astype(float)
@@ -160,7 +162,6 @@ class SourceCatalog:
 
         # bounding boxes from the gathered pixel coordinates (after the
         # remap every label 1..n is populated, so no None slices exist)
-        xi, yi = (nz % w).astype(np.int32), (nz // w).astype(np.int32)
         bx0 = np.full(m, w, np.int32)
         bx1 = np.full(m, -1, np.int32)
         by0 = np.full(m, h, np.int32)

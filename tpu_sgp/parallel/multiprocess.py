@@ -83,7 +83,19 @@ def global_device_grid(spatial_shape: Optional[Tuple[int, int]] = None
     if ty * tx != per:
         raise ValueError(f'spatial shape {spatial_shape} != {per} '
                          'devices per process')
-    return np.array(devs).reshape(nproc, ty, tx)
+    # group EXPLICITLY by process_index — jax.devices() ordering is
+    # process-major on current backends but not a documented guarantee,
+    # and a silently mixed row would put halo ppermutes on DCN (the exact
+    # failure mode this placement exists to prevent)
+    by_proc: dict = {}
+    for d in devs:
+        by_proc.setdefault(d.process_index, []).append(d)
+    if len(by_proc) != nproc or any(len(v) != per for v in by_proc.values()):
+        raise ValueError(
+            f'devices are not evenly distributed over processes: '
+            f'{ {p: len(v) for p, v in by_proc.items()} }')
+    rows = [by_proc[p] for p in sorted(by_proc)]
+    return np.array(rows, dtype=object).reshape(nproc, ty, tx)
 
 
 def make_multiprocess_mesh(spatial_shape: Optional[Tuple[int, int]] = None,

@@ -47,8 +47,11 @@ class RestorationSession:
         self.phase1_iters = phase1_iters
         self.tail_bucket = tail_bucket
         self._warmed: set = set()
+        self._warming = False  # warmup() in progress: its own calls must
+                               # not trigger the not-warmed warning
 
-    def warmup(self, buckets: Sequence[int] = (64, 256, 512, 768, 1024),
+    def warmup(self, buckets: Sequence[int] = (64, 128, 256, 512, 768,
+                                               1024),
                max_batch: Optional[int] = None) -> None:
         """Compile the solver for each bucket size ahead of serving.
 
@@ -64,12 +67,16 @@ class RestorationSession:
             buckets = sorted({_bucket_target(b, self.mesh)
                               for b in range(1, max_batch + 1)})
         h, w = self.stamp_shape
-        for b in buckets:
-            dummy = np.full((b, h, w), 100.0)
-            dummy[:, h // 2, w // 2] = 1000.0
-            jax.block_until_ready(self.restore(
-                dummy, np.full(b, 100.0),
-                fluxes=np.full(b, 900.0) if self.cfg.has_flux else None))
+        self._warming = True
+        try:
+            for b in buckets:
+                dummy = np.full((b, h, w), 100.0)
+                dummy[:, h // 2, w // 2] = 1000.0
+                jax.block_until_ready(self.restore(
+                    dummy, np.full(b, 100.0),
+                    fluxes=np.full(b, 900.0) if self.cfg.has_flux else None))
+        finally:
+            self._warming = False
 
     def _restore_padded(self, stamps, bkgs, fluxes=None, beta0=None):
         """Dispatch (non-blocking): host-pad to a bucket size and run the
@@ -86,7 +93,8 @@ class RestorationSession:
             _pad_args_to_bucket(self.mesh, stamps, bkgs, fluxes=fluxes,
                                 beta0=beta0)
         bucket = stamps.shape[0]
-        if self._warmed and bucket not in self._warmed:
+        if self._warmed and bucket not in self._warmed \
+                and not getattr(self, '_warming', False):
             import warnings
             warnings.warn(
                 f'RestorationSession: batch {b} pads to bucket {bucket}, '

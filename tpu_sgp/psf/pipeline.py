@@ -118,13 +118,13 @@ def select_psf_stars(image: np.ndarray, stars: np.ndarray, *,
     for i in idx:
         if len(picked) >= max_stars:
             break
-        d2 = [(x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2 for j in picked]
-        # neighbors too close to a brighter pick contaminate its cutout
+        # any neighbor within min_sep above 20% of the candidate's flux
+        # contaminates the cutout. (This subsumes separation from already-
+        # picked stars: candidates arrive brightest-first, so an earlier
+        # pick inside min_sep always trips this test.)
         near = np.flatnonzero(((x - x[i]) ** 2 + (y - y[i]) ** 2
                                < min_sep ** 2) & (np.arange(len(x)) != i))
         if near.size and (f[near] > 0.2 * f[i]).any():
-            continue
-        if d2 and min(d2) < min_sep ** 2:
             continue
         picked.append(int(i))
     return stars[picked]

@@ -444,21 +444,26 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
     else:
         state = SGPState(*rstate)
         # grow whichever tracked series buffers the new budget needs;
-        # disabled buffers are (1,) sentinels and stay that way
-        if cfg.track_discr and state.discr.shape[0] > 1:
-            pad = cfg.max_iter + 1 - state.discr.shape[0]
-            if pad < 0:
+        # disabled buffers are (1,) sentinels and stay that way. Enabling
+        # a series flag on a checkpoint that never tracked it cannot work
+        # (the history is gone) — refuse loudly instead of scattering into
+        # the sentinel and returning a bogus series.
+        for name, flag in (('discr', cfg.track_discr),
+                           ('err', cfg.errflag)):
+            buf = getattr(state, name)
+            if flag and buf.shape[0] <= 1:
                 raise ValueError(
-                    'resume max_iter smaller than checkpoint buffers')
-            if pad > 0:
-                state = state._replace(discr=jnp.pad(state.discr, (0, pad)))
-        if cfg.errflag and state.err.shape[0] > 1:
-            pad = cfg.max_iter + 1 - state.err.shape[0]
-            if pad < 0:
-                raise ValueError(
-                    'resume max_iter smaller than checkpoint buffers')
-            if pad > 0:
-                state = state._replace(err=jnp.pad(state.err, (0, pad)))
+                    f'resume enables {name} tracking but the checkpoint '
+                    f'was created without it (buffer shape {buf.shape}); '
+                    f'resume with the flag off or re-solve from scratch')
+            if flag:
+                pad = cfg.max_iter + 1 - buf.shape[0]
+                if pad < 0:
+                    raise ValueError(
+                        'resume max_iter smaller than checkpoint buffers')
+                if pad > 0:
+                    state = state._replace(
+                        **{name: jnp.pad(buf, (0, pad))})
         # continue unless a stop rule fired; a MAXIT-capped checkpoint
         # resumes under the (possibly larger) new budget
         state = state._replace(
