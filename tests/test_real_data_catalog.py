@@ -1,0 +1,101 @@
+"""Real-data catalog characterization vs the paper's own photutils outputs.
+
+The reference bundles the two 410x410 M13 subframes of its subdivision
+benchmark AND the catalogs its photutils stack produced on them
+(/root/reference/results/{CROWDED_,}SUBDIV_ORIGIMG.fits, *_ORIGCAT.csv,
+produced by application_sgp_subdivisions.py:62 with box_size=60,
+n_pixels=5). photutils itself is not installed here, so these artifacts are
+the only real-data oracle for the native detection stack. The sparse field
+agrees closely; the crowded M13 core deviates in the faint tail (the
+background-RMS estimate on heavily star-covered boxes differs from
+photutils', moving the 1.5-sigma threshold) — the bounds below characterize
+the current agreement and guard against regressions, and PARITY.md records
+the deviation.
+"""
+import os
+
+import numpy as np
+import pytest
+
+RESULTS = '/root/reference/results'
+
+
+def _catalog_for(frame_fits):
+    from tpu_sgp.catalog import source_info
+    from tpu_sgp.image import read_fits
+
+    img, _ = read_fits(frame_fits)
+    cat, _ = source_info(np.asarray(img, np.float64), box_size=(60, 60),
+                         n_pixels=5, localbkg_width=5)
+    return cat.to_table().to_pandas()
+
+
+def _match(ours, ref):
+    from scipy.spatial import cKDTree
+    tree = cKDTree(np.c_[ours['xcentroid'], ours['ycentroid']])
+    d, idx = tree.query(np.c_[ref['xcentroid'], ref['ycentroid']])
+    m = d < 1.0
+    fr = ref['segment_flux'].to_numpy()[m]
+    fo = ours['segment_flux'].to_numpy()[idx[m]]
+    flux_rel = np.median(np.abs(fo - fr) / np.abs(fr))
+    return m.mean(), flux_rel
+
+
+@pytest.mark.skipif(not os.path.isdir(RESULTS),
+                    reason='reference results not mounted')
+def test_sparse_m13_field_matches_paper_catalog():
+    import pandas as pd
+    ours = _catalog_for(f'{RESULTS}/SUBDIV_ORIGIMG.fits')
+    ref = pd.read_csv(f'{RESULTS}/SUBDIV_ORIGCAT.csv')
+    assert abs(len(ours) - len(ref)) <= 0.15 * len(ref), \
+        (len(ours), len(ref))
+    frac, flux_rel = _match(ours, ref)
+    assert frac >= 0.85, frac            # centroids within 1 px
+    assert flux_rel <= 0.15, flux_rel    # median matched-flux agreement
+
+
+@pytest.mark.skipif(not os.path.isdir(RESULTS),
+                    reason='reference results not mounted')
+def test_crowded_m13_core_characterized():
+    """Crowded-core agreement is looser (documented deviation): the count
+    is within 25%, two thirds of paper sources match within 1 px, and
+    matched fluxes agree to ~20% median — the faint-tail excess lives just
+    above the threshold where the background-RMS estimates differ."""
+    import pandas as pd
+    ours = _catalog_for(f'{RESULTS}/CROWDED_SUBDIV_ORIGIMG.fits')
+    ref = pd.read_csv(f'{RESULTS}/CROWDED_SUBDIV_ORIGCAT.csv')
+    assert abs(len(ours) - len(ref)) <= 0.25 * len(ref), \
+        (len(ours), len(ref))
+    frac, flux_rel = _match(ours, ref)
+    assert frac >= 0.60, frac
+    assert flux_rel <= 0.20, flux_rel
+
+
+@pytest.mark.skipif(not os.path.isdir(RESULTS),
+                    reason='reference results not mounted')
+def test_deblend_native_equals_python_on_real_data():
+    """The C++ whole-frame deblend and the NumPy fallback must produce the
+    same per-segment child counts on the real crowded field."""
+    from scipy import ndimage
+
+    from tpu_sgp.catalog.background import Background2D
+    from tpu_sgp.catalog.segmentation import deblend_sources, detect_sources
+    from tpu_sgp.catalog import native
+    from tpu_sgp.image import read_fits
+    from tpu_sgp.utils import convolve2d_fill, make_2dgaussian_kernel
+
+    if not native.available():
+        pytest.skip('native toolchain unavailable')
+    img, _ = read_fits(f'{RESULTS}/CROWDED_SUBDIV_ORIGIMG.fits')
+    data = np.asarray(img, np.float64)
+    bkg = Background2D(data, (60, 60), filter_size=(3, 3))
+    conv = convolve2d_fill(data - bkg.background,
+                           make_2dgaussian_kernel(1.2, size=3))
+    segm = detect_sources(conv, 1.5 * bkg.background_rms, 5)
+    a = deblend_sources(conv, segm, use_native=True)
+    b = deblend_sources(conv, segm, use_native=False)
+    assert a.nlabels == b.nlabels
+    for lab0, sl in enumerate(ndimage.find_objects(segm.data), start=1):
+        m = segm.data[sl] == lab0
+        assert len(np.unique(a.data[sl][m])) == \
+            len(np.unique(b.data[sl][m])), lab0

@@ -116,25 +116,16 @@ def _deblend_one(sub: np.ndarray, inseg: np.ndarray, det_threshold: float,
         return None
 
     # cheap pre-filter: a segment with a single local-maximum plateau cannot
-    # deblend — skip the 32-level sweep (most segments are single stars)
+    # deblend — skip the 32-level sweep (most segments are single stars).
+    # (Two disjoint above-level components each contain a local max, so one
+    # plateau implies one component at every level — the filter is EXACT.
+    # An earlier 6-of-32-level coarse screen was NOT: it missed splits that
+    # only appear at unprobed levels and made this path disagree with the
+    # native sweep.)
     is_max = inseg & (sub >= ndimage.maximum_filter(
         np.where(inseg, sub, -np.inf), size=3))
     _, n_peaks = ndimage.label(is_max, structure=_STRUCT8)
     if n_peaks <= 1:
-        return None
-
-    # coarse screen: a deblendable segment must split into >= 2 components
-    # of npixels at SOME sub-threshold; probing 6 of the 32 levels rejects
-    # noise-bump candidates at ~1/5 the label cost
-    split = False
-    for level in levels[::max(1, nlevels // 6)]:
-        lab, nc = ndimage.label(inseg & (sub > level), structure=_STRUCT8)
-        if nc >= 2:
-            sizes = np.bincount(lab.ravel(), minlength=nc + 1)[1:]
-            if (sizes >= npixels).sum() >= 2:
-                split = True
-                break
-    if not split:
         return None
 
     # Peak "tree" top-down: components containing >= 2 surviving markers
