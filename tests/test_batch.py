@@ -284,3 +284,29 @@ def test_two_phase_compaction_per_stamp_psfs():
                                   np.asarray(single.iters))
     np.testing.assert_allclose(np.asarray(two.x), np.asarray(single.x),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_two_phase_compaction_sharded_equals_unsharded():
+    """Compaction under a NamedSharding mesh: the tail gather/scatter
+    compiles to GSPMD collectives and the result equals the unsharded
+    two-phase solve (and the single-phase iteration schedules)."""
+    from jax.sharding import Mesh
+
+    stamps, psf, bkgs, _ = synthetic_star_stamps(24, size=16, seed=3)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=60, stop_criterion=3, tol_convergence=1e-4,
+               dtype='float64')
+    single = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                            sat_level=65000.0)
+    cap = int(np.median(np.asarray(single.iters)))
+    plain = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                           sat_level=65000.0, phase1_iters=cap,
+                           tail_bucket=8)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=('batch',))
+    sharded = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                             sat_level=65000.0, phase1_iters=cap,
+                             tail_bucket=8, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(sharded.iters),
+                                  np.asarray(single.iters))
+    np.testing.assert_allclose(np.asarray(sharded.x), np.asarray(plain.x),
+                               rtol=1e-9, atol=1e-9)

@@ -133,8 +133,14 @@ def beta_grad_wrt_recon(AT, den: jnp.ndarray, gn: jnp.ndarray,
     """Gradient of betaDiv w.r.t. the reconstruction through den = A(x)+bkg:
     g = den^(beta-1) - AT(gn * den^(beta-2))
     (reference ``betaDivDerivwrtY``, sgp.py:498-499). At beta=1 this reduces
-    to the KL gradient 1 - AT(gn/den)."""
-    return den ** (beta - 1.0) - AT(gn * den ** (beta - 2.0))
+    to the KL gradient 1 - AT(gn/den).
+
+    den^(beta-2) is computed once and den^(beta-1) derived as its product
+    with den — pow lowers to exp(log) on the VPU and this is a per-pixel
+    per-iteration term, so sharing the transcendental halves its cost
+    (equal to the two-pow form to 1 ulp)."""
+    p2 = den ** (beta - 2.0)
+    return p2 * den - AT(gn * p2)
 
 
 def kl_grad_wrt_recon(AT, den: jnp.ndarray, gn: jnp.ndarray) -> jnp.ndarray:

@@ -226,7 +226,7 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
         sizes would each compile-and-load a new tiny program, which costs
         seconds per novel batch size on tunneled backends.
       phase1_iters: enable convergence compaction (stop criteria 2-4,
-        single-device): run the batch capped here (~p85 of the expected
+        sharded or not): run the batch capped here (~p85 of the expected
         iteration distribution), finish the unconverged tail as a
         ``tail_bucket``-size batch, then a full-batch catch-up resume
         guarantees correctness regardless of the tail estimate. Identical
@@ -278,10 +278,13 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
         lr0 = jax.device_put(lr0, shard)
         sat = jax.device_put(sat, shard)
 
+    # Compaction works sharded too: the tail gather/scatter compiles to
+    # GSPMD collectives over the batch axis and the resumed tail batch is
+    # redistributed by the partitioner (sharded == unsharded result,
+    # asserted in tests/test_batch.py).
     two_phase = (phase1_iters is not None
                  and cfg.stop_criterion not in (0, 1)
                  and phase1_iters < cfg.max_iter
-                 and mesh is None
                  and int(stamps.shape[0]) > tail_bucket)
     if two_phase:
         res = _batched_solve_two_phase(stamps, psf, bkgs, x0, fluxes, obj,
