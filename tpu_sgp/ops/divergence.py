@@ -34,31 +34,39 @@ def kl_objective(x_tf: jnp.ndarray, den: jnp.ndarray, gn: jnp.ndarray,
 
 
 def beta_div(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
-             axes=()) -> jnp.ndarray:
+             axes=(), log_gn: jnp.ndarray | None = None) -> jnp.ndarray:
     """beta-divergence D_beta(gn || den), generic-beta branch.
 
     Mathematically equal to the reference ``betaDiv(y=den, x=gn, betaParam)``
     for beta not in {0, 1} (sgp.py:456-458), but algebraically rearranged for
-    numerical stability near beta = 1:
+    numerical stability near beta = 1 AND near den = gn:
 
         D = sum gn*(gn^e - den^e)/e - sum (gn^b - den^b)/b,   e = beta-1
-          = sum -gn^b * expm1(e*log(den/gn))/e - sum (gn^b - den^b)/b
+          = sum gn^b * [ -expm1(e*d)/e + expm1(b*d)/b ],      d = log(den/gn)
 
-    The reference's 1/(beta*(beta-1)) form catastrophically cancels in
-    float32 for beta near 1 (e.g. the satellite workload's frozen
-    beta=1.0001 degraded rel_err from 0.292 to 0.486 on TPU); the expm1 form
-    is exact in the limit and continuous through beta = 1. beta = 0 remains
-    singular (Itakura-Saito is the separate special case below, matching the
-    reference's exact-equality dispatch).
+    using den^b = gn^b * exp(b*d). The reference's 1/(beta*(beta-1)) form
+    catastrophically cancels in float32 for beta near 1 (e.g. the satellite
+    workload's frozen beta=1.0001 degraded rel_err from 0.292 to 0.486 on
+    TPU); both expm1 factors are exact in their limits and continuous
+    through beta = 1, and the second also removes the gn^b - den^b
+    cancellation when den is close to gn (the converged regime). beta = 0
+    remains singular (Itakura-Saito is the separate special case below,
+    matching the reference's exact-equality dispatch).
+
+    ``log_gn``: optional precomputed log(gn). The observed image is
+    loop-invariant while this objective runs on every line-search trial, so
+    the solver hoists the log — with it, each evaluation costs one log
+    (the ratio d), one exp and two expm1 instead of three log + two exp.
     """
     e = beta - 1.0
     d = jnp.log(den / gn)
-    gn_b = gn ** beta
+    lg = jnp.log(gn) if log_gn is None else log_gn
+    gn_b = jnp.exp(beta * lg)
     safe_e = jnp.where(e == 0, 1.0, e)
-    ratio = jnp.where(e == 0, d, jnp.expm1(e * d) / safe_e)
-    term1 = -gsum(gn_b * ratio, axes)
-    term2 = gsum(gn_b - den ** beta, axes) / beta
-    return term1 - term2
+    r1 = jnp.where(e == 0, d, jnp.expm1(e * d) / safe_e)
+    safe_b = jnp.where(beta == 0, 1.0, beta)
+    r2 = jnp.where(beta == 0, d, jnp.expm1(beta * d) / safe_b)
+    return gsum(gn_b * (r2 - r1), axes)
 
 
 def beta_div_special(den: jnp.ndarray, gn: jnp.ndarray, beta: float) -> jnp.ndarray:

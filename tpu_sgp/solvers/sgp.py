@@ -110,10 +110,10 @@ def _dump_iteration(x, gn, it) -> None:
                np.nan_to_num(res))
 
 
-def _objective(cfg: SGPConfig, x_tf, den, gn, flux, beta):
+def _objective(cfg: SGPConfig, x_tf, den, gn, flux, beta, log_gn=None):
     if cfg.divergence == 'kl':
         return dv.kl_objective(x_tf, den, gn, flux, cfg.axis_names)
-    return dv.beta_div(den, gn, beta, cfg.axis_names)
+    return dv.beta_div(den, gn, beta, cfg.axis_names, log_gn=log_gn)
 
 
 def _gradient(cfg: SGPConfig, AT, den, gn, beta):
@@ -241,10 +241,13 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
     # ---- initial objective / gradient -------------------------------------
     beta_p = jnp.asarray(beta0, dt)
     lr = jnp.asarray(lr0, dt)
+    # the observed image is loop-invariant but its log enters every
+    # beta-objective evaluation (line-search trials included) — hoist it
+    log_gn = jnp.log(gn) if cfg.divergence == 'beta' else None
     x_tf = A(x)
     den = x_tf + bkg
     g = _gradient(cfg, AT, den, gn, beta_p)
-    fv = _objective(cfg, x_tf, den, gn, flux, beta_p)
+    fv = _objective(cfg, x_tf, den, gn, flux, beta_p, log_gn)
 
     # ---- scaling-matrix bounds --------------------------------------------
     y_b = (flux / (flux + bkg)) * AT(gn)
@@ -322,7 +325,7 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
             lam, _, bp, _, k = c
             x_tf_try = x_tf + lam * d_tf
             den_t = x_tf_try + bkg
-            fv_t = _objective(cfg, x_tf_try, den_t, gn, flux, bp)
+            fv_t = _objective(cfg, x_tf_try, den_t, gn, flux, bp, log_gn)
             ok = (fv_t <= fr + gamma * lam * gd) | (lam < 1e-12)
             if cfg.divergence == 'beta' and cfg.adapt_beta:
                 # mean d(betaDiv)/dbeta == grad of the (f32-stable) objective
@@ -332,7 +335,8 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
                 # explicitly — autodiff through a psum inside shard_map does
                 # not reduce over devices.
                 local_grad = jax.grad(
-                    lambda bp_: dv.beta_div(den_t, gn, bp_, ()))(bp)
+                    lambda bp_: dv.beta_div(den_t, gn, bp_, (),
+                                            log_gn=log_gn))(bp)
                 bgrad = (jax.lax.psum(local_grad, ax) if ax
                          else local_grad) / n
                 bp_rej = bp - lr * bgrad
