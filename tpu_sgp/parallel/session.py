@@ -33,10 +33,13 @@ class RestorationSession:
         (not auto-tuned) so ``warmup`` pre-compiles the exact programs
         serving will run; an adaptive cap would recompile at serve time."""
         if cfg is None:
+            # serving reads x/iters, never the per-iteration series:
+            # track_discr=False drops a (B, max_iter+1) scatter per
+            # iteration AND the series' result-transfer bytes
             cfg = SGPConfig(max_iter=100, stop_criterion=3,
                             tol_convergence=1e-4, init_recon=2, proj_type=1,
                             has_flux=True, has_sat_level=True,
-                            dtype='float32')
+                            dtype='float32', track_discr=False)
         self.cfg = cfg
         self.psf = jnp.asarray(psf, cfg.jnp_dtype)
         self.stamp_shape = tuple(stamp_shape)
