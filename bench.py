@@ -164,6 +164,15 @@ def main():
                     has_sat_level=True, dtype='float32', divergence='kl',
                     track_discr=False)
 
+    # On multi-chip hardware the same batch shards over all chips (the
+    # dormant path on this 1-chip rig; compaction works sharded too).
+    mesh = None
+    if len(jax.devices()) > 1:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()), axis_names=('batch',))
+        print(f'# sharding batch over {len(jax.devices())} devices',
+              file=sys.stderr)
+
     def run():
         # convergence compaction: run all lanes to ~p95 of the iteration
         # distribution, finish the tail as a small batch (bit-equal
@@ -173,7 +182,8 @@ def main():
         # nobody reads here.
         return _sync(restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
                                     sat_level=65000.0, phase1_iters=31,
-                                    tail_bucket=512, flatten=True))
+                                    tail_bucket=512, flatten=True,
+                                    mesh=mesh))
 
     res = run()
     iters = np.asarray(res.iters)

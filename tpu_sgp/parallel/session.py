@@ -49,6 +49,15 @@ class RestorationSession:
         self.mesh = mesh
         self.phase1_iters = phase1_iters
         self.tail_bucket = tail_bucket
+        # flat (B, H*W) stamp layout whenever the dense shared-PSF matmul
+        # operator applies: a (B, 31, 31) batch tiles with a 4.3x pad that
+        # every elementwise pass pays (see restore_stamps(flatten=...));
+        # sessions always hold ONE shared PSF, so only the operator family
+        # gates it
+        self.flatten = (self.psf.size <= 4096
+                        and cfg.operator in ('auto', 'matmul',
+                                             'matmul_flat')
+                        and self.psf.shape == self.stamp_shape)
         self._warmed: set = set()
         self._warming = False  # warmup() in progress: its own calls must
                                # not trigger the not-warmed warning
@@ -110,7 +119,8 @@ class RestorationSession:
             stamps, self.psf, bkgs, self.cfg, fluxes=fluxes,
             beta0=self.beta0 if beta0 is None else beta0, lr0=self.lr0,
             sat_level=self.sat_level, mesh=self.mesh, bucket=False,
-            phase1_iters=self.phase1_iters, tail_bucket=self.tail_bucket)
+            phase1_iters=self.phase1_iters, tail_bucket=self.tail_bucket,
+            flatten=self.flatten)
         return res, b
 
     def restore(self, stamps, bkgs, fluxes=None, beta0=None) -> SGPResult:
