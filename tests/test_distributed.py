@@ -251,3 +251,26 @@ def test_mesh_factorization():
     m7 = make_batch_image_mesh(devices=jax.devices()[:7])
     assert m7.shape['batch'] == 1
     assert m7.shape['ty'] * m7.shape['tx'] == 7
+
+
+def test_autopad_deviation_from_unpadded_bounded():
+    """Auto-padding perturbs the global reductions with a sky margin — a
+    documented approximation. This pins its magnitude vs the UNPADDED
+    single-device solve (the earlier autopad tests compare against the
+    padded problem, which is exact by construction)."""
+    img, psf, _ = synthetic_star_field(30, 30, n_stars=4, psf_size=9,
+                                       fwhm=2.0, seed=5)
+    mesh = make_image_mesh(devices=jax.devices()[:8])
+    cfg = SGPConfig(max_iter=80, stop_criterion=3, tol_convergence=1e-5,
+                    init_recon=2, proj_type=1, has_flux=False,
+                    has_sat_level=False, dtype='float64')
+    dres = solve_distributed(img, psf, 150.0, cfg, mesh)
+    z = jnp.zeros(img.shape)
+    sres = solve(jnp.asarray(img), jnp.asarray(psf),
+                 jnp.full(img.shape, 150.0), z, 0.0, z, 1.0, 1e-3, 0.0,
+                 cfg.replace(operator='linear'))
+    dx, sx = np.asarray(dres.x), np.asarray(sres.x)
+    assert dx.shape == img.shape
+    rel = np.abs(dx - sx).max() / np.abs(sx).max()
+    assert rel < 1e-2, rel
+    assert abs(int(dres.iters) - int(sres.iters)) <= 15

@@ -38,9 +38,11 @@ def _gauss1d(x, amplitude, mean, stddev):
 
 
 class RadProfFit(NamedTuple):
-    """Result of ``fit_radprof``: unpacks as the historical
-    (fitted, perr) pair plus an explicit ``ok`` flag so callers can tell a
-    converged fit from the seed-curve fallback."""
+    """Result of ``fit_radprof``: the historical fitted curve and parameter
+    errors at indices [0]/[1], plus an explicit ``ok`` flag so callers can
+    tell a converged fit from the seed-curve fallback. NOTE: 2-target
+    unpacking (``fitted, perr = fit_radprof(...)``) no longer works — use
+    3-target unpacking or field access."""
     fitted: np.ndarray
     perr: np.ndarray
     ok: bool

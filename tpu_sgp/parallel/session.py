@@ -114,13 +114,15 @@ class RestorationSession:
                 f'this request pays a full solver compile. Warm it with '
                 f'warmup(buckets=[{bucket}]) or warmup(max_batch=...).',
                 stacklevel=3)
-        self._warmed.add(bucket)
         res = restore_stamps(
             stamps, self.psf, bkgs, self.cfg, fluxes=fluxes,
             beta0=self.beta0 if beta0 is None else beta0, lr0=self.lr0,
             sat_level=self.sat_level, mesh=self.mesh, bucket=False,
             phase1_iters=self.phase1_iters, tail_bucket=self.tail_bucket,
             flatten=self.flatten)
+        # only after the solve dispatched successfully — a failed request
+        # must not register its bucket as warmed
+        self._warmed.add(bucket)
         return res, b
 
     def restore(self, stamps, bkgs, fluxes=None, beta0=None) -> SGPResult:

@@ -215,6 +215,17 @@ project_df_batched = jax.vmap(
 _K_PTS = 7
 
 
+def bracket_bits(dtype) -> int:
+    """Default bracket-narrowing budget (bits) for the sectioned bisection
+    — THE policy, shared by the XLA and Pallas implementations: enough
+    halvings to push the bracket below dtype resolution. Past ~mantissa
+    bits of relative bracket width, the primal recovery
+    x = clip((c+lam)/dia) is itself rounding at every pixel, so extra steps
+    only re-derive the same floating-point x (28 > 24 keeps a 16x safety
+    margin below f32 resolution; 54 > 53 likewise for f64)."""
+    return 54 if jnp.dtype(dtype) == jnp.float64 else 28
+
+
 def project_df_bisect(b, c, dia, scaling, sat_level=None,
                       has_sat: bool | None = None,
                       n_iters: int | None = None, axes=()):
@@ -239,12 +250,7 @@ def project_df_bisect(b, c, dia, scaling, sat_level=None,
         has_sat = sat_level is not None
     dtype = jnp.result_type(c)
     if n_iters is None:
-        # enough halvings to push the bracket below dtype resolution: past
-        # ~mantissa-bits of relative bracket width, the primal recovery
-        # x = clip((c+lam)/dia) is itself rounding at every pixel, so extra
-        # steps only re-derive the same floating-point x (28 > 24 keeps a
-        # 16x safety margin below f32 resolution; 54 > 53 likewise for f64)
-        n_iters = 54 if dtype == jnp.float64 else 28
+        n_iters = bracket_bits(dtype)
     c = jnp.asarray(c, dtype)
     dia = jnp.asarray(dia, dtype)
     b = jnp.asarray(b, dtype)

@@ -214,7 +214,7 @@ def fit_psf_model(stars: Sequence[FitStar], *,
         A = _design(theta, x, y, xfs, yfs, ngauss, ldeg, sigma_inc,
                     ndeg_spat, x_orig, y_orig)
         c, *_ = np.linalg.lstsq(A, target, rcond=None)
-        return A @ c - target, c
+        return A @ c - target, c, A
 
     params = np.concatenate([np.asarray(theta0, np.float64),
                              np.zeros(n_center)])
@@ -224,11 +224,10 @@ def fit_psf_model(stars: Sequence[FitStar], *,
         sol = least_squares(lambda p: projected_residual(p, target)[0],
                             params, method='lm', xtol=1e-14, ftol=1e-14)
         params = sol.x
-        _, coef = projected_residual(params, target)
+        # one evaluation at the converged params yields coefficients AND
+        # the design matrix for the scale update below
+        _, coef, A = projected_residual(params, target)
         # per-star scale: <model, z> / <model, model> on the original data
-        theta, x, y = split(params)
-        A = _design(theta, x, y, xfs, yfs, ngauss, ldeg, sigma_inc,
-                    ndeg_spat, x_orig, y_orig)
         model = A @ coef
         num = np.bincount(star_ix, model * zs, minlength=nstars)
         den = np.bincount(star_ix, model * model, minlength=nstars)
