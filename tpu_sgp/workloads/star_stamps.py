@@ -152,6 +152,8 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
         out_dir: str = '.', mesh=None, save: bool = True) -> dict:
     """Run the full workload; returns (and optionally saves) the metric
     arrays under the reference's file names."""
+    if save:
+        os.makedirs(out_dir, exist_ok=True)
     sset = (gather_real(data_dir, n_images, seed) if data_dir
             else gather_synthetic(n_synthetic, seed))
     b = sset.stamps.shape[0]

@@ -29,6 +29,8 @@ def run(image_path: Optional[str] = None, psf_path: Optional[str] = None,
         use_beta_div: bool = True, crowded: bool = True,
         out_dir: str = '.', save: bool = True, dtype: str = 'float32',
         maxit: int = 500, warm: bool = True) -> dict:
+    if save:
+        os.makedirs(out_dir, exist_ok=True)
     if image_path:
         image = getdata(image_path)
         psf = getdata(psf_path)
