@@ -337,3 +337,17 @@ def test_flatten_compaction_sharded_combined():
     # ~1e3-scale pixels after ~25 f64 iterations; schedules identical)
     np.testing.assert_allclose(np.asarray(combo.x), np.asarray(plain.x),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_restore_stamps_rejects_missing_flux_and_bad_sat():
+    """cfg.has_flux without fluxes used to silently produce all-zero
+    reconstructions (projection target sum(x)=0); likewise has_sat_level
+    with sat_level<=0 clamps everything. Both now raise."""
+    import pytest
+    stamps, psf, bkgs, _ = synthetic_star_stamps(4, size=16, seed=0)
+    cfg = _cfg(max_iter=5, stop_criterion=1, dtype='float64')
+    with pytest.raises(ValueError, match='has_flux'):
+        restore_stamps(stamps, psf, bkgs, cfg)
+    with pytest.raises(ValueError, match='sat_level'):
+        restore_stamps(stamps, psf, bkgs, cfg,
+                       fluxes=stamps.sum(axis=(1, 2)), sat_level=0.0)

@@ -139,7 +139,8 @@ def main(argv=None) -> dict:
             proj_type=1, has_flux=True, has_sat_level=True,
             divergence='beta' if opt.use_beta_div else 'kl',
             adapt_beta=opt.use_beta_div, schedule_lr=opt.use_beta_div,
-            dtype=opt.dtype, operator='linear')
+            dtype=opt.dtype, operator='linear',
+            track_discr=False)  # the CLI reads x/iters only
         import jax
         res = restore_stamps(np.stack(tiles), psf, np.stack(bkg_maps), cfg,
                              fluxes=np.array(fluxes),
@@ -178,9 +179,14 @@ def main(argv=None) -> dict:
         scat, bkg = source_info(image,
                                 box_size=(opt.box_height, opt.box_width),
                                 localbkg_width=5)
-        t = scat.to_table(DEFAULT_COLUMNS)
-        orig_frames.append(_catalog_to_frame(t, wcs))
-        flux = float(np.sum(t['segment_flux'].value))
+        if scat is not None and len(scat):
+            t = scat.to_table(DEFAULT_COLUMNS)
+            orig_frames.append(_catalog_to_frame(t, wcs))
+            flux = float(np.sum(t['segment_flux'].value))
+        else:
+            # no detections: fall back to the whole-frame flux (the solver
+            # default sum(gn - bkg)) rather than crashing on a blank field
+            flux = float(np.sum(image - bkg.background))
         solver = sgp_beta_div if opt.use_beta_div else sgp
         extra = ({'betaParam': opt.initial_beta, 'lr': opt.initial_lr,
                   'lr_exp_param': 0.1, 'schedule_lr': True}

@@ -36,7 +36,3 @@ def gmean(x, axes=()):
     return total / count
 
 
-def gsize(x, axes=()):
-    """Global element count of a (possibly sharded) array, as a float."""
-    n = jnp.asarray(x.size, jnp.float32)
-    return float(x.size) if not axes else jax.lax.psum(n, axes)

@@ -235,6 +235,19 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
 
     Returns a batched SGPResult (leading axis B on every field).
     """
+    if cfg.has_flux and fluxes is None:
+        raise ValueError(
+            'cfg.has_flux=True but fluxes=None: the flux-conserving '
+            'projection would target sum(x)=0 and every reconstruction '
+            'would be identically zero. Pass per-stamp fluxes (e.g. the '
+            'background-subtracted sums) or use a config with '
+            'has_flux=False.')
+    if cfg.has_sat_level and np.ndim(sat_level) == 0 \
+            and float(sat_level) <= 0:
+        raise ValueError(
+            f'cfg.has_sat_level=True with sat_level={sat_level}: the '
+            f'saturation cap would clamp every pixel to ~0. Pass the CCD '
+            f'saturation level or use a config with has_sat_level=False.')
     dtype = cfg.jnp_dtype
     b_orig = int(np.shape(stamps)[0])
     if bucket:

@@ -105,7 +105,7 @@ class RestorationSession:
             _pad_args_to_bucket(self.mesh, stamps, bkgs, fluxes=fluxes,
                                 beta0=beta0)
         bucket = stamps.shape[0]
-        if self._warmed and bucket not in self._warmed \
+        if bucket not in self._warmed \
                 and not getattr(self, '_warming', False):
             import warnings
             warnings.warn(

@@ -206,9 +206,6 @@ def project_df(b, c, dia, scaling, sat_level=None, max_projs: int = 1000,
     return xval(lam_sel)
 
 
-project_df_batched = jax.vmap(
-    project_df, in_axes=(0, 0, 0, 0, None), out_axes=0)
-
 # Interior points per sectioning step of project_df_bisect. 7 narrows the
 # bracket 3 bits/step at one (K, N) sweep per step; measured against K=15
 # (4 bits/step, 2x the sweep arithmetic) on v5e — see docs/PERFORMANCE.md.

@@ -139,12 +139,18 @@ def _workload_cfg(use_beta: bool, adapt: bool = True,
                   operator: str = 'auto') -> SGPConfig:
     max_projs, gamma, bt, a_min, a_max, alpha, m_alpha, tau, m = DEFAULT_PARAMS
     return SGPConfig(
-        max_iter=200, stop_criterion=3, tol_convergence=1e-4, init_recon=2,
+        # MAXIT 500 = the reference solver default the driver inherits
+        # (application_sgp_star_stamps.py passes no MAXIT); an earlier 200
+        # cap silently truncated slow-converging stamps
+        max_iter=500, stop_criterion=3, tol_convergence=1e-4, init_recon=2,
         proj_type=1, max_projs=max_projs, gamma=gamma, bt_factor=bt,
         alpha_init=alpha, alpha_min=a_min, alpha_max=a_max, m_alpha=m_alpha,
         tau_init=tau, m_mem=m, has_flux=True, has_sat_level=True,
         divergence='beta' if use_beta else 'kl', adapt_beta=adapt,
-        schedule_lr=use_beta, dtype='float32', operator=operator)
+        schedule_lr=use_beta, dtype='float32', operator=operator,
+        # the workload reads x/iters only; with MAXIT=500 the tracked
+        # series would be a (B, 501) buffer scattered every iteration
+        track_discr=False)
 
 
 def run(data_dir: Optional[str] = None, use_beta_div: bool = True,

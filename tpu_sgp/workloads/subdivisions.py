@@ -16,7 +16,7 @@ import numpy as np
 
 from ..api import sgp, sgp_beta_div
 from ..catalog import source_info
-from ..config import DEFAULT_COLUMNS
+from ..config import DEFAULT_COLUMNS, DEFAULT_PARAMS
 from ..image import getdata, write_fits
 from ..simulate import synthetic_star_field
 from .star_stamps import _beta_candidates
@@ -40,14 +40,29 @@ def run(image_path: Optional[str] = None, psf_path: Optional[str] = None,
                                              seed=42)
     psf = psf / psf.sum()
 
-    scat, bkg = source_info(image, box_size=(64, 64))
+    # reference source_info parameters: box_size=60 for both catalogs,
+    # n_pixels=5 on the original image, n_pixels=1 on reconstructions
+    # (application_sgp_subdivisions.py:62,92,118)
+    scat, bkg = source_info(image, box_size=(60, 60), n_pixels=5)
+    if scat is None or len(scat) == 0:
+        raise RuntimeError('no sources detected on the input frame; the '
+                           'subdivision workload needs a catalog flux')
     table = scat.to_table(DEFAULT_COLUMNS)
     flux = float(np.sum(table['segment_flux'].value))
     n_orig = len(table)
 
+    # solver hyperparameters exactly as the reference driver passes them:
+    # the DEFAULT_PARAMS tuple (incl. alpha=10, not the sgp() default 1.3)
+    # and adapt_beta=False (application_sgp_subdivisions.py:85-112 — the
+    # STAR-STAMPS driver adapts beta; this one does not)
+    max_projs, gamma, bt, a_min, a_max, alpha, m_alpha, tau, m = \
+        DEFAULT_PARAMS
     common = dict(init_recon=2, proj_type=1, stop_criterion=3,
                   flux=flux, scale_data=True, ccd_sat_level=CCD_SAT_LEVEL,
                   tol_convergence=TOL_CONVERGENCE, MAXIT=maxit,
+                  max_projs=max_projs, gamma=gamma, beta=bt,
+                  alpha_min=a_min, alpha_max=a_max, alpha=alpha,
+                  M_alpha=m_alpha, tau=tau, M=m,
                   use_original_SGP_Afunction=False, dtype=dtype)
 
     best_beta = None
@@ -57,19 +72,24 @@ def run(image_path: Optional[str] = None, psf_path: Optional[str] = None,
         for cand in cands:
             x, iters, _, times, _ = sgp_beta_div(
                 image, psf, bkg.background, betaParam=float(cand), lr=1e-3,
-                lr_exp_param=0.1, schedule_lr=True, adapt_beta=True,
+                lr_exp_param=0.1, schedule_lr=True, adapt_beta=False,
                 **common)
-            rscat, _ = source_info(x, box_size=(64, 64))
+            rscat, _ = source_info(x, box_size=(60, 60), n_pixels=1)
             if rscat is None or len(rscat) == 0:
                 continue
             rt = rscat.to_table(['segment_flux'])
             ffd = 1.0 - float(np.sum(rt['segment_flux'].value)) / flux
             if ffd < best_ffd:
                 best_ffd, best_beta = ffd, float(cand)
+        if best_beta is None:
+            raise RuntimeError(
+                'no beta candidate produced a detectable restoration '
+                '(all candidate reconstructions yielded empty catalogs) — '
+                'cannot select a beta init')
         t0 = timer()
         x, iters, _, times, _ = sgp_beta_div(
             image, psf, bkg.background, betaParam=best_beta, lr=1e-3,
-            lr_exp_param=0.1, schedule_lr=True, adapt_beta=True, **common)
+            lr_exp_param=0.1, schedule_lr=True, adapt_beta=False, **common)
         wall = timer() - t0
     else:
         if warm:  # compile outside the timed window
@@ -78,7 +98,7 @@ def run(image_path: Optional[str] = None, psf_path: Optional[str] = None,
         x, iters, _, times, _ = sgp(image, psf, bkg.background, **common)
         wall = timer() - t0
 
-    rscat, _ = source_info(x, box_size=(64, 64))
+    rscat, _ = source_info(x, box_size=(60, 60), n_pixels=1)
     rt = (rscat.to_table(DEFAULT_COLUMNS)
           if rscat is not None and len(rscat) else None)
     restored_fluxes = (np.asarray(rt['segment_flux'].value)
