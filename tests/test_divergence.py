@@ -128,3 +128,18 @@ def test_beta_div_float32_stability_near_one(rng):
                         * den.astype(np.float32) ** (np.float32(b) - 1)))
         assert abs(f32 - exact) / abs(exact) < 1e-3, (b, f32, exact)
         assert abs(f32 - exact) <= abs(raw - exact)
+
+
+def test_beta_div_finite_with_zero_pixels():
+    """gn == 0 pixels contribute the reference's finite den^b / b instead
+    of the 0*inf NaN a naive rearranged evaluation produces."""
+    den = jnp.asarray([2.0, 3.0, 1.5])
+    gn = jnp.asarray([1.0, 0.0, 2.0])
+    b, e = 1.5, 0.5
+    v = float(dv.beta_div(den, gn, b))
+    dn, g = np.asarray(den), np.asarray(gn)
+    gz = np.where(g > 0, g, 0.0)
+    ref = (np.sum(g * np.where(g > 0, gz ** e - dn ** e, 0.0)) / e
+           - np.sum(gz ** b - dn ** b) / b)
+    assert np.isfinite(v)
+    np.testing.assert_allclose(v, ref, rtol=1e-12)

@@ -73,3 +73,18 @@ def test_cull_frames_filter_fix_and_no_move(tmp_path, rng):
     rep = cull_frames(d, move=False, default_filter='I')
     assert rep.filter_fixed == {os.path.join(d, 'sci_1.fits'): 'I'}
     assert os.path.exists(os.path.join(d, 'sci_1.fits'))  # nothing moved
+
+
+def test_write_coo_pads_short_headers(tmp_path):
+    """read_coo skips exactly 3 rows; a 1-line custom header must be
+    padded, not silently swallow the first two stars."""
+    from tpu_sgp.psf import read_coo
+    from tpu_sgp.psf.pipeline import write_coo
+    stars = np.zeros(2, dtype=[('x', 'f8'), ('y', 'f8'),
+                               ('approx_flux', 'f8'),
+                               ('local_bkg_level', 'f8'),
+                               ('num_saturated_pixels_in_aperture', 'i8')])
+    stars['x'] = [1.5, 2.5]
+    p = str(tmp_path / 't.coo')
+    write_coo(p, stars, header_lines=['# one line only'])
+    assert len(read_coo(p)) == 2

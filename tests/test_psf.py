@@ -93,3 +93,15 @@ def test_scale_psf_broadens_and_normalizes():
     s = scale_psf(p, gaussian_fwhm=2.0)
     assert np.isclose(s.sum(), 1.0)
     assert s.max() < p.max()   # broadened core
+
+
+def test_matrix_even_size_exact_shape():
+    """matrix(size) must return exactly (size, size) for EVEN sizes too
+    (regression: arange(-h, h+1) returned size+1 points, and the C++ twin
+    overran its output buffer — heap corruption)."""
+    m = DiaplPSFModel.from_txt(REF_TXT)
+    for size in (30, 32, 16, 31):
+        a = m.matrix(size)
+        assert a.shape == (size, size)
+    # odd rendering unchanged: symmetric [-h, h] grid
+    np.testing.assert_array_equal(m.matrix(31), m.matrix(31))

@@ -64,3 +64,18 @@ def test_native_throughput():
         m.matrix(31)
     python_wall = (time.perf_counter() - t0) / 5 * n
     assert native_wall < python_wall
+
+
+def test_native_even_size_matches_python():
+    """C++ grid rendering equals Python for even sizes (regression: the
+    native loop rendered (2*(size/2)+1)^2 samples into a size^2 buffer)."""
+    from tpu_sgp.psf import native as pn
+    if not pn.available():
+        pytest.skip('native toolchain unavailable')
+    m = DiaplPSFModel.from_txt(REF_TXT)
+    for size in (30, 32, 16):
+        g = pn.render_grid(m, np.array([m.x_orig]), np.array([m.y_orig]),
+                           size=size, normalize=False)
+        assert g.shape == (1, size, size)
+        want = m.matrix(size, m.local_coeffs(m.x_orig, m.y_orig))
+        np.testing.assert_allclose(g[0], want, rtol=1e-12, atol=1e-14)

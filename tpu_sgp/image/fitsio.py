@@ -78,7 +78,21 @@ def _format_card(key: str, value, comment: str = '') -> bytes:
         elif value is None:
             body = '=' + ' ' * 21
         else:
-            sval = "'" + str(value).replace("'", "''")[:67] + "'"
+            esc = str(value).replace("'", "''")
+            if len(esc) > 67:
+                # warn — astropy would use CONTINUE cards here, which this
+                # minimal writer does not implement
+                import warnings
+                warnings.warn(
+                    f'FITS header value for {key!r} exceeds one card '
+                    f'({len(esc)} chars); truncated',
+                    stacklevel=2)
+                esc = esc[:67]
+                # never cut mid doubled-quote escape (the reparse would end
+                # the string early): a trailing quote run must stay even
+                if (len(esc) - len(esc.rstrip("'"))) % 2:
+                    esc = esc[:-1]
+            sval = "'" + esc + "'"
             body = f'= {sval:<20}'
         card = f'{key:<8}{body}'
         if comment:

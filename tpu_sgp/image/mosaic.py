@@ -88,9 +88,12 @@ def reconstruct_full_image_from_patches(out_shape: Tuple[int, int],
     headers carry TILEX0/TILEY0 origins, blends, returns (mosaic, footprint).
     """
     from .fitsio import read_fits
-    paths = sorted(glob.glob(os.path.join(
-        dirname, f'temp_deconvolved_{string_key}_*.fits')),
-        key=lambda p: int(_IDX_RE.search(p).group(1)))
+    candidates = glob.glob(os.path.join(
+        dirname, f'temp_deconvolved_{string_key}_*.fits'))
+    # only numbered tiles participate; a stray non-numbered file matching
+    # the glob must not crash the sort
+    paths = sorted((p for p in candidates if _IDX_RE.search(p)),
+                   key=lambda p: int(_IDX_RE.search(p).group(1)))
     tiles, origins = [], []
     for p in paths:
         data, hdr = read_fits(p)

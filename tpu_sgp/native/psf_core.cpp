@@ -84,15 +84,18 @@ static double eval_pix(const DiaplPSFParams* p, const double* local,
   return out;
 }
 
-// Render one (size x size) matrix over x,y in [-size/2, size/2] from a
-// local coefficient set. out[(i+h)*size + (j+h)] = psf(x=j, y=i), the
-// reference's index layout (psf_calculate.py:101-109).
+// Render one (size x size) matrix over integer offsets
+// -size/2 .. -size/2 + size - 1 (odd size: the reference's symmetric
+// [-h, h]; even size: [-h, h-1] — exactly `size` samples either way, so
+// the output buffer is never overrun). out[(i+h)*size + (j+h)] =
+// psf(x=j, y=i), the reference's index layout (psf_calculate.py:101-109).
 void diapl_eval_grid(const DiaplPSFParams* p, const double* local,
                      int32_t size, int32_t normalize, double* out) {
   const int h = size / 2;
+  const int lo = -h, hi = -h + size - 1;
   double total = 0.0;
-  for (int i = -h; i <= h; ++i) {
-    for (int j = -h; j <= h; ++j) {
+  for (int i = lo; i <= hi; ++i) {
+    for (int j = lo; j <= hi; ++j) {
       const double v = eval_pix(p, local, (double)j, (double)i);
       out[(i + h) * size + (j + h)] = v;
       total += v;

@@ -57,16 +57,26 @@ def beta_div(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
     loop-invariant while this objective runs on every line-search trial, so
     the solver hoists the log — with it, each evaluation costs one log
     (the ratio d), one exp and two expm1 instead of three log + two exp.
+
+    gn == 0 pixels contribute their finite reference value den^b / b
+    (every gn^.. term of betaDiv vanishes) rather than the 0 * inf NaN a
+    naive evaluation of the rearranged form would produce. The solver
+    itself floors gn > 0, so inside the hot loop the guard is branch-free
+    dead weight that fuses away.
     """
     e = beta - 1.0
-    d = jnp.log(den / gn)
-    lg = jnp.log(gn) if log_gn is None else log_gn
+    pos = gn > 0
+    gn_safe = jnp.where(pos, gn, 1.0)
+    d = jnp.log(den / gn_safe)            # == log(den) where gn == 0
+    lg = jnp.log(gn_safe) if log_gn is None else log_gn
     gn_b = jnp.exp(beta * lg)
     safe_e = jnp.where(e == 0, 1.0, e)
     r1 = jnp.where(e == 0, d, jnp.expm1(e * d) / safe_e)
     safe_b = jnp.where(beta == 0, 1.0, beta)
     r2 = jnp.where(beta == 0, d, jnp.expm1(beta * d) / safe_b)
-    return gsum(gn_b * (r2 - r1), axes)
+    # gn == 0: D contributes den^b / b = (expm1(b*log den) + 1)/b = r2 + 1/b
+    elem = jnp.where(pos, gn_b * (r2 - r1), r2 + 1.0 / safe_b)
+    return gsum(elem, axes)
 
 
 def beta_div_special(den: jnp.ndarray, gn: jnp.ndarray, beta: float) -> jnp.ndarray:

@@ -136,8 +136,7 @@ def make_linear_operator(psf: jnp.ndarray,
     (sgp.py:157) — so workload behaviour matches.
     """
     kern = psf / jnp.sum(psf)
-    kern_t = jnp.conj(kern).T
-    kern_t = kern_t / jnp.sum(kern_t)
+    kern_t = jnp.conj(kern).T  # transpose preserves the unit sum
 
     def A(x):
         return _linear_conv_same(x, kern)
@@ -197,8 +196,7 @@ def make_halo_operator(psf: jnp.ndarray, axis_names: Tuple[str, str]
     """
     axis_y, axis_x = axis_names
     kern = psf / jnp.sum(psf)
-    kern_t = jnp.conj(kern).T
-    kern_t = kern_t / jnp.sum(kern_t)
+    kern_t = jnp.conj(kern).T  # transpose preserves the unit sum
     if psf.shape[0] % 2 == 0 or psf.shape[1] % 2 == 0:
         raise ValueError('halo operator requires odd PSF dimensions '
                          f'(got {psf.shape}); an even kernel has no centre '

@@ -125,12 +125,14 @@ class DiaplPSFModel:
 
     def matrix(self, size: int = 31, coeffs: Optional[np.ndarray] = None
                ) -> np.ndarray:
-        """Render the (size x size) PSF matrix over x, y in [-size//2,
-        size//2]; matrix[i+h, j+h] = psf(x=j, y=i) matching the reference's
-        index layout (psf_calculate.py:101-109)."""
+        """Render the (size x size) PSF matrix over integer offsets
+        -size//2 .. -size//2 + size - 1 (odd size: the reference's
+        symmetric [-h, h]; even size: [-h, h-1] — exactly ``size`` samples
+        either way, never size+1); matrix[i+h, j+h] = psf(x=j, y=i)
+        matching the reference's index layout (psf_calculate.py:101-109)."""
         h = size // 2
-        i = np.arange(-h, h + 1)          # rows <- y
-        j = np.arange(-h, h + 1)          # cols <- x
+        i = np.arange(size) - h           # rows <- y
+        j = np.arange(size) - h           # cols <- x
         yy, xx = np.meshgrid(i, j, indexing='ij')
         return self.evaluate(xx, yy, coeffs)
 

@@ -88,6 +88,13 @@ def find_stars(image: np.ndarray, sat_level: float = 65000.0,
     out['x'] = t['xcentroid'].value
     out['y'] = t['ycentroid'].value
     out['approx_flux'] = t['segment_flux'].value
+    # total sky at each star = global background median + the residual
+    # annulus level on the subtracted image. Using the Background2D value
+    # AT the star position instead was tried and measured WORSE: with this
+    # pipeline's small (5, 5) boxes the local mesh is contaminated by the
+    # star itself at star positions (synthetic end-to-end PSF recovery
+    # degraded 0.4 rel vs 0.03), while the annulus residual already picks
+    # up genuine local sky deviations without sitting on the star.
     out['local_bkg_level'] = (t['local_background'].value
                               + bkg.background_median)
     for i in range(n):
@@ -216,11 +223,15 @@ def write_coo(path: str, stars: np.ndarray,
               header_lines: Optional[List[str]] = None) -> None:
     """Write a DIAPL-layout .coo list (3 header lines then whitespace
     columns), readable by ``tpu_sgp.psf.read_coo``."""
-    lines = header_lines or ['# tpu_sgp sfind-equivalent star list',
-                             '# columns: x y approx_flux local_bkg_level '
-                             'num_saturated_pixels_in_aperture', '#']
+    lines = list(header_lines or
+                 ['# tpu_sgp sfind-equivalent star list',
+                  '# columns: x y approx_flux local_bkg_level '
+                  'num_saturated_pixels_in_aperture', '#'])
+    # read_coo skips EXACTLY 3 rows (the DIAPL layout): pad short custom
+    # headers so data rows are never silently swallowed
+    lines = (lines + ['#'] * 3)[:3]
     with open(path, 'w') as f:
-        for ln in lines[:3]:
+        for ln in lines:
             f.write(ln.rstrip('\n') + '\n')
         for row in stars:
             f.write(f"{row['x']:.3f} {row['y']:.3f} "

@@ -34,7 +34,10 @@ def save_state_orbax(path: str, state: SGPState) -> None:
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(path, {k: np.asarray(v) for k, v in zip(_FIELDS, state)})
+    # force=True: overwrite like the npz backend does — periodic
+    # checkpointing to a fixed path must not abort on the second save
+    ckpt.save(path, {k: np.asarray(v) for k, v in zip(_FIELDS, state)},
+              force=True)
     ckpt.wait_until_finished()
 
 
