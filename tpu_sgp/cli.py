@@ -131,7 +131,10 @@ def main(argv=None) -> dict:
                 df['Y_IMAGE'] += oy
                 orig_frames.append(df)
             else:
-                fluxes.append(float(np.sum(sub.data)))
+                # background-subtracted, like the non-subdiv fallback: a
+                # raw sum would force ~1e7 counts of spurious flux into a
+                # source-free tile through the flux-conserving projection
+                fluxes.append(float(np.sum(sub.data - bkg.background)))
 
         cfg = SGPConfig(
             max_iter=500, stop_criterion=opt.stop_criterion,
@@ -142,8 +145,15 @@ def main(argv=None) -> dict:
             dtype=opt.dtype, operator='linear',
             track_discr=False)  # the CLI reads x/iters only
         import jax
+        x0 = None
+        if opt.init_recon == 1:
+            # reference sgp.py:169 seeds randn(42) inside every solve; all
+            # tiles share a shape so one seeded draw serves each of them
+            np.random.seed(42)
+            one = np.random.randn(*tiles[0].shape)
+            x0 = np.broadcast_to(one, (len(tiles),) + one.shape)
         res = restore_stamps(np.stack(tiles), psf, np.stack(bkg_maps), cfg,
-                             fluxes=np.array(fluxes),
+                             fluxes=np.array(fluxes), x0=x0,
                              beta0=opt.initial_beta, lr0=opt.initial_lr,
                              sat_level=sat, bucket=True)
         jax.block_until_ready(res)
@@ -151,7 +161,8 @@ def main(argv=None) -> dict:
 
         dbkg_tiles, drms_tiles = [], []
         for i, sub in enumerate(subdivs):
-            scat, dbkg = source_info(restored_tiles[i], localbkg_width=5,
+            scat, dbkg = source_info(restored_tiles[i], n_pixels=1,
+                                     localbkg_width=5,
                                      threshold_floor=rms_floors[i])
             dbkg_tiles.append(dbkg.background)
             drms_tiles.append(dbkg.background_rms)
@@ -197,7 +208,7 @@ def main(argv=None) -> dict:
             **solver_kw, **extra)
         dscat, dbkg = source_info(
             deconvolved, box_size=(opt.box_height, opt.box_width),
-            localbkg_width=5,
+            n_pixels=1, localbkg_width=5,
             threshold_floor=1.5 * bkg.background_rms_median)
         deconvolved_bkg = dbkg.background
         deconvolved_bkg_rms = dbkg.background_rms
@@ -208,8 +219,12 @@ def main(argv=None) -> dict:
 
     if opt.add_bkg_to_deconvolved:
         pos = deconvolved[deconvolved > 0]
-        deconvolved = deconvolved + artificial_sky_background(
-            deconvolved, float(pos.min()) * 5, gain=gain)
+        if pos.size:
+            deconvolved = deconvolved + artificial_sky_background(
+                deconvolved, float(pos.min()) * 5, gain=gain)
+        else:
+            print('add_bkg_to_deconvolved skipped: reconstruction has no '
+                  'positive pixels')
 
     # ---- persist artifacts (reference naming) -----------------------------
     write_fits(os.path.join(opt.output_dir, f'orig_{basename}'), image,
@@ -232,10 +247,14 @@ def main(argv=None) -> dict:
                 if orig_frames else pd.DataFrame())
     deconv_cat = (pd.concat(deconv_frames, ignore_index=True)
                   if deconv_frames else pd.DataFrame())
-    orig_cat.to_csv(os.path.join(opt.output_dir,
-                                 f'orig_{basename}_scat.csv'))
-    deconv_cat.to_csv(os.path.join(opt.output_dir,
-                                   f'deconv_{basename}_scat.csv'))
+    def _to_csv(df, path):
+        # enforce the declared schema (stable column set and order)
+        (df.reindex(columns=CSV_COLUMNS) if len(df) else df).to_csv(path)
+
+    _to_csv(orig_cat, os.path.join(opt.output_dir,
+                                   f'orig_{basename}_scat.csv'))
+    _to_csv(deconv_cat, os.path.join(opt.output_dir,
+                                     f'deconv_{basename}_scat.csv'))
 
     print(f'No. of objects (original): {len(orig_cat)}')
     print(f'No. of objects (deconvolved): {len(deconv_cat)}')

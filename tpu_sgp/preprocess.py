@@ -55,16 +55,25 @@ def select_biases(paths: List[str]) -> List[str]:
 
 def cull_frames(directory: str, pattern: str = '*.fits',
                 bad_dir: str = 'BadFrames', move: bool = True,
-                default_filter: Optional[str] = None) -> CullReport:
-    """Apply the Automation.cl culling rules to a directory of frames."""
+                default_filter: Optional[str] = None,
+                fix_headers: bool = True) -> CullReport:
+    """Apply the Automation.cl culling rules to a directory of frames.
+
+    With ``default_filter`` set, frames missing a FILTER keyword get it
+    WRITTEN INTO the file (``fix_headers=False`` records them in the
+    report only)."""
     paths = sorted(glob.glob(os.path.join(directory, pattern)))
     report = CullReport()
     report.biases = select_biases(paths)
 
-    # bias rejection: STDDEV > 1.5 * median STDDEV
+    # bias rejection: STDDEV > 1.5 * median STDDEV (unreadable frames are
+    # skipped like every other read path in this module)
     stds = {}
     for p in report.biases:
-        _, std, _ = _stats(p)
+        try:
+            _, std, _ = _stats(p)
+        except (OSError, ValueError):
+            continue
         stds[p] = std
     if stds:
         med = float(np.median(list(stds.values())))
@@ -87,6 +96,14 @@ def cull_frames(directory: str, pattern: str = '*.fits',
                 report.bad_flats.append(p)
         if default_filter and 'FILTER' not in hdr:
             report.filter_fixed[p] = default_filter
+            if fix_headers:
+                # write the corrected keyword back (Automation.cl hedits
+                # the frames in place; recording it only in the report
+                # would leave the files unchanged)
+                from .image import write_fits
+                data, full_hdr = read_fits(p)
+                full_hdr['FILTER'] = default_filter
+                write_fits(p, data, header=full_hdr, overwrite=True)
 
     if move:
         target = os.path.join(directory, bad_dir)
@@ -109,6 +126,8 @@ def main(argv=None):
                       default_filter=opt.default_filter)
     print(f'biases: {len(rep.biases)} (rejected {len(rep.bad_biases)})')
     print(f'flats: {len(rep.flats)} (rejected {len(rep.bad_flats)})')
+    if rep.filter_fixed:
+        print(f'FILTER fixed on {len(rep.filter_fixed)} frames')
     for p in rep.bad_biases + rep.bad_flats:
         print(f'  moved: {p}')
     return rep

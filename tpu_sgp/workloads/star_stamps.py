@@ -113,6 +113,11 @@ def gather_real(data_dir: str, n_images: int = 100,
             fluxes.append(float(t['segment_flux'].value[0]))
             tables.append(t)
             bkg_maps.append(bkg)
+    if not stamps:
+        raise RuntimeError(
+            f'no qualifying stamps gathered from {data_dir!r}: check the '
+            f'M13 layout (ccfb*.fits frames + .coo lists + psf*_img.fits) '
+            f'and the exactly-one-source cutout filter')
     return StampSet(np.stack(stamps), np.stack(psfs), np.array(bkgs),
                     np.array(fluxes), tables, bkg_maps)
 
@@ -131,6 +136,10 @@ def gather_synthetic(n: int = 256, seed: int = 42) -> StampSet:
         fluxes.append(float(t['segment_flux'].value[0]))
         tables.append(t)
         bkg_maps.append(bkg)
+    if not stamps:
+        raise RuntimeError(
+            'no qualifying synthetic stamps (every cutout failed the '
+            'exactly-one-source filter)')
     return StampSet(np.stack(stamps), np.stack(psfs), np.array(bkgs),
                     np.array(fluxes), tables, bkg_maps)
 
