@@ -118,6 +118,8 @@ def test_bucketed_batch_accepts_scalar_flux_and_beta():
                                rtol=1e-12, atol=1e-12)
 
 
+@__import__('pytest').mark.filterwarnings(
+    'ignore:RestorationSession')
 def test_restoration_session_mesh_divisible_buckets():
     """Session bucketing must round the pad target up to the mesh device
     count (regression: batch 3 -> bucket 4 crashed an 8-device sharding)."""
@@ -134,6 +136,8 @@ def test_restoration_session_mesh_divisible_buckets():
     assert np.isfinite(np.asarray(res.x)).all()
 
 
+@__import__('pytest').mark.filterwarnings(
+    'ignore:RestorationSession')
 def test_restoration_session_serves_buckets():
     from tpu_sgp.parallel.session import RestorationSession
     stamps, psf, bkgs, _ = synthetic_star_stamps(10, size=16, seed=12)
