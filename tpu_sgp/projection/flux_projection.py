@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.reduce import gsum
+from ..ops.reduce import gmax, gmin, gsum
 
 
 def project_df(b, c, dia, scaling, sat_level=None, max_projs: int = 1000,
@@ -49,12 +49,22 @@ def project_df(b, c, dia, scaling, sat_level=None, max_projs: int = 1000,
     """
     if has_sat is None:
         has_sat = sat_level is not None
-    dtype = jnp.result_type(c)
+    # The reference casts to float64 unconditionally
+    # (flux_conserve_proj.py:14-16) so its 1e-11 tolerances are meaningful.
+    # Mirror that when float64 exists (CPU parity mode); on f32-only
+    # backends (TPU) floor the tolerances at the dtype's own resolution —
+    # otherwise |r| and dlam plateau at f32 roundoff, neither tolerance
+    # ever fires, and every projection runs to the full iteration caps
+    # (up to max_projs collectives per call when sharded).
+    in_dtype = jnp.result_type(c)
+    dtype = (jnp.float64 if jax.config.read('jax_enable_x64')
+             else in_dtype)
     c = jnp.asarray(c, dtype)
     dia = jnp.asarray(dia, dtype)
     b = jnp.asarray(b, dtype)
     eps = jnp.finfo(dtype).eps
-    tol_r = 1e-11 * b
+    tol_r = jnp.maximum(1e-11, 100.0 * eps) * b
+    tol_lam = max(tol_lam, 100.0 * float(eps))
 
     if has_sat:
         cap = jnp.asarray(sat_level, dtype) / scaling - eps
@@ -203,7 +213,7 @@ def project_df(b, c, dia, scaling, sat_level=None, max_projs: int = 1000,
     lam_sel = jnp.where(done0, zero,
                         jnp.where(doneu, lambdau,
                                   jnp.where(donel, lambdal, lam)))
-    return xval(lam_sel)
+    return xval(lam_sel).astype(in_dtype)
 
 
 # Interior points per sectioning step of project_df_bisect. 7 narrows the
@@ -242,7 +252,6 @@ def project_df_bisect(b, c, dia, scaling, sat_level=None,
     saturation capacity is below b, r stays negative and bisection converges
     to hi, i.e. full saturation — the same limit the reference reaches.
     """
-    from ..ops.reduce import gmax, gmin, gsum
     if has_sat is None:
         has_sat = sat_level is not None
     dtype = jnp.result_type(c)

@@ -328,15 +328,17 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
             fv_t = _objective(cfg, x_tf_try, den_t, gn, flux, bp, log_gn)
             ok = (fv_t <= fr + gamma * lam * gd) | (lam < 1e-12)
             if cfg.divergence == 'beta' and cfg.adapt_beta:
-                # mean d(betaDiv)/dbeta == grad of the (f32-stable) objective
-                # over the global pixel count; the elementwise closed form
-                # (dv.beta_div_dbeta) cancels catastrophically in f32 near
-                # beta = 1. Differentiate the LOCAL objective and psum
-                # explicitly — autodiff through a psum inside shard_map does
-                # not reduce over devices.
-                local_grad = jax.grad(
-                    lambda bp_: dv.beta_div(den_t, gn, bp_, (),
-                                            log_gn=log_gn))(bp)
+                # mean d(betaDiv)/dbeta over the global pixel count, via the
+                # series-switched closed form (cancellation-free and
+                # CONTINUOUS through beta in {0, 1} — see beta_div_dbeta).
+                # jax.grad of the objective was used before and is WRONG at
+                # exactly beta = 1: autodiff routes through the
+                # where(e == 0, ...) guard's constant branch and drops the
+                # d^2/2 term. (The reference short-circuits its singular
+                # SymPy form to 0 at beta in {0, 1}, sgp.py:493-494 — an
+                # artifact, not the true derivative; deviation noted in
+                # PARITY.md.)
+                local_grad = jnp.sum(dv.beta_div_dbeta(den_t, gn, bp))
                 bgrad = (jax.lax.psum(local_grad, ax) if ax
                          else local_grad) / n
                 bp_rej = bp - lr * bgrad
@@ -357,9 +359,17 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
             return (lam_next, fv_t, bp_next, ok, k + 1)
 
         lam0 = jnp.asarray(1.0, dt)
-        lam, fv_new, beta_p, _, _ = jax.lax.while_loop(
+        lam, fv_new, beta_p, bt_accepted, _ = jax.lax.while_loop(
             bt_cond, bt_body, (lam0, fv, beta_p, jnp.bool_(False),
                                jnp.int32(0)))
+        # On a max_backtracks-cap exit (possible only when bt_factor is
+        # large enough that lam never reaches the 1e-12 accept, e.g. a
+        # user-supplied beta > ~0.63), the carried lam has been shrunk one
+        # factor PAST the last evaluated trial while fv_new belongs to that
+        # trial. Undo the final shrink so (x_new, fv_new) stay a consistent
+        # pair (the discr/Fold/stop-rule inputs); accepted exits are
+        # already consistent.
+        lam = jnp.where(bt_accepted, lam, lam / bt)
 
         x_new = x + lam * d
         sk = lam * d
