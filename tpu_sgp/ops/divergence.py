@@ -125,7 +125,9 @@ def _dpow_kernel(t: jnp.ndarray, v: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndar
     return jnp.exp(t * v) * delta * (v * e1 + delta * e2)
 
 
-def beta_div_dbeta(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+def beta_div_dbeta(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
+                   log_den: jnp.ndarray | None = None,
+                   log_ratio: jnp.ndarray | None = None) -> jnp.ndarray:
     """Elementwise d betaDiv / d beta (reference ``betaDivDeriv``, sgp.py:462-495).
 
     The reference uses a SymPy-derived closed form whose 1/(beta-1)^2 and
@@ -139,9 +141,14 @@ def beta_div_dbeta(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray) -> jnp.
     Values agree with the reference closed form to f64 roundoff for generic
     beta; ``jax.grad(beta_div, argnums=2)`` is the test oracle (replacing the
     reference's PyTorch-autograd check, tests.py:54-68).
+
+    ``log_den`` / ``log_ratio`` (= log(gn/den)) may be supplied when the
+    caller already computed them — the solver's line search evaluates the
+    objective on the same (den, gn) pair, so passing its logs saves two
+    transcendental passes per backtracking trial.
     """
-    v = jnp.log(den)
-    delta = jnp.log(gn / den)
+    v = jnp.log(den) if log_den is None else log_den
+    delta = jnp.log(gn / den) if log_ratio is None else log_ratio
     return gn * _dpow_kernel(beta - 1.0, v, delta) - _dpow_kernel(beta, v, delta)
 
 

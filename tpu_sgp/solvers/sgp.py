@@ -338,7 +338,9 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
                 # SymPy form to 0 at beta in {0, 1}, sgp.py:493-494 — an
                 # artifact, not the true derivative; deviation noted in
                 # PARITY.md.)
-                local_grad = jnp.sum(dv.beta_div_dbeta(den_t, gn, bp))
+                ld = jnp.log(den_t)
+                local_grad = jnp.sum(dv.beta_div_dbeta(
+                    den_t, gn, bp, log_den=ld, log_ratio=log_gn - ld))
                 bgrad = (jax.lax.psum(local_grad, ax) if ax
                          else local_grad) / n
                 bp_rej = bp - lr * bgrad
