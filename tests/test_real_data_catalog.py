@@ -1,16 +1,21 @@
-"""Real-data catalog characterization vs the paper's own photutils outputs.
+"""Real-data catalog parity vs the paper's own photutils outputs.
 
-The reference bundles the two 410x410 M13 subframes of its subdivision
-benchmark AND the catalogs its photutils stack produced on them
-(/root/reference/results/{CROWDED_,}SUBDIV_ORIGIMG.fits, *_ORIGCAT.csv,
-produced by application_sgp_subdivisions.py:62 with box_size=60,
-n_pixels=5). photutils itself is not installed here, so these artifacts are
-the only real-data oracle for the native detection stack. The sparse field
-agrees closely; the crowded M13 core deviates in the faint tail (the
-background-RMS estimate on heavily star-covered boxes differs from
-photutils', moving the 1.5-sigma threshold) — the bounds below characterize
-the current agreement and guard against regressions, and PARITY.md records
-the deviation.
+The reference bundles the two M13 subframes of its subdivision benchmark
+(sparse 375x375, crowded 450x450) AND the catalogs its photutils stack
+produced on them (/root/reference/results/{CROWDED_,}SUBDIV_ORIGIMG.fits,
+*_ORIGCAT.csv, produced by application_sgp_subdivisions.py:62 with
+box_size=60, n_pixels=5). photutils itself is not installed here, so these
+artifacts are the only real-data oracle for the native detection stack.
+
+Round 3 closed the round-2 deviation (480 vs 392 crowded detections) by
+matching four photutils behaviors exactly: masked (NaN) edge padding with
+exclude_percentile box exclusion + Shepard-IDW mesh fill; the oversampled
+(pixel-integrated) detection kernel; the pre-grid_mode legacy zoom
+coordinate mapping; and the multi-threshold segment-tree deblender with a
+brightest-frontier watershed. Result: sparse field 103/103 paper sources
+matched <1 px (count 105), crowded core 412 vs 392 (+5.1%) with 0.83
+matched <2 px — the residual crowded deviation is centroid displacement of
+heavily blended children. The bounds below pin that agreement.
 """
 import os
 
@@ -30,11 +35,11 @@ def _catalog_for(frame_fits):
     return cat.to_table().to_pandas()
 
 
-def _match(ours, ref):
+def _match(ours, ref, tol=1.0):
     from scipy.spatial import cKDTree
     tree = cKDTree(np.c_[ours['xcentroid'], ours['ycentroid']])
     d, idx = tree.query(np.c_[ref['xcentroid'], ref['ycentroid']])
-    m = d < 1.0
+    m = d < tol
     fr = ref['segment_flux'].to_numpy()[m]
     fo = ours['segment_flux'].to_numpy()[idx[m]]
     flux_rel = np.median(np.abs(fo - fr) / np.abs(fr))
@@ -47,28 +52,30 @@ def test_sparse_m13_field_matches_paper_catalog():
     import pandas as pd
     ours = _catalog_for(f'{RESULTS}/SUBDIV_ORIGIMG.fits')
     ref = pd.read_csv(f'{RESULTS}/SUBDIV_ORIGCAT.csv')
-    assert abs(len(ours) - len(ref)) <= 0.15 * len(ref), \
-        (len(ours), len(ref))
+    assert abs(len(ours) - len(ref)) <= 4, (len(ours), len(ref))
     frac, flux_rel = _match(ours, ref)
-    assert frac >= 0.85, frac            # centroids within 1 px
-    assert flux_rel <= 0.15, flux_rel    # median matched-flux agreement
+    assert frac >= 0.97, frac            # every paper source, within 1 px
+    assert flux_rel <= 0.12, flux_rel    # median matched-flux agreement
 
 
 @pytest.mark.skipif(not os.path.isdir(RESULTS),
                     reason='reference results not mounted')
 def test_crowded_m13_core_characterized():
-    """Crowded-core agreement is looser (documented deviation): the count
-    is within 25%, two thirds of paper sources match within 1 px, and
-    matched fluxes agree to ~20% median — the faint-tail excess lives just
-    above the threshold where the background-RMS estimates differ."""
+    """Crowded-core agreement (tightened in round 3): count within 8% of
+    the paper's 392, >=0.80 of paper sources matched within 2 px (>=0.72
+    within 1 px), matched fluxes to ~16% median. The residual deviation is
+    centroid displacement of heavily blended children whose watershed
+    boundaries land differently."""
     import pandas as pd
     ours = _catalog_for(f'{RESULTS}/CROWDED_SUBDIV_ORIGIMG.fits')
     ref = pd.read_csv(f'{RESULTS}/CROWDED_SUBDIV_ORIGCAT.csv')
-    assert abs(len(ours) - len(ref)) <= 0.25 * len(ref), \
+    assert abs(len(ours) - len(ref)) <= 0.08 * len(ref), \
         (len(ours), len(ref))
-    frac, flux_rel = _match(ours, ref)
-    assert frac >= 0.60, frac
-    assert flux_rel <= 0.20, flux_rel
+    frac1, flux_rel = _match(ours, ref, tol=1.0)
+    frac2, _ = _match(ours, ref, tol=2.0)
+    assert frac1 >= 0.72, frac1
+    assert frac2 >= 0.80, frac2
+    assert flux_rel <= 0.16, flux_rel
 
 
 @pytest.mark.skipif(not os.path.isdir(RESULTS),

@@ -33,9 +33,21 @@ def _window_stats(srt, s1, s2, lo, hi):
     return med, np.sqrt(var)
 
 
-def clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int):
+def clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int,
+                      extra_median_iters: int = 0):
     """(median, std) per box with iterative sigma clipping, vectorized over
-    the leading axes. boxes: (..., m)."""
+    the leading axes. boxes: (..., m).
+
+    ``extra_median_iters``: photutils' ``Background2D`` default estimators
+    are built with ``sigma_clip=None``, but the reference passes
+    ``MedianBackground()`` whose own ``SigmaClip(3.0, maxiters=5)`` re-clips
+    the already-clipped boxes before taking the median
+    (/root/reference/restoration/utils.py:236-237). Re-clipping converged
+    data is a no-op; it only bites when the first clip hit ``maxiters``
+    before converging — so the double clip is exactly "continue narrowing
+    for up to 5 more iterations, but report the std from iteration
+    ``maxiters``". The returned median uses ``maxiters+extra`` iterations,
+    the returned std exactly ``maxiters``."""
     shape = boxes.shape[:-1]
     mdim = boxes.shape[-1]
     srt = np.sort(boxes.astype(np.float64, copy=False), axis=-1)
@@ -64,8 +76,11 @@ def clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int):
     lo = np.zeros(nbox, np.int64)
     hi = nvalid.astype(np.int64)
     med, std = _window_stats(srt, s1, s2, lo, hi)
+    std_out = None
     active = np.arange(nbox)
-    for _ in range(maxiters):
+    for it in range(maxiters + extra_median_iters):
+        if it == maxiters:
+            std_out = std.copy()  # std is pinned at the first clip's depth
         s_a = srt[active]
         lo_val = med[active] - sigma * std[active]
         hi_val = med[active] + sigma * std[active]
@@ -87,15 +102,18 @@ def clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int):
         std[upd] = std_u
         active = upd
 
+    if std_out is not None:
+        std = std_out  # continuation iterations only refined the median
     med = med + offset  # back to the input value scale
     empty = ((hi - lo) <= 0) | (nvalid == 0)
     med[empty] = np.nan
     std[empty] = np.nan
     med = med.reshape(shape)
     std = std.reshape(shape)
-    # boxes that clipped away entirely fall back to raw stats
+    # boxes that clipped away entirely fall back to raw (NaN-aware) stats
     bad = ~np.isfinite(med)
     if bad.any():
-        med[bad] = np.median(boxes[bad], axis=-1)
-        std[bad] = np.std(boxes[bad], axis=-1)
+        with np.errstate(all='ignore'):
+            med[bad] = np.nanmedian(boxes[bad], axis=-1)
+            std[bad] = np.nanstd(boxes[bad], axis=-1)
     return med, std

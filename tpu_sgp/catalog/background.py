@@ -2,9 +2,31 @@
 
 The reference estimates background with
 ``Background2D(data, box_size, filter_size=(3,3), MedianBackground())``
-(/root/reference/restoration/utils.py:236-238): sigma-clipped median per
-mesh box, 3x3 median filter over the mesh, spline upsampling to full
-resolution. The RMS map is the sigma-clipped std per box.
+(/root/reference/restoration/utils.py:236-238). The photutils pipeline this
+must reproduce, step by step:
+
+1. Pad on the top/right to a whole number of boxes with MASKED (NaN)
+   pixels (``edge_method='pad'``) — not replicated data.
+2. Exclude boxes with more than ``exclude_percentile`` % masked pixels
+   (default 10.0); a 60px box on a 450px frame leaves half-masked edge
+   boxes, ALL of which get excluded.
+3. Sigma-clip the remaining boxes (``SigmaClip(3.0, maxiters=10)``) and
+   take the median / std per box (``MedianBackground`` re-clips with its
+   own ``SigmaClip(3.0, maxiters=5)`` — see ``_clip.clipped_box_stats``).
+4. Fill the excluded mesh cells by Shepard inverse-distance weighting of
+   the 10 nearest good cells (power=1) — in a crowded field this pulls the
+   high interior RMS into the edge band, RAISING the edge threshold well
+   above any locally-computed value.
+5. Median-filter the mesh 3x3 via ``generic_filter(nanmedian,
+   mode='constant', cval=nan)`` — edge windows take the median of the
+   in-bounds cells only.
+6. Spline-zoom (order 3, 'reflect', legacy pre-grid_mode coordinate
+   mapping — see ``_zoom_separable``) to the PADDED size, then crop.
+
+Steps 1/2/4/5 were the round-2 deviation that made the crowded-field
+detection count 480 vs the paper's 392: edge-replicated padding computed a
+LOCAL (low) RMS on the outer band where photutils substitutes the IDW
+average of the star-covered interior.
 
 The per-box sigma clipping is fully vectorized across the mesh (single-sort
 window narrowing, see ``_clip.py``), and the spline upsampling runs as two
@@ -16,17 +38,55 @@ from __future__ import annotations
 from typing import Tuple, Union
 
 import numpy as np
-from scipy.ndimage import median_filter, spline_filter
+from scipy.ndimage import spline_filter
+from numpy.lib.stride_tricks import sliding_window_view
 
 
 from ._clip import clipped_box_stats as _clipped_box_stats
+
+
+def _idw_fill(mesh: np.ndarray, good: np.ndarray, n_neighbors: int = 10,
+              power: float = 1.0) -> np.ndarray:
+    """Fill ``~good`` cells by Shepard inverse-distance weighting of the
+    ``n_neighbors`` nearest good cells (photutils ``_interpolate_meshes``
+    semantics: n_neighbors=10, power=1, reg=0)."""
+    if good.all():
+        return mesh
+    gy, gx = np.nonzero(good)
+    if gy.size == 0:
+        return mesh
+    by_, bx_ = np.nonzero(~good)
+    d = np.sqrt((by_[:, None] - gy[None, :]) ** 2.0
+                + (bx_[:, None] - gx[None, :]) ** 2.0)
+    k = min(n_neighbors, gy.size)
+    idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+    dk = np.take_along_axis(d, idx, axis=1)
+    w = 1.0 / np.maximum(dk, 1e-30) ** power
+    out = mesh.copy()
+    vals = mesh[gy, gx]
+    out[by_, bx_] = (w * vals[idx]).sum(axis=1) / w.sum(axis=1)
+    return out
+
+
+def _nanmedian_filter(mesh: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """photutils mesh filter: ``generic_filter(nanmedian, mode='constant',
+    cval=nan)`` — edge windows use only the in-bounds cells."""
+    fy, fx = int(size[0]), int(size[1])
+    py_, px_ = fy // 2, fx // 2
+    pad = np.pad(mesh, ((py_, py_), (px_, px_)), mode='constant',
+                 constant_values=np.nan)
+    win = sliding_window_view(pad, (fy, fx))
+    flat = win.reshape(win.shape[0], win.shape[1], -1)
+    with np.errstate(all='ignore'):
+        return np.nanmedian(flat, axis=-1)
 
 
 class Background2D:
     def __init__(self, data: np.ndarray,
                  box_size: Union[int, Tuple[int, int]],
                  filter_size: Tuple[int, int] = (3, 3),
-                 sigma: float = 3.0, maxiters: int = 10):
+                 sigma: float = 3.0, maxiters: int = 10,
+                 exclude_percentile: float = 10.0):
         data = np.asarray(data, np.float64)
         if np.isscalar(box_size):
             box_size = (int(box_size), int(box_size))
@@ -34,22 +94,28 @@ class Background2D:
         h, w = data.shape
         ny, nx = -(-h // by), -(-w // bx)
 
-        # pad to a whole number of boxes (edge replication)
+        # pad to a whole number of boxes with masked (NaN) pixels
         ph, pw = ny * by - h, nx * bx - w
-        padded = np.pad(data, ((0, ph), (0, pw)), mode='edge')
+        padded = np.pad(data, ((0, ph), (0, pw)), mode='constant',
+                        constant_values=np.nan)
 
         boxes = padded.reshape(ny, by, nx, bx).swapaxes(1, 2).reshape(
             ny, nx, by * bx)
-        mesh_med, mesh_std = _clipped_box_stats(boxes, sigma, maxiters)
+        nbad = (~np.isfinite(boxes)).sum(axis=-1)
+        good = nbad <= (exclude_percentile / 100.0) * (by * bx)
+        if not good.any():
+            good = nbad == nbad.min()  # degenerate: keep the least-masked
+        mesh_med, mesh_std = _clipped_box_stats(boxes, sigma, maxiters,
+                                                extra_median_iters=5)
+        mesh_med = _idw_fill(mesh_med, good & np.isfinite(mesh_med))
+        mesh_std = _idw_fill(mesh_std, good & np.isfinite(mesh_std))
 
         if filter_size is not None and ny * nx > 1:
-            fy = min(filter_size[0], ny)
-            fx = min(filter_size[1], nx)
+            fy = min(filter_size[0], 2 * ny - 1)
+            fx = min(filter_size[1], 2 * nx - 1)
             if fy > 1 or fx > 1:
-                mesh_med = median_filter(mesh_med, size=(fy, fx),
-                                         mode='nearest')
-                mesh_std = median_filter(mesh_std, size=(fy, fx),
-                                         mode='nearest')
+                mesh_med = _nanmedian_filter(mesh_med, (fy, fx))
+                mesh_std = _nanmedian_filter(mesh_std, (fy, fx))
 
         self.background_mesh = mesh_med
         self.background_rms_mesh = mesh_std
@@ -66,10 +132,6 @@ class Background2D:
         if mesh.size == 1:
             return np.full(out_shape, mesh.ravel()[0])
         up = _zoom_separable(mesh, box, order)
-        # clip spline overshoot to the mesh value range (photutils
-        # BkgZoomInterpolator does the same) — unclipped order-3 splines ring
-        # around source-dominated boxes and can drive the RMS map negative
-        up = np.clip(up, mesh.min(), mesh.max())
         return up[:out_shape[0], :out_shape[1]]
 
 
@@ -90,17 +152,22 @@ def _reflect_index(j: np.ndarray, n: int) -> np.ndarray:
 _ZOOM_W_CACHE: dict = {}
 
 
-def _zoom_axis_weights(n_in: int, factor: int, order: int) -> np.ndarray:
+def _zoom_axis_weights(n_in: int, factor: int, order: int,
+                       grid_mode: bool) -> np.ndarray:
     """(n_in*factor, n_in) interpolation-weight matrix for one axis of a
-    grid_mode zoom: output sample i reads input coordinate
-    x = (i + 0.5)/factor - 0.5 through the order-1/3 B-spline kernel with
-    'reflect' folding."""
-    key = (n_in, factor, order)
+    scipy zoom: output sample i reads input coordinate
+    x = (i + 0.5)/factor - 0.5 (grid_mode) or x = i*(n_in-1)/(n_out-1)
+    (legacy edge-aligned mapping) through the order-1/3 B-spline kernel
+    with 'reflect' folding."""
+    key = (n_in, factor, order, grid_mode)
     w = _ZOOM_W_CACHE.get(key)
     if w is not None:
         return w
     n_out = n_in * factor
-    x = (np.arange(n_out) + 0.5) / factor - 0.5
+    if grid_mode:
+        x = (np.arange(n_out) + 0.5) / factor - 0.5
+    else:
+        x = np.arange(n_out) * ((n_in - 1) / max(n_out - 1, 1))
     w = np.zeros((n_out, n_in))
     if order == 1:
         base = np.floor(x).astype(np.int64)
@@ -120,9 +187,18 @@ def _zoom_axis_weights(n_in: int, factor: int, order: int) -> np.ndarray:
     return w
 
 
-def _zoom_separable(mesh: np.ndarray, box, order: int) -> np.ndarray:
-    """Integer-factor spline zoom (scipy ``zoom(..., mode='reflect',
-    grid_mode=True)`` semantics) as two small matmuls.
+def _zoom_separable(mesh: np.ndarray, box, order: int,
+                    grid_mode: bool = False) -> np.ndarray:
+    """Integer-factor spline zoom (scipy ``zoom(..., mode='reflect')``
+    semantics, legacy edge-aligned mapping by default) as two small
+    matmuls.
+
+    ``grid_mode=False`` reproduces the pre-scipy-1.6 zoom coordinate
+    mapping that the paper-era photutils ``BkgZoomInterpolator`` used
+    (photutils adopted ``grid_mode=True`` later); on the bundled crowded
+    M13 frame the legacy mapping reproduces the paper's source count
+    392->396 where grid_mode gives 409+ (the mesh is value-structured
+    there, so the half-box coordinate shift moves thresholds).
 
     scipy's zoom evaluates the 2-D spline pointwise over the full output
     grid (~0.16 s for a 1 Mpx background map); a separable integer-factor
@@ -133,6 +209,6 @@ def _zoom_separable(mesh: np.ndarray, box, order: int) -> np.ndarray:
     filt = (spline_filter(mesh, order=order, mode='reflect',
                           output=np.float64)
             if order > 1 else np.asarray(mesh, np.float64))
-    wy = _zoom_axis_weights(mesh.shape[0], by, order)
-    wx = _zoom_axis_weights(mesh.shape[1], bx, order)
+    wy = _zoom_axis_weights(mesh.shape[0], by, order, grid_mode)
+    wx = _zoom_axis_weights(mesh.shape[1], bx, order, grid_mode)
     return wy @ filt @ wx.T

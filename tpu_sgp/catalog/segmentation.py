@@ -4,12 +4,17 @@
 threshold with a minimum pixel count — the behaviour the reference gets from
 photutils SourceFinder's detection stage (utils.py:235-242).
 
-``deblend_sources``: multi-threshold peak tree + marker-based flood, the
-same approach as photutils/SExtractor deblending (nlevels exponential
-sub-thresholds, children kept when their flux exceeds ``contrast`` times
-the blend total). The flood is a vectorized pass-based propagation (each
-unassigned pixel takes the label of its brightest assigned neighbor), not a
-per-pixel Python loop — catalog extraction is a host hot path.
+``deblend_sources``: photutils' multi-threshold segment tree + watershed.
+Per blended segment: at each of ``nlevels`` geometric sub-thresholds
+between the segment min and max, the above-level components that pass BOTH
+``npixels`` and the ``contrast`` flux-ratio test are recorded when at
+least two pass; the recorded levels are then combined top-down (higher-
+level splits refine the lower components they intersect, lower-only
+components join as extra markers) and the final markers flood the segment
+by a brightest-frontier watershed on the convolved data. Validated against
+the paper's own photutils catalogs: sparse M13 field 103/103 sources
+matched <1 px, crowded core 0.83 matched <2 px
+(tests/test_real_data_catalog.py).
 """
 from __future__ import annotations
 
@@ -57,98 +62,109 @@ def detect_sources(data: np.ndarray, threshold, npixels: int = 5
     return SegmentationImage(remap[lab])
 
 
-def _exponential_levels(lo: float, hi: float, nlevels: int) -> np.ndarray:
-    """Exponentially spaced sub-thresholds in (lo, hi), photutils-style."""
-    if hi <= lo:
-        return np.array([])
-    t = (np.geomspace(1.0, 100.0, nlevels + 2) - 1.0) / 99.0
-    return lo + (hi - lo) * t[1:-1]
+def _deblend_levels(vmin: float, vmax: float, nlevels: int) -> np.ndarray:
+    """photutils 'exponential' sub-thresholds: ``nlevels`` geometric steps
+    strictly between the segment min and max (linear fallback when the
+    minimum is non-positive), matching photutils deblend_sources
+    mode='exponential'."""
+    steps = np.arange(1.0, nlevels + 1)
+    if vmin <= 0:
+        return vmin + ((vmax - vmin) / (nlevels + 1)) * steps
+    return vmin * ((vmax / vmin) ** (steps / (nlevels + 1)))
 
 
-def _shifted(arr, dy, dx, fill):
-    out = np.full_like(arr, fill)
-    h, w = arr.shape
-    ys = slice(max(dy, 0), min(h + dy, h))
-    yd = slice(max(-dy, 0), min(h - dy, h))
-    xs = slice(max(dx, 0), min(w + dx, w))
-    xd = slice(max(-dx, 0), min(w - dx, w))
-    out[ys, xs] = arr[yd, xd]
-    return out
+def _watershed_assign(vals: np.ndarray, inseg: np.ndarray,
+                      markers: np.ndarray) -> np.ndarray:
+    """Brightest-frontier watershed: grow marker basins over the segment by
+    repeatedly expanding from the brightest queued pixel (skimage
+    ``watershed(-vals, markers, mask)`` semantics, 8-connected).
+    O(N log N) via a heap — replaces a pass-based flood whose worst case on
+    a filamentary segment was O(diameter) full-frame sweeps."""
+    import heapq
 
-
-def _flood_assign(vals: np.ndarray, inseg: np.ndarray,
-                  markers: np.ndarray) -> np.ndarray:
-    """Propagate marker labels to every in-segment pixel: each unassigned
-    pixel takes the label of its brightest already-assigned 8-neighbor.
-    Vectorized passes; converges in O(segment diameter) iterations."""
-    assign = markers.copy()
-    nv = np.where(inseg, vals, -np.inf)
-    for _ in range(vals.size):
-        todo = inseg & (assign == 0)
-        if not todo.any():
-            break
-        best_val = np.full(vals.shape, -np.inf)
-        best_lab = np.zeros_like(assign)
+    h, w = vals.shape
+    out = markers.copy()
+    pq = []
+    cnt = 0
+    ys, xs = np.nonzero(out > 0)
+    order = np.argsort(-vals[ys, xs], kind='stable')
+    for k in order:
+        pq.append((-float(vals[ys[k], xs[k]]), cnt, int(ys[k]), int(xs[k])))
+        cnt += 1
+    heapq.heapify(pq)
+    while pq:
+        _, _, y, x = heapq.heappop(pq)
+        lab = out[y, x]
         for dy, dx in _SHIFTS:
-            lab_s = _shifted(assign, dy, dx, 0)
-            val_s = np.where(lab_s > 0, _shifted(nv, dy, dx, -np.inf),
-                             -np.inf)
-            better = val_s > best_val
-            best_val = np.where(better, val_s, best_val)
-            best_lab = np.where(better, lab_s, best_lab)
-        update = todo & (best_lab > 0)
-        if not update.any():
-            break
-        assign[update] = best_lab[update]
-    assign[inseg & (assign == 0)] = 1
-    return assign
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx < w and inseg[ny, nx] \
+                    and out[ny, nx] == 0:
+                out[ny, nx] = lab
+                heapq.heappush(pq, (-float(vals[ny, nx]), cnt, ny, nx))
+                cnt += 1
+    out[inseg & (out == 0)] = 1
+    return out
 
 
 def _deblend_one(sub: np.ndarray, inseg: np.ndarray, det_threshold: float,
                  npixels: int, nlevels: int, contrast: float):
     """Deblend one segment given its bounding-box cutout ``sub`` and
-    in-segment mask. Returns the per-pixel child assignment (1..k) over the
-    cutout, or None when the segment hosts a single peak."""
+    in-segment mask (photutils _deblend_source tree semantics). Returns the
+    per-pixel child assignment (1..k) over the cutout, or None when the
+    segment hosts a single significant peak."""
     values = sub[inseg]
     total_flux = values.sum()
-    levels = _exponential_levels(det_threshold, values.max(), nlevels)
-    if levels.size == 0:
+    vmax = values.max()
+    if not (vmax > det_threshold):
         return None
 
     # cheap pre-filter: a segment with a single local-maximum plateau cannot
     # deblend — skip the 32-level sweep (most segments are single stars).
     # (Two disjoint above-level components each contain a local max, so one
-    # plateau implies one component at every level — the filter is EXACT.
-    # An earlier 6-of-32-level coarse screen was NOT: it missed splits that
-    # only appear at unprobed levels and made this path disagree with the
-    # native sweep.)
+    # plateau implies one component at every level — the filter is EXACT.)
     is_max = inseg & (sub >= ndimage.maximum_filter(
         np.where(inseg, sub, -np.inf), size=3))
     _, n_peaks = ndimage.label(is_max, structure=_STRUCT8)
     if n_peaks <= 1:
         return None
 
-    # Peak "tree" top-down: components containing >= 2 surviving markers
-    # stay split; brand-new components with enough pixels and flux seed new
-    # markers.
-    markers = np.zeros(sub.shape, np.int32)
-    next_id = 1
-    for level in levels[::-1]:
+    levels = _deblend_levels(values.min(), vmax, nlevels)
+
+    # 1. record every level whose above-level components include >= 2
+    #    passing BOTH the npixels and contrast tests (the segment "tree")
+    tree = []
+    for level in levels:
         lab, n = ndimage.label(inseg & (sub > level), structure=_STRUCT8)
-        for comp in range(1, n + 1):
-            m = lab == comp
-            ids = np.unique(markers[m])
-            ids = ids[ids > 0]
-            if ids.size == 0:
-                if m.sum() >= npixels and sub[m].sum() > contrast * total_flux:
-                    markers[m] = next_id
-                    next_id += 1
-            elif ids.size == 1:
-                markers[m] = ids[0]        # grow the existing marker
-            # >= 2 ids: merge node — keep children separate (do nothing)
-    if next_id <= 2:
+        if n < 2:
+            continue
+        sizes = np.bincount(lab.ravel(), minlength=n + 1)[1:]
+        flux = ndimage.sum_labels(sub, lab, index=np.arange(1, n + 1))
+        keep = np.nonzero((sizes >= npixels)
+                          & (flux / total_flux >= contrast))[0] + 1
+        if keep.size >= 2:
+            tree.append(np.where(np.isin(lab, keep), lab, 0))
+    if not tree:
         return None
-    return _flood_assign(sub, inseg, markers)
+
+    # 2. combine top-down: higher-level splits refine the lower-level
+    #    components they intersect; lower-only components join as markers
+    segm = tree[-1]
+    for lower in tree[-2::-1]:
+        inter = np.unique(lower[(segm > 0) & (lower > 0)])
+        inter = inter[inter > 0]
+        nlow = np.unique(lower[lower > 0]).size
+        if nlow <= inter.size:
+            continue                      # lower level adds no new peaks
+        extra = np.where(np.isin(lower, inter), 0, lower)
+        off = int(segm.max())
+        segm = np.where(segm > 0, segm, np.where(extra > 0, extra + off, 0))
+
+    u = np.unique(segm[segm > 0])
+    if u.size < 2:
+        return None
+    remap = np.zeros(int(segm.max()) + 1, np.int32)
+    remap[u] = np.arange(1, u.size + 1, dtype=np.int32)
+    return _watershed_assign(sub, inseg, remap[segm])
 
 
 def deblend_sources(data: np.ndarray, segm: SegmentationImage,

@@ -80,24 +80,26 @@ int32_t deblend_segment(const double* vals, const uint8_t* inseg, int32_t h,
   }
   if (!(hi > lo)) return 0;
 
-  // exponential sub-thresholds in (lo, hi), photutils-style spacing
+  // photutils 'exponential' sub-thresholds: nlevels geometric steps
+  // strictly between the segment min and max (linear when min <= 0) —
+  // matches segmentation.py:_deblend_levels
   std::vector<double> levels(nlevels);
   for (int k = 0; k < nlevels; ++k) {
-    double t = (std::pow(100.0, (double)(k + 1) / (nlevels + 1)) - 1.0) / 99.0;
-    levels[k] = lo + (hi - lo) * t;
+    if (lo <= 0.0)
+      levels[k] = lo + (hi - lo) * (double)(k + 1) / (nlevels + 1);
+    else
+      levels[k] = lo * std::pow(hi / lo, (double)(k + 1) / (nlevels + 1));
   }
 
   std::vector<int32_t> lab(size), stack;
-  std::vector<int32_t> markers(size, 0);
-  int32_t next_id = 1;
 
-  // top-down marker tree (see segmentation.py for the rules)
-  for (int k = nlevels - 1; k >= 0; --k) {
+  // 1. the segment "tree": every level (ascending) whose above-level
+  //    components include >= 2 passing BOTH npixels and contrast; each
+  //    such level's kept-component labeling is snapshotted.
+  std::vector<std::vector<int32_t>> tree;
+  for (int k = 0; k < nlevels; ++k) {
     int n = label_components(vals, inseg, h, w, levels[k], lab, stack);
-    if (!n) continue;
-    // per-component census
-    std::vector<int32_t> first_mark(n + 1, 0);
-    std::vector<uint8_t> multi(n + 1, 0);
+    if (n < 2) continue;
     std::vector<int64_t> csize(n + 1, 0);
     std::vector<double> cflux(n + 1, 0.0);
     for (int64_t i = 0; i < size; ++i) {
@@ -105,29 +107,60 @@ int32_t deblend_segment(const double* vals, const uint8_t* inseg, int32_t h,
       if (!c) continue;
       ++csize[c];
       cflux[c] += vals[i];
-      int m = markers[i];
-      if (m) {
-        if (!first_mark[c])
-          first_mark[c] = m;
-        else if (first_mark[c] != m)
-          multi[c] = 1;
-      }
     }
-    std::vector<int32_t> remap(n + 1, 0);
+    std::vector<uint8_t> keep(n + 1, 0);
+    int nkeep = 0;
     for (int c = 1; c <= n; ++c) {
-      if (multi[c]) continue;             // merge node: keep children apart
-      if (first_mark[c]) {
-        remap[c] = first_mark[c];         // grow the single marker
-      } else if (csize[c] >= npixels && cflux[c] > contrast * total) {
-        remap[c] = next_id++;             // new peak
+      if (csize[c] >= npixels && cflux[c] / total >= contrast) {
+        keep[c] = 1;
+        ++nkeep;
       }
     }
-    for (int64_t i = 0; i < size; ++i) {
-      int c = lab[i];
-      if (c && remap[c]) markers[i] = remap[c];
-    }
+    if (nkeep < 2) continue;
+    std::vector<int32_t> snap(size, 0);
+    for (int64_t i = 0; i < size; ++i)
+      if (lab[i] && keep[lab[i]]) snap[i] = lab[i];
+    tree.push_back(std::move(snap));
   }
+  if (tree.empty()) return 0;
+
+  // 2. combine top-down: higher-level splits refine the lower-level
+  //    components they intersect; lower-only components join as markers.
+  std::vector<int32_t> segm = std::move(tree.back());
+  int32_t segm_max = 0;
+  for (int64_t i = 0; i < size; ++i) segm_max = std::max(segm_max, segm[i]);
+  for (int j = (int)tree.size() - 2; j >= 0; --j) {
+    const std::vector<int32_t>& lower = tree[j];
+    int32_t lmax = 0;
+    for (int64_t i = 0; i < size; ++i) lmax = std::max(lmax, lower[i]);
+    std::vector<uint8_t> intersected(lmax + 1, 0), present(lmax + 1, 0);
+    for (int64_t i = 0; i < size; ++i) {
+      if (lower[i]) {
+        present[lower[i]] = 1;
+        if (segm[i]) intersected[lower[i]] = 1;
+      }
+    }
+    int nlow = 0, ninter = 0;
+    for (int c = 1; c <= lmax; ++c) {
+      nlow += present[c];
+      ninter += intersected[c];
+    }
+    if (nlow <= ninter) continue;  // lower level adds no new peaks
+    for (int64_t i = 0; i < size; ++i)
+      if (!segm[i] && lower[i] && !intersected[lower[i]])
+        segm[i] = lower[i] + segm_max;
+    segm_max += lmax;
+  }
+
+  // renumber to 1..k
+  std::vector<int32_t> remap(segm_max + 1, 0);
+  int32_t next_id = 1;
+  for (int64_t i = 0; i < size; ++i)
+    if (segm[i] && !remap[segm[i]]) remap[segm[i]] = next_id++;
   if (next_id <= 2) return 0;
+  std::vector<int32_t> markers(size, 0);
+  for (int64_t i = 0; i < size; ++i)
+    if (segm[i]) markers[i] = remap[segm[i]];
 
   // exact watershed: flood unassigned pixels in descending value order,
   // seeding from markers (priority queue on pixel value)
