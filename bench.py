@@ -86,7 +86,7 @@ def bench_whole_frame(jnp, jax, SGPConfig):
     cfg = SGPConfig(max_iter=500, stop_criterion=3, tol_convergence=1e-5,
                     init_recon=2, proj_type=1, has_flux=False,
                     has_sat_level=False, dtype='float32',
-                    track_discr=False)
+                    track_discr=False, warm_projection=True)
     dt = jnp.float32
     gn = jax.device_put(jnp.asarray(img, dt))
     psf_d = jax.device_put(jnp.asarray(psf, dt))
@@ -128,6 +128,39 @@ def bench_serving_p50(np_stamps, np_psf, np_bkgs, np_fluxes):
           256 * BASELINE_STAMP_SECONDS * 1e3 / p50)
 
 
+def bench_serving_stream(np_stamps, np_psf, np_bkgs, np_fluxes):
+    """Pipelined serving throughput: 16 consecutive 256-stamp requests
+    through RestorationSession.restore_stream, which dispatches request
+    N+1 while request N's result transfers back — on this tunneled rig
+    the per-request dispatch+transfer floor (~30 ms + ~1 MB at ~50 MB/s)
+    dominates a single 256-stamp solve, so overlapping it is the whole
+    win. Compare with the sequential p50 metric above."""
+    from tpu_sgp.parallel.session import RestorationSession
+
+    sess = RestorationSession(np_psf)
+    sess.warmup(buckets=(256,))
+    s, b, f = np_stamps[:256], np_bkgs[:256], np_fluxes[:256]
+    n_req = 16
+
+    def batches():
+        for _ in range(n_req):
+            yield (s, b, f)
+
+    for _ in sess.restore_stream([(s, b, f)]):  # warm the stream path
+        pass
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _res in sess.restore_stream(batches()):
+            pass
+        wall = time.perf_counter() - t0
+        best = wall if best is None else min(best, wall)
+    rate = n_req * 256 / best
+    # baseline: the reference restores stamps serially at ~13.3 ms each
+    _emit('serving_stream_throughput_stamps_per_s_tpu', rate, 'stamps/s',
+          rate * BASELINE_STAMP_SECONDS)
+
+
 def main():
     import jax
     # the tpu_sgp import below auto-enables the persistent compilation
@@ -155,6 +188,7 @@ def main():
                           bkgs, fluxes)
         bench_whole_frame(jnp, jax, SGPConfig)
         bench_serving_p50(np_stamps, np_psf, np_bkgs, np_fluxes)
+        bench_serving_stream(np_stamps, np_psf, np_bkgs, np_fluxes)
     except Exception as exc:  # secondary metrics must never kill the primary
         print(f'# secondary bench failed: {exc!r}', file=sys.stderr)
 

@@ -355,3 +355,45 @@ def test_restore_stamps_rejects_missing_flux_and_bad_sat():
     with pytest.raises(ValueError, match='sat_level'):
         restore_stamps(stamps, psf, bkgs, cfg,
                        fluxes=stamps.sum(axis=(1, 2)), sat_level=0.0)
+
+
+@__import__('pytest').mark.filterwarnings(
+    'ignore:RestorationSession')
+def test_restoration_session_packed_path_equivalence():
+    """Single-device sessions serve through the packed single-transfer
+    program (one H2D buffer, one fused program, one D2H buffer — each
+    extra array costs a full link round trip on tunneled rigs). The
+    packed result must carry every SGPResult field faithfully and match
+    the legacy multi-array path to refusion roundoff."""
+    from tpu_sgp.parallel.batch import restore_stamps
+    from tpu_sgp.parallel.session import RestorationSession
+
+    stamps, psf, bkgs, _ = synthetic_star_stamps(8, size=16, seed=21)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=12, track_discr=False)
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    sess.warmup(buckets=(8,))
+    assert sess._packed_progs, 'packed path was not exercised'
+    r = sess.restore(stamps, bkgs, fluxes=fluxes)
+    plain = restore_stamps(
+        stamps.astype(np.float64), sess.psf, bkgs.astype(np.float64), cfg,
+        fluxes=fluxes.astype(np.float64), beta0=sess.beta0, lr0=sess.lr0,
+        sat_level=sess.sat_level, bucket=False, flatten=sess.flatten,
+        tail_bucket=sess.tail_bucket)
+    np.testing.assert_array_equal(r.iters, np.asarray(plain.iters))
+    np.testing.assert_allclose(r.x, np.asarray(plain.x), rtol=1e-9,
+                               atol=1e-9)
+    np.testing.assert_allclose(r.fv, np.asarray(plain.fv), rtol=1e-9)
+    np.testing.assert_allclose(r.beta, np.asarray(plain.beta), rtol=1e-12)
+    np.testing.assert_allclose(r.scaling, np.asarray(plain.scaling),
+                               rtol=1e-12)
+    # flux conservation survives the packed round trip
+    fc = np.abs(r.x.sum(axis=(1, 2)) - fluxes) / np.abs(fluxes)
+    assert fc.max() < 1e-8
+    # a track_discr config must NOT use the packed path (it drops series)
+    cfg2 = _cfg(max_iter=6, track_discr=True)
+    sess2 = RestorationSession(psf, cfg2, stamp_shape=(16, 16))
+    sess2.warmup(buckets=(8,))
+    assert not sess2._packed_progs
+    r2 = sess2.restore(stamps, bkgs, fluxes=fluxes)
+    assert r2.discr.shape[1] > 1

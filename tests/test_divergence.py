@@ -143,3 +143,21 @@ def test_beta_div_finite_with_zero_pixels():
            - np.sum(gz ** b - dn ** b) / b)
     assert np.isfinite(v)
     np.testing.assert_allclose(v, ref, rtol=1e-12)
+
+
+def test_beta_div_with_dbeta_matches_separate_paths(rng):
+    """The fused objective+derivative (solver hot path: zero extra
+    transcendentals per trial) must reproduce beta_div exactly and
+    beta_div_dbeta to roundoff — including exactly at beta in {0, 1}
+    where the series switch takes over."""
+    gn = jnp.asarray(rng.uniform(0.01, 2.0, (128,)))
+    den = gn * jnp.asarray(rng.uniform(0.9, 1.1, (128,)))
+    lg = jnp.log(gn)
+    for beta in (1.005, 0.97, 1.0, 0.0, 0.5, 1.2, 1.0 + 1e-12, 2.0):
+        b = jnp.asarray(beta, gn.dtype)
+        fv_sep = dv.beta_div(den, gn, b, log_gn=lg)
+        db_sep = jnp.sum(dv.beta_div_dbeta(den, gn, b))
+        fv, db = dv.beta_div_with_dbeta(den, gn, b, lg)
+        assert float(jnp.abs(fv - fv_sep)) == 0.0, beta
+        np.testing.assert_allclose(float(db), float(db_sep), rtol=5e-13,
+                                   atol=1e-14)

@@ -171,3 +171,57 @@ def test_bisect_f32_with_saturation_matches_oracle(rng):
     assert (x <= 4.0).all() and (x >= 0).all()
     assert abs(x.sum() - b) <= 4e-6 * b
     np.testing.assert_allclose(x, ref, rtol=0, atol=2e-5 * abs(ref).max())
+
+
+def test_bisect_warm_matches_cold_for_any_pivot(rng):
+    """The warm-started bisection must deliver the cold path's accuracy
+    whatever the pivot quality: good (tight window hit), stale (window
+    miss -> global-endpoint fallback), or invalid (NaN -> cold
+    behavior)."""
+    from tpu_sgp.projection.flux_projection import (project_df_bisect,
+                                                    project_df_bisect_warm)
+
+    for trial in range(4):
+        c = jnp.asarray(rng.normal(50, 30, 400))
+        dia = jnp.asarray(rng.uniform(0.5, 2.0, 400))
+        b = jnp.asarray(rng.uniform(500, 5000))
+        x_cold = project_df_bisect(b, c, dia, 1.0)
+        err_cold = abs(float(jnp.sum(x_cold) - b)) / float(b)
+        for lam_prev, dlam_prev in ((-80.0, 1e-3), (-80.0, 0.5),
+                                    (40.0, 0.2), (np.nan, np.inf)):
+            x_warm, lam = project_df_bisect_warm(
+                b, c, dia, 1.0,
+                lam_prev=jnp.asarray(lam_prev, c.dtype),
+                dlam_prev=jnp.asarray(dlam_prev, c.dtype))
+            err_warm = abs(float(jnp.sum(x_warm) - b)) / float(b)
+            assert err_warm <= max(10 * err_cold, 1e-10), \
+                (trial, lam_prev, dlam_prev, err_warm, err_cold)
+            assert bool(jnp.isfinite(lam))
+
+
+def test_solver_warm_projection_matches_cold(rng):
+    """Full solve with warm_projection on vs off: same trajectory to
+    projection-resolution roundoff (f64)."""
+    from dataclasses import replace
+
+    from tpu_sgp.config import SGPConfig
+    from tpu_sgp.solvers.sgp import solve
+
+    gn = jnp.asarray(np.maximum(
+        rng.poisson(100 + 1000 * np.exp(-((np.mgrid[0:21, 0:21][0] - 10) ** 2
+                    + (np.mgrid[0:21, 0:21][1] - 10) ** 2) / 8.0)), 1.0))
+    psf = jnp.exp(-((jnp.arange(21)[:, None] - 10) ** 2
+                    + (jnp.arange(21)[None, :] - 10) ** 2) / 6.0)
+    psf = psf / psf.sum()
+    bkg = jnp.full((21, 21), 100.0)
+    z = jnp.zeros((21, 21))
+    cfg = SGPConfig(max_iter=30, stop_criterion=3, tol_convergence=1e-6,
+                    init_recon=2, proj_type=1, has_flux=False,
+                    has_sat_level=False, dtype='float64')
+    res_cold = solve(gn, psf, bkg, z, 0.0, z, 1.0, 1e-3, 0.0,
+                     replace(cfg, warm_projection=False))
+    res_warm = solve(gn, psf, bkg, z, 0.0, z, 1.0, 1e-3, 0.0,
+                     replace(cfg, warm_projection=True))
+    assert int(res_cold.iters) == int(res_warm.iters)
+    np.testing.assert_allclose(np.asarray(res_warm.x),
+                               np.asarray(res_cold.x), rtol=1e-6, atol=1e-9)

@@ -52,6 +52,17 @@ class SGPConfig:
                                        # one VMEM-resident kernel | 'sort'
                                        # exact sweep | 'secant' reference-
                                        # style iteration
+    warm_projection: bool = False  # carry the dual root across iterations
+                                   # and open the bisection from a warm
+                                   # bracket (bisect path only). Measured
+                                   # ~7% faster for SINGLE-image solves
+                                   # (410x410 whole frame: 0.87 vs 0.93
+                                   # ms/iter) but SLOWER under vmap (the
+                                   # data-dependent sweep count runs to the
+                                   # worst lane of the whole batch: 54.8k
+                                   # vs 60.0k stamps/s at B=6144) — so off
+                                   # by default; whole-frame/CLI paths and
+                                   # the bench opt in.
     # Line search ---------------------------------------------------------
     gamma: float = 1e-4            # Armijo penalty
     bt_factor: float = 0.4         # backtracking shrink factor ("beta" in the reference)

@@ -78,6 +78,63 @@ def beta_div(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
     return gsum(elem, axes)
 
 
+def _e2_from_expm1(s: jnp.ndarray, em: jnp.ndarray) -> jnp.ndarray:
+    """E2(s) = (s*e^s - expm1(s)) / s^2 given a precomputed em = expm1(s).
+    Series-switched for |s| < 0.25 exactly like ``_dpow_kernel`` — but
+    TRANSCENDENTAL-FREE in the closed branch (e^s = em + 1)."""
+    small = jnp.abs(s) < 0.25
+    safe_s = jnp.where(small, 1.0, s)
+    e2_closed = (safe_s * (em + 1.0) - em) / (safe_s * safe_s)
+    e2_series = jnp.zeros_like(s) + _E2_COEFFS[-1]
+    for c in _E2_COEFFS[-2::-1]:
+        e2_series = e2_series * s + c
+    return jnp.where(small, e2_series, e2_closed)
+
+
+def beta_div_with_dbeta(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
+                        log_gn: jnp.ndarray, axes=()):
+    """(beta_div value, elementwise-summed d betaDiv / d beta) in ONE pass.
+
+    The solver's beta-adaptation evaluates the objective AND its
+    beta-derivative on the same (den, gn) every backtracking trial
+    (sgp.py bt_body). Computed separately that costs ~2 logs + 4 exps +
+    4 expm1 per pixel per trial on top of the objective's own 1 log +
+    1 exp + 2 expm1. But with the objective factored as
+
+        phi = gn^b * (r2 - r1),  r_t = expm1(t*d)/t,  d = log(den/gn),
+
+    the beta-derivative is an algebraic function of the SAME intermediates:
+
+        dphi/dbeta = gn^b * [ log_gn*(r2 - r1) + d^2*(E2(b*d) - E2(e*d)) ],
+        E2(s) = (s*e^s - expm1(s))/s^2,   e^s = expm1(s) + 1,
+
+    where expm1(t*d) = t*r_t is already in hand — the derivative adds ZERO
+    transcendentals (only the E2 polynomial/ratio). Values match
+    ``beta_div_dbeta`` (and the jax.grad oracle) to roundoff; continuous
+    through beta in {0, 1} via the same series switch.
+
+    Solver-loop fast path: assumes gn > 0 (the solver floors gn at
+    vmin*eps^2 during conditioning, sgp.py), so the gn == 0 guard of
+    ``beta_div`` is omitted. Returns (sum phi over ``axes``-local pixels
+    reduced with gsum, local sum of dphi — caller psums / divides by n).
+    """
+    e = beta - 1.0
+    d = jnp.log(den / gn)
+    gn_b = jnp.exp(beta * log_gn)
+    safe_e = jnp.where(e == 0, 1.0, e)
+    em_e = jnp.expm1(e * d)
+    r1 = jnp.where(e == 0, d, em_e / safe_e)
+    safe_b = jnp.where(beta == 0, 1.0, beta)
+    em_b = jnp.expm1(beta * d)
+    r2 = jnp.where(beta == 0, d, em_b / safe_b)
+    diff = r2 - r1
+    fv = gsum(gn_b * diff, axes)
+    e2b = _e2_from_expm1(beta * d, em_b)
+    e2e = _e2_from_expm1(e * d, em_e)
+    dphi = gn_b * (log_gn * diff + (d * d) * (e2b - e2e))
+    return fv, jnp.sum(dphi)
+
+
 def beta_div_special(den: jnp.ndarray, gn: jnp.ndarray, beta: float) -> jnp.ndarray:
     """Exact beta in {0,1} branches of the reference betaDiv (sgp.py:452-455)."""
     if beta == 0:

@@ -323,14 +323,30 @@ def _unpad(res: SGPResult, n: int) -> SGPResult:
 
 def beta_init_search(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
                      beta_candidates=None, lr0=1e-3, sat_level=0.0,
-                     mesh: Optional[Mesh] = None) -> tuple:
+                     mesh: Optional[Mesh] = None, scorer='catalog',
+                     phase1_iters: Optional[int] = None,
+                     bucket: bool = False) -> tuple:
     """Vectorized beta-init selection.
 
     The reference runs 5 full solves per stamp serially and keeps the beta
-    whose restoration minimizes the flux fractional difference
+    whose restoration minimizes the flux fractional difference — measured
+    on the restored CATALOG's brightest source
     (application_sgp_star_stamps.py:68-105). Here the (stamp x candidate)
     grid is flattened into one batch: B*K solves in a single compiled
     program, then an argmin per stamp.
+
+    ``scorer`` selects the flux entering FFD = 1 - F_rest/F_orig:
+      * 'catalog' (default, the reference's criterion): brightest-source
+        segment flux from the batched catalog pipeline
+        (catalog.batched.brightest_catalog_fluxes; host-side, one
+        vectorized pass over all B*K restorations);
+      * 'flux_sum': background-subtracted pixel-sum proxy — device-side,
+        no host round-trip; a documented fast path that can pick a
+        different beta on blended stamps;
+      * a callable ``f(grid_x (B,K,H,W) np.ndarray) -> (B,K) ffd``.
+
+    ``phase1_iters`` forwards to restore_stamps (convergence compaction
+    for the candidate grid).
 
     Returns (best_beta (B,), best_x (B,H,W), result for the full grid).
     """
@@ -358,19 +374,31 @@ def beta_init_search(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
 
     res = restore_stamps(stamps_g, psf_g, bkgs_g, cfg, fluxes=fluxes_g,
                          beta0=beta_g, lr0=lr0, sat_level=sat_level,
-                         mesh=mesh)
+                         mesh=mesh, phase1_iters=phase1_iters,
+                         bucket=bucket)
 
-    # Flux fractional difference per (stamp, candidate): 1 - F_rest/F_orig,
-    # with F approximated by the background-subtracted sums (the full
-    # catalog-based figure is applied by the workload layer).
+    # Flux fractional difference per (stamp, candidate): 1 - F_rest/F_orig.
     x_g = res.x.reshape(b, k, h, w)
-    f_rest = jnp.sum(x_g, axis=(2, 3))
     if fluxes is not None:
         f_orig = jnp.asarray(fluxes, cfg.jnp_dtype)[:, None]
     else:
         f_orig = jnp.sum(stamps, axis=(1, 2))[:, None] - h * w * bkgs[:, None]
-    ffd = 1.0 - f_rest / f_orig
-    best = jnp.argmin(ffd, axis=1)
+    if scorer == 'flux_sum':
+        f_rest = jnp.sum(x_g, axis=(2, 3))
+        ffd = 1.0 - f_rest / f_orig
+        best = jnp.argmin(ffd, axis=1)
+    else:
+        if scorer == 'catalog':
+            from ..catalog.batched import brightest_catalog_fluxes
+            f_np = brightest_catalog_fluxes(
+                np.asarray(res.x).reshape(b * k, h, w)).reshape(b, k)
+            ffd_np = 1.0 - f_np / np.asarray(f_orig)
+        elif callable(scorer):
+            ffd_np = np.asarray(scorer(np.asarray(x_g)))
+        else:
+            raise ValueError(f'unknown scorer {scorer!r}')
+        ffd_np = np.where(np.isfinite(ffd_np), ffd_np, np.inf)
+        best = jnp.asarray(np.argmin(ffd_np, axis=1))
     best_beta = beta_candidates[best]
     best_x = x_g[jnp.arange(b), best]
     return best_beta, best_x, res

@@ -44,7 +44,8 @@ def init_distributed(coordinator_address: Optional[str] = None,
     if num_processes is not None and int(num_processes) <= 1 \
             and coordinator_address is None:
         return
-    state = getattr(jax._src.distributed, 'global_state', None)
+    state = getattr(getattr(jax._src, 'distributed', None),
+                    'global_state', None)
     if state is not None and getattr(state, 'client', None) is not None:
         return  # already initialized
     kw = {}
@@ -56,7 +57,14 @@ def init_distributed(coordinator_address: Optional[str] = None,
         kw['process_id'] = int(process_id)
     if local_device_ids is not None:
         kw['local_device_ids'] = list(local_device_ids)
-    jax.distributed.initialize(**kw)
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError as exc:
+        # the private global_state probe above can silently stop detecting
+        # initialization across JAX upgrades — treat the public "already
+        # initialized" error as the idempotent no-op it is
+        if 'already initialized' not in str(exc):
+            raise
 
 
 def global_device_grid(spatial_shape: Optional[Tuple[int, int]] = None

@@ -61,6 +61,14 @@ class RestorationSession:
         self._warmed: set = set()
         self._warming = False  # warmup() in progress: its own calls must
                                # not trigger the not-warmed warning
+        # single-device sessions run the PACKED path: every per-request
+        # host->device array costs a full link round trip (~29 ms floor on
+        # the tunneled dev box, 4 arrays = 167 ms where one packed buffer
+        # = 76 ms), and every result field read back costs another — so
+        # the request ships as ONE (bucket, H*W+3) buffer into ONE jitted
+        # program (which also fuses the solve's phases into a single
+        # dispatch) returning ONE packed result buffer.
+        self._packed_progs: dict = {}
 
     def warmup(self, buckets: Sequence[int] = (64, 128, 256, 512, 768,
                                                1024),
@@ -90,6 +98,58 @@ class RestorationSession:
         finally:
             self._warming = False
 
+    def _packed_prog(self, bucket: int):
+        prog = self._packed_progs.get(bucket)
+        if prog is not None:
+            return prog
+        h, w = self.stamp_shape
+        n = h * w
+        cfg = self.cfg
+        dt = cfg.jnp_dtype
+
+        def fn(packed):
+            stamps = packed[:, :n].reshape(bucket, h, w)
+            bkgs = packed[:, n]
+            fluxes = packed[:, n + 1] if cfg.has_flux else None
+            beta0 = packed[:, n + 2]
+            res = restore_stamps(
+                stamps, self.psf, bkgs, cfg, fluxes=fluxes, beta0=beta0,
+                lr0=self.lr0, sat_level=self.sat_level, bucket=False,
+                phase1_iters=self.phase1_iters,
+                tail_bucket=self.tail_bucket, flatten=self.flatten)
+            parts = [res.x.reshape(bucket, -1)]
+            for f in (res.iters, res.fv, res.beta, res.scaling):
+                parts.append(jnp.broadcast_to(
+                    jnp.asarray(f, dt).reshape(-1, 1) if jnp.ndim(f)
+                    else jnp.full((bucket, 1), f, dt), (bucket, 1)))
+            return jnp.concatenate(parts, axis=1)
+
+        prog = jax.jit(fn)
+        self._packed_progs[bucket] = prog
+        return prog
+
+    def _pack_request(self, stamps, bkgs, fluxes, beta0):
+        b, h, w = stamps.shape
+        dt = np.dtype(self.cfg.dtype)
+        packed = np.empty((b, h * w + 3), dt)
+        packed[:, :h * w] = stamps.reshape(b, -1)
+        packed[:, h * w] = bkgs
+        packed[:, h * w + 1] = 0.0 if fluxes is None else fluxes
+        packed[:, h * w + 2] = (self.beta0 if beta0 is None else beta0)
+        return packed
+
+    @staticmethod
+    def _unpack_result(out: np.ndarray, b: int, h: int, w: int) -> SGPResult:
+        n = h * w
+        x = out[:b, :n].reshape(b, h, w)
+        iters = out[:b, n].astype(np.int32)
+        fv = out[:b, n + 1]
+        beta = out[:b, n + 2]
+        scaling = out[:b, n + 3]
+        z = np.zeros((b, 1), out.dtype)
+        return SGPResult(x=x, iters=iters, discr=z, err=z, beta=beta,
+                         fv=fv, scaling=scaling)
+
     def _restore_padded(self, stamps, bkgs, fluxes=None, beta0=None):
         """Dispatch (non-blocking): host-pad to a bucket size and run the
         pre-compiled batch program. Returns (device SGPResult at bucket
@@ -114,6 +174,14 @@ class RestorationSession:
                 f'this request pays a full solver compile. Warm it with '
                 f'warmup(buckets=[{bucket}]) or warmup(max_batch=...).',
                 stacklevel=3)
+        if (self.mesh is None and not self.cfg.track_discr
+                and not self.cfg.errflag):
+            # packed single-device fast path: one H2D, one program, one D2H
+            packed = self._pack_request(np.asarray(stamps), bkgs, fluxes,
+                                        beta0)
+            out = self._packed_prog(bucket)(packed)
+            self._warmed.add(bucket)
+            return ('packed', out), b
         res = restore_stamps(
             stamps, self.psf, bkgs, self.cfg, fluxes=fluxes,
             beta0=self.beta0 if beta0 is None else beta0, lr0=self.lr0,
@@ -123,7 +191,7 @@ class RestorationSession:
         # only after the solve dispatched successfully — a failed request
         # must not register its bucket as warmed
         self._warmed.add(bucket)
-        return res, b
+        return ('plain', res), b
 
     def restore(self, stamps, bkgs, fluxes=None, beta0=None) -> SGPResult:
         """Restore a batch. Any batch size whose pad bucket was warmed
@@ -131,18 +199,26 @@ class RestorationSession:
         buckets for 33..1024); the padding is sliced off host-side after
         one transfer. Returns an SGPResult of NumPy arrays (serving results
         live on the host)."""
-        res, b = self._restore_padded(stamps, bkgs, fluxes=fluxes,
-                                      beta0=beta0)
+        (kind, res), b = self._restore_padded(stamps, bkgs, fluxes=fluxes,
+                                              beta0=beta0)
+        if kind == 'packed':
+            h, w = self.stamp_shape
+            return self._unpack_result(np.asarray(res), b, h, w)
         return SGPResult(*(np.asarray(f)[:b] for f in res))
 
     def restore_stream(self, batches: Iterable) -> Iterable[SGPResult]:
         """Generator over (stamps, bkgs, fluxes) tuples — dispatches the
         next batch while the caller consumes the previous result (JAX's
-        async dispatch overlaps host and device)."""
+        async dispatch overlaps host and device; the packed path keeps the
+        in-flight pipeline to one upload + one program + one readback per
+        request)."""
         def done(pending):
             # transfer forces completion; block_until_ready is a no-op on
             # some tunneled backends. Slice the bucket padding off host-side.
-            res, b = pending
+            (kind, res), b = pending
+            if kind == 'packed':
+                h, w = self.stamp_shape
+                return self._unpack_result(np.asarray(res), b, h, w)
             return SGPResult(*(np.asarray(f)[:b] for f in res))
 
         pending = None

@@ -316,6 +316,122 @@ def project_df_bisect(b, c, dia, scaling, sat_level=None,
     return xval(0.5 * (lo + hi))
 
 
+def project_df_bisect_warm(b, c, dia, scaling, sat_level=None,
+                           has_sat: bool | None = None,
+                           n_iters: int | None = None, axes=(),
+                           lam_prev=None, dlam_prev=None):
+    """K-way sectioned bisection with a WARM-STARTED bracket; returns
+    ``(x, lam)`` so the caller can carry the dual across solver iterations.
+
+    The solver calls the projection once per iteration with a slowly
+    drifting problem (the metric X and the point move less and less as the
+    iterate converges), yet the cold path reopens the global bracket
+    [gmin(-c), gmax(b*dia-c)] every time and spends ceil(bits/3) fixed
+    sweeps narrowing it — ~10 sweeps x ~290k cycles dominated the KL hot
+    loop (docs/PERFORMANCE.md). Here one PROBE sweep sections a window of
+    half-width ``4*|dlam_prev| + target`` around the previous root: a hit
+    yields a true bracket of 1/4 the window per probe segment, after which
+    standard sweeps run only until the bracket is below the cold path's
+    own final width (a while_loop — trips shrink as the solver converges).
+    A miss (root outside the window) falls back to the guaranteed global
+    endpoints on the missed side, costing one extra sweep vs cold.
+
+    Correctness: every post-probe bracket [lo, hi] satisfies r(lo) < 0 <=
+    r(hi) (probe fallback uses the global endpoints, where r(gmin(-c)) =
+    -b < 0 and the max-knot endpoint contributes >= b), and the loop exits
+    only at/below the cold final width — so warm results match cold to the
+    bracket-resolution the policy already accepts (bracket_bits).
+    """
+    if has_sat is None:
+        has_sat = sat_level is not None
+    dtype = jnp.result_type(c)
+    if n_iters is None:
+        n_iters = bracket_bits(dtype)
+    c = jnp.asarray(c, dtype)
+    dia = jnp.asarray(dia, dtype)
+    b = jnp.asarray(b, dtype)
+    eps = jnp.finfo(dtype).eps
+
+    if has_sat:
+        cap = jnp.asarray(sat_level, dtype) / scaling - eps
+
+        def xval(lam):
+            return jnp.minimum(cap, jnp.maximum(0.0, (c + lam) / dia))
+    else:
+        def xval(lam):
+            return jnp.maximum(0.0, (c + lam) / dia)
+
+    cold_lo = gmin(-c, axes)
+    cold_hi = jnp.maximum(gmax(b * dia - c, axes), cold_lo + 1.0)
+    width_cold = cold_hi - cold_lo
+
+    k_pts = _K_PTS
+    n_steps = int(np.ceil(n_iters / np.log2(k_pts + 1)))
+    # cold final width; the dtype-resolution floor is applied inside the
+    # loop cond at the CURRENT bracket location (see below)
+    target = width_cold * (k_pts + 1.0) ** (-n_steps)
+    fracs = (jnp.arange(1, k_pts + 1, dtype=dtype) / (k_pts + 1))
+    fracs_b = fracs[:, None]
+
+    c_flat = c.reshape(-1)
+    inv_dia = (1.0 / dia) * jnp.ones_like(c)
+    inv_flat = inv_dia.reshape(-1)
+    cap_term = ((cap * dia) * jnp.ones_like(c)).reshape(-1) \
+        if has_sat else None
+
+    def sweep(lo, width):
+        """Residual sign census at the K interior points of [lo, lo+width];
+        returns nbelow (#points with r < 0)."""
+        mids = lo + width * fracs_b                       # (K, 1)
+        xs = jnp.maximum(c_flat[None] + mids, 0.0)
+        if has_sat:
+            xs = jnp.minimum(xs, cap_term[None])
+        r = jnp.sum(xs * inv_flat[None], axis=-1)
+        if axes:
+            r = jax.lax.psum(r, axes)
+        return jnp.sum((r - b) < 0)
+
+    # ---- probe: section the warm window, fall back to global endpoints ----
+    ok = (jnp.isfinite(lam_prev) & jnp.isfinite(dlam_prev)
+          & (dlam_prev < width_cold))
+    w = 4.0 * jnp.abs(dlam_prev) + jnp.maximum(
+        target, 2.0 * eps * jnp.abs(lam_prev))
+    w_lo = jnp.where(ok, jnp.clip(lam_prev - w, cold_lo, cold_hi), cold_lo)
+    w_hi = jnp.where(ok, jnp.clip(lam_prev + w, w_lo, cold_hi), cold_hi)
+    w_width = w_hi - w_lo
+    nb = sweep(w_lo, w_width)
+    seg = w_width / (k_pts + 1)
+    # nb==0: root below the first interior point — the global lower
+    # endpoint is the only guaranteed negative-residual anchor; nb==K:
+    # symmetric on the high side.
+    lo = jnp.where(nb == 0, cold_lo, w_lo + nb * seg)
+    hi = jnp.where(nb == k_pts, cold_hi,
+                   jnp.where(nb == 0, w_lo + seg, w_lo + (nb + 1.0) * seg))
+
+    def cond(carry):
+        lo, hi, t = carry
+        # the ulp floor must be evaluated where the bracket currently
+        # sits: the global endpoints can be orders of magnitude larger
+        # than the root, and a floor at THEIR resolution returned lambdas
+        # ~100x coarser than the cold path's ulp-converged value
+        # (measurably degrading f32 whole-frame convergence)
+        floor = 0.75 * eps * (jnp.abs(lo) + jnp.abs(hi))
+        return ((hi - lo > jnp.maximum(target, floor))
+                & (t < n_steps + 2))
+
+    def body(carry):
+        lo, hi, t = carry
+        width = hi - lo
+        nb = sweep(lo, width)
+        seg = width / (k_pts + 1)
+        new_lo = lo + nb * seg
+        return (new_lo, new_lo + seg, t + 1)
+
+    lo, hi, _ = jax.lax.while_loop(cond, body, (lo, hi, jnp.int32(0)))
+    lam = 0.5 * (lo + hi)
+    return xval(lam), lam
+
+
 def project_df_sort(b, c, dia, scaling, sat_level=None,
                     has_sat: bool | None = None):
     """Exact flux projection by breakpoint sweep — the TPU-native fast path.

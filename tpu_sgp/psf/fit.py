@@ -145,7 +145,15 @@ def fit_psf_model(stars: Sequence[FitStar], *,
 
     if len(stars) == 0:
         raise ValueError('no stars to fit')
-    ldeg = 2  # the evaluator hardcodes local degree 2 (see DiaplPSFModel)
+    if ndeg_local != 2:
+        # the evaluator hardcodes local degree 2 (see DiaplPSFModel);
+        # accepting another value would stamp a header that disagrees with
+        # the coefficient layout actually fitted, silently mis-slicing
+        # vec_coeffs downstream
+        raise ValueError('ndeg_local must be 2 (DiaplPSFModel evaluates a '
+                         'fixed local design of degree 2); got '
+                         f'{ndeg_local}')
+    ldeg = 2
 
     if recenter:
         stars = [_recentered(s) for s in stars]

@@ -45,6 +45,7 @@ from ..ops import divergence as dv
 from ..ops.psf_operator import make_operator
 from ..ops.reduce import gmax, gmean, gmin, gsum
 from ..projection.flux_projection import (project_df, project_df_bisect,
+                                          project_df_bisect_warm,
                                           project_df_sort)
 
 
@@ -87,6 +88,9 @@ class SGPState(NamedTuple):
     lr: jnp.ndarray
     discr: jnp.ndarray
     err: jnp.ndarray
+    lam_dual: jnp.ndarray   # previous flux-projection dual root (NaN until
+                            # the first in-loop projection; warm-start pivot)
+    dlam_dual: jnp.ndarray  # |lam_k - lam_{k-1}| — sizes the warm window
 
 
 SAVE_DIR = 'SGP_reconstructed_images'
@@ -289,9 +293,18 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
             return _any_over_sync(state[0])
         return state[0]
 
+    # Warm-started projection: carries the previous dual root across
+    # iterations (the projection problem drifts slowly with the iterate),
+    # cutting the cold ~10 bracket sweeps to a probe plus a few. Restricted
+    # to the single-device-group bisect path: under sync_axes the sweep
+    # count must stay lockstep across device groups, and other methods
+    # have no bracket to warm.
+    use_warm = (cfg.proj_type != 0 and cfg.projection_method == 'bisect'
+                and cfg.warm_projection and not cfg.sync_axes)
+
     def body(state):
         (_, it, x, _, _, g, x_tf, fv, alpha, tau, valpha, fold,
-         beta_p, lr, discr, err) = state
+         beta_p, lr, discr, err, lam_dual, dlam_dual) = state
         x_prev = x
         x_mat = scaling_matrix(x, it)
 
@@ -302,6 +315,17 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         y = x - alpha * x_mat * g
         if cfg.proj_type == 0:
             y = jnp.maximum(y, 0.0)
+        elif use_warm:
+            d_metric = 1.0 / x_mat
+            y, lam_new = project_df_bisect_warm(
+                flux, y * d_metric, d_metric, scaling,
+                sat_level=(sat if cfg.has_sat_level else None),
+                has_sat=cfg.has_sat_level, axes=ax,
+                lam_prev=lam_dual, dlam_prev=dlam_dual)
+            dlam_dual = jnp.where(jnp.isfinite(lam_dual),
+                                  jnp.abs(lam_new - lam_dual),
+                                  jnp.asarray(jnp.inf, dt))
+            lam_dual = lam_new
         else:
             d_metric = 1.0 / x_mat
             y = proj(y * d_metric, d_metric)
@@ -325,26 +349,28 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
             lam, _, bp, _, k = c
             x_tf_try = x_tf + lam * d_tf
             den_t = x_tf_try + bkg
-            fv_t = _objective(cfg, x_tf_try, den_t, gn, flux, bp, log_gn)
-            ok = (fv_t <= fr + gamma * lam * gd) | (lam < 1e-12)
             if cfg.divergence == 'beta' and cfg.adapt_beta:
-                # mean d(betaDiv)/dbeta over the global pixel count, via the
-                # series-switched closed form (cancellation-free and
-                # CONTINUOUS through beta in {0, 1} — see beta_div_dbeta).
-                # jax.grad of the objective was used before and is WRONG at
-                # exactly beta = 1: autodiff routes through the
+                # objective + mean d(betaDiv)/dbeta in ONE fused pass: the
+                # derivative is an algebraic function of the objective's
+                # own expm1 intermediates (beta_div_with_dbeta) — zero
+                # extra transcendentals per trial. The series-switched form
+                # is cancellation-free and CONTINUOUS through beta in
+                # {0, 1}; jax.grad of the objective was used before and is
+                # WRONG at exactly beta = 1 (autodiff routes through the
                 # where(e == 0, ...) guard's constant branch and drops the
-                # d^2/2 term. (The reference short-circuits its singular
-                # SymPy form to 0 at beta in {0, 1}, sgp.py:493-494 — an
-                # artifact, not the true derivative; deviation noted in
-                # PARITY.md.)
-                ld = jnp.log(den_t)
-                local_grad = jnp.sum(dv.beta_div_dbeta(
-                    den_t, gn, bp, log_den=ld, log_ratio=log_gn - ld))
+                # d^2/2 term; the reference short-circuits its singular
+                # SymPy form to 0 there, sgp.py:493-494 — an artifact, not
+                # the true derivative; deviation noted in PARITY.md).
+                fv_t, local_grad = dv.beta_div_with_dbeta(
+                    den_t, gn, bp, log_gn, ax)
+                ok = (fv_t <= fr + gamma * lam * gd) | (lam < 1e-12)
                 bgrad = (jax.lax.psum(local_grad, ax) if ax
                          else local_grad) / n
                 bp_rej = bp - lr * bgrad
             else:
+                fv_t = _objective(cfg, x_tf_try, den_t, gn, flux, bp,
+                                  log_gn)
+                ok = (fv_t <= fr + gamma * lam * gd) | (lam < 1e-12)
                 bp_rej = bp
             lam_next = jnp.where(ok, lam, lam * bt)
             bp_next = jnp.where(ok, bp, bp_rej)
@@ -370,8 +396,11 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         # factor PAST the last evaluated trial while fv_new belongs to that
         # trial. Undo the final shrink so (x_new, fv_new) stay a consistent
         # pair (the discr/Fold/stop-rule inputs); accepted exits are
-        # already consistent.
-        lam = jnp.where(bt_accepted, lam, lam / bt)
+        # already consistent. Clamped at the initial steplength: with
+        # max_backtracks=0 no trial ever ran, bt_accepted stays False, and
+        # an unclamped lam/bt would take an amplified (1/bt > 1) step that
+        # was never evaluated.
+        lam = jnp.where(bt_accepted, lam, jnp.minimum(lam / bt, lam0))
 
         x_new = x + lam * d
         sk = lam * d
@@ -443,7 +472,8 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         # state resumable past a MAXIT checkpoint.
         new_state = SGPState(keep, it_new, x_new, x_prev, ~rule_keep,
                              g_new, x_tf_new, fv_new, alpha_new,
-                             tau_new, valpha, fold, beta_p, lr, discr, err)
+                             tau_new, valpha, fold, beta_p, lr, discr, err,
+                             lam_dual, dlam_dual)
         if cfg.sync_axes:
             # this lane only ran for collective lockstep after stopping:
             # carry its state through unchanged (results stay per-image)
@@ -456,7 +486,8 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
     if rstate is None:
         state = SGPState(jnp.bool_(True), jnp.int32(1), x, x,
                          jnp.bool_(False), g, x_tf, fv, alpha, tau,
-                         valpha, fold, beta_p, lr, discr, err)
+                         valpha, fold, beta_p, lr, discr, err,
+                         jnp.asarray(jnp.nan, dt), jnp.asarray(jnp.inf, dt))
     else:
         state = SGPState(*rstate)
         # grow whichever tracked series buffers the new budget needs;

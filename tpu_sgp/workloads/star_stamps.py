@@ -27,7 +27,7 @@ from ..catalog import source_info
 from ..config import DEFAULT_COLUMNS, DEFAULT_PARAMS, SGPConfig
 from ..image import Cutout2D, getdata
 from ..metrics import (fit_radprof, radial_profile, wasserstein_distance_norm)
-from ..parallel.batch import restore_stamps
+from ..parallel.batch import beta_init_search, restore_stamps
 from ..psf import read_coo
 from ..simulate import synthetic_star_stamps
 
@@ -183,32 +183,17 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
     cfg = _workload_cfg(use_beta_div,
                         operator='auto' if psfs.ndim == 2 else 'otf')
     if use_beta_div:
-        # stage 1: candidate grid — every stamp restored with all five
-        # seeded beta inits in one batch
-        cands = _beta_candidates()
-        k = cands.size
-        grid = restore_stamps(
-            np.repeat(sset.stamps, k, axis=0),
-            np.repeat(psfs, k, axis=0) if psfs.ndim == 3 else psfs,
-            np.repeat(sset.bkgs, k), cfg,
-            fluxes=np.repeat(sset.fluxes, k),
-            beta0=np.tile(cands, b), sat_level=CCD_SAT_LEVEL, mesh=mesh,
-            bucket=True, phase1_iters=32)
-        grid_x = np.asarray(grid.x).reshape(b, k, CUTOUT_SIZE, CUTOUT_SIZE)
-        # selection metric: catalog flux fractional difference (reference
-        # application_sgp_star_stamps.py:90-97)
-        best_idx = np.zeros(b, np.int64)
-        for i in range(b):
-            ffds = np.full(k, np.inf)
-            for j in range(k):
-                scat, _ = source_info(grid_x[i, j], localbkg_width=5)
-                if scat is None or len(scat) == 0:
-                    continue
-                t = scat.to_table(['segment_flux'])
-                ffds[j] = 1.0 - (t['segment_flux'].value[_brightest(t)]
-                                 / sset.fluxes[i])
-            best_idx[i] = int(np.argmin(ffds))
-        best_betas = cands[best_idx]
+        # stage 1: candidate grid through the library's beta_init_search —
+        # all five seeded inits per stamp in one batch, selected by the
+        # reference's catalog flux-fractional-difference criterion
+        # (application_sgp_star_stamps.py:90-97) via the batched catalog
+        # pipeline (one vectorized pass over the B*K restorations instead
+        # of B*K serial source_info calls — the round-2 host wall)
+        best_betas, _, _grid = beta_init_search(
+            sset.stamps, psfs, sset.bkgs, cfg, fluxes=sset.fluxes,
+            sat_level=CCD_SAT_LEVEL, mesh=mesh, scorer='catalog',
+            phase1_iters=32, bucket=True)
+        best_betas = np.asarray(best_betas)
         t0 = timer()
         res = restore_stamps(sset.stamps, psfs, sset.bkgs, cfg,
                              fluxes=sset.fluxes, beta0=best_betas,
