@@ -67,9 +67,10 @@ def bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
                     init_recon=2, proj_type=1, has_flux=True,
                     has_sat_level=True, dtype='float32', divergence='beta',
                     adapt_beta=True, schedule_lr=True, track_discr=False)
-    wall = _min_wall(lambda: _sync(restore_stamps(
-        s, psf, b, cfg, fluxes=f, beta0=1.005, lr0=1e-3, sat_level=65000.0,
-        flatten=True)))
+    fused = jax.jit(lambda s_, p_, b_, f_: restore_stamps(
+        s_, p_, b_, cfg, fluxes=f_, beta0=1.005, lr0=1e-3,
+        sat_level=65000.0, flatten=True))
+    wall = _min_wall(lambda: _sync(fused(s, psf, b, f)))
     rate = BETA_BATCH / wall
     _emit('beta_sgp_stamp_restorations_per_second_b2048_tpu', rate,
           'stamps/s', rate * BASELINE_BETA_STAMP_SECONDS)
@@ -207,17 +208,29 @@ def main():
         print(f'# sharding batch over {len(jax.devices())} devices',
               file=sys.stderr)
 
-    def run():
-        # convergence compaction: run all lanes to ~p95 of the iteration
-        # distribution, finish the tail as a small batch (bit-equal
-        # schedules; ~19% measured). flatten: raveled (B, 961) stamp layout
-        # (measured faster than (B, 31, 31) with the raveled projection
-        # sweep); track_discr=False drops the per-iteration series scatter
-        # nobody reads here.
-        return _sync(restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
-                                    sat_level=65000.0, phase1_iters=31,
-                                    tail_bucket=512, flatten=True,
-                                    mesh=mesh))
+    # convergence compaction: run all lanes to ~p95 of the iteration
+    # distribution, finish the tail as a small batch (bit-equal
+    # schedules; ~19% measured). flatten: raveled (B, 961) stamp layout
+    # (measured faster than (B, 31, 31) with the raveled projection
+    # sweep); track_discr=False drops the per-iteration series scatter
+    # nobody reads here. On the single-chip path the WHOLE multi-phase
+    # call is fused into one program (jit over restore_stamps): the
+    # phase1/gather/tail/catch-up programs each paid a per-dispatch link
+    # floor (~10 ms net; a 1-iteration batched solve still costs ~59 ms
+    # of fixed overhead on this rig — see NOTES.md round 3).
+    if mesh is None:
+        fused = jax.jit(lambda s, p, b, f: restore_stamps(
+            s, p, b, cfg, fluxes=f, sat_level=65000.0, phase1_iters=31,
+            tail_bucket=512, flatten=True))
+
+        def run():
+            return _sync(fused(stamps, psf, bkgs, fluxes))
+    else:
+        def run():
+            return _sync(restore_stamps(stamps, psf, bkgs, cfg,
+                                        fluxes=fluxes, sat_level=65000.0,
+                                        phase1_iters=31, tail_bucket=512,
+                                        flatten=True, mesh=mesh))
 
     res = run()
     iters = np.asarray(res.iters)

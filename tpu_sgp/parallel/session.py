@@ -206,12 +206,25 @@ class RestorationSession:
             return self._unpack_result(np.asarray(res), b, h, w)
         return SGPResult(*(np.asarray(f)[:b] for f in res))
 
-    def restore_stream(self, batches: Iterable) -> Iterable[SGPResult]:
-        """Generator over (stamps, bkgs, fluxes) tuples — dispatches the
-        next batch while the caller consumes the previous result (JAX's
-        async dispatch overlaps host and device; the packed path keeps the
-        in-flight pipeline to one upload + one program + one readback per
-        request)."""
+    def restore_stream(self, batches: Iterable,
+                       lookahead: int = 2) -> Iterable[SGPResult]:
+        """Generator over (stamps, bkgs, fluxes) tuples — pipelines up to
+        ``lookahead`` requests ahead of the one being consumed.
+
+        The upload+dispatch stage runs on a worker thread: a request's
+        host->device transfer BLOCKS the dispatching thread on tunneled
+        links, so interleaving it inline with result readbacks serialized
+        the stream (measured SLOWER than sequential restore() calls).
+        With the stage on its own thread the link runs full duplex —
+        request N+1 uploads while request N's result downloads — and the
+        throughput approaches the slowest single stage instead of their
+        sum."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def dispatch(item):
+            stamps, bkgs, fluxes = item
+            return self._restore_padded(stamps, bkgs, fluxes=fluxes)
+
         def done(pending):
             # transfer forces completion; block_until_ready is a no-op on
             # some tunneled backends. Slice the bucket padding off host-side.
@@ -221,12 +234,12 @@ class RestorationSession:
                 return self._unpack_result(np.asarray(res), b, h, w)
             return SGPResult(*(np.asarray(f)[:b] for f in res))
 
-        pending = None
-        for item in batches:
-            stamps, bkgs, fluxes = item
-            nxt = self._restore_padded(stamps, bkgs, fluxes=fluxes)
-            if pending is not None:
-                yield done(pending)
-            pending = nxt
-        if pending is not None:
-            yield done(pending)
+        from collections import deque
+        inflight: deque = deque()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for item in batches:
+                inflight.append(pool.submit(dispatch, item))
+                while len(inflight) > max(1, int(lookahead)):
+                    yield done(inflight.popleft().result())
+            while inflight:
+                yield done(inflight.popleft().result())
