@@ -32,7 +32,8 @@ BASELINE_STAMP_SECONDS = 0.0133       # reference median per-stamp wall (KL)
 BASELINE_BETA_STAMP_SECONDS = 0.0200  # reference median per-stamp wall (beta)
 BASELINE_FRAME_MS_PER_ITER = 128.0    # reference 410x410 sparse subframe
 BATCH = 6144
-BETA_BATCH = 2048
+BETA_BATCH = 6144  # round 3: the 2048 wall was ~70% fixed overhead; 6144
+                   # with compaction measured 48.7k vs 28.8k stamps/s
 N_REPEATS = 15  # the tunneled chip is contention-bimodal; min over many repeats
 
 
@@ -69,10 +70,10 @@ def bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
                     adapt_beta=True, schedule_lr=True, track_discr=False)
     fused = jax.jit(lambda s_, p_, b_, f_: restore_stamps(
         s_, p_, b_, cfg, fluxes=f_, beta0=1.005, lr0=1e-3,
-        sat_level=65000.0, flatten=True))
+        sat_level=65000.0, flatten=True, phase1_iters=32, tail_bucket=512))
     wall = _min_wall(lambda: _sync(fused(s, psf, b, f)))
     rate = BETA_BATCH / wall
-    _emit('beta_sgp_stamp_restorations_per_second_b2048_tpu', rate,
+    _emit('beta_sgp_stamp_restorations_per_second_b6144_tpu', rate,
           'stamps/s', rate * BASELINE_BETA_STAMP_SECONDS)
 
 

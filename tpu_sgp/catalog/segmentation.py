@@ -86,10 +86,9 @@ def _watershed_assign(vals: np.ndarray, inseg: np.ndarray,
     out = markers.copy()
     pq = []
     cnt = 0
-    ys, xs = np.nonzero(out > 0)
-    order = np.argsort(-vals[ys, xs], kind='stable')
-    for k in order:
-        pq.append((-float(vals[ys[k], xs[k]]), cnt, int(ys[k]), int(xs[k])))
+    ys, xs = np.nonzero(out > 0)  # raster order, matching the C++ seeding
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        pq.append((-float(vals[y, x]), cnt, y, x))
         cnt += 1
     heapq.heapify(pq)
     while pq:

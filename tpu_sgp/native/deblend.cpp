@@ -23,10 +23,15 @@ namespace {
 
 struct Pix {
   double val;
+  int64_t age;  // FIFO tie-break: equal-value plateaus (saturated cores)
+                // flood in insertion order, like skimage's watershed
   int32_t idx;
 };
 struct PixLess {
-  bool operator()(const Pix& a, const Pix& b) const { return a.val < b.val; }
+  bool operator()(const Pix& a, const Pix& b) const {
+    if (a.val != b.val) return a.val < b.val;
+    return a.age > b.age;  // older entries pop first among equals
+  }
 };
 
 // 8-connected component labeling of mask>level via iterative DFS.
@@ -166,8 +171,9 @@ int32_t deblend_segment(const double* vals, const uint8_t* inseg, int32_t h,
   // seeding from markers (priority queue on pixel value)
   std::memcpy(out, markers.data(), size * sizeof(int32_t));
   std::priority_queue<Pix, std::vector<Pix>, PixLess> pq;
+  int64_t age = 0;
   for (int64_t i = 0; i < size; ++i)
-    if (out[i] > 0) pq.push({vals[i], (int32_t)i});
+    if (out[i] > 0) pq.push({vals[i], age++, (int32_t)i});
   while (!pq.empty()) {
     Pix p = pq.top();
     pq.pop();
@@ -181,7 +187,7 @@ int32_t deblend_segment(const double* vals, const uint8_t* inseg, int32_t h,
         int32_t q = ny * w + nx;
         if (inseg[q] && !out[q]) {
           out[q] = labp;
-          pq.push({vals[q], q});
+          pq.push({vals[q], age++, q});
         }
       }
     }

@@ -216,10 +216,14 @@ def project_df(b, c, dia, scaling, sat_level=None, max_projs: int = 1000,
     return xval(lam_sel).astype(in_dtype)
 
 
-# Interior points per sectioning step of project_df_bisect. 7 narrows the
-# bracket 3 bits/step at one (K, N) sweep per step; measured against K=15
-# (4 bits/step, 2x the sweep arithmetic) on v5e — see docs/PERFORMANCE.md.
-_K_PTS = 7
+# Interior points per sectioning step of project_df_bisect. K=3 narrows
+# the bracket 2 bits/step at one (K, N) sweep per step. Round 3 re-measured
+# the whole ladder with per-K compiled programs (an earlier probe was
+# invalidated by jit caching): K=1/3/5/7/15/31 ->
+# 53.8/67.2/65.7/64.9/59.8/49.4k stamps/s at B=6144 — the sweep is
+# ARITHMETIC-bound (total work K*ceil(bits/log2(K+1))*N is minimized near
+# K=3), while K=1's 28 sequential steps pay too much per-step overhead.
+_K_PTS = 3
 
 
 def bracket_bits(dtype) -> int:
@@ -279,7 +283,10 @@ def project_df_bisect(b, c, dia, scaling, sat_level=None,
     # K+1 per step. The plain 1-point bisection is launch-latency bound on
     # TPU (~40us/step for ~3us of memory traffic), so trading 7x the
     # arithmetic for 3x fewer sequential steps is a clear win.
-    k_pts = _K_PTS
+    # sharded images pay one psum per sweep STEP: K=7 (3 bits/step) keeps
+    # the collective rounds at 10 instead of K=3's 14; single-device
+    # sweeps are arithmetic-bound and take the smaller K (see _K_PTS)
+    k_pts = 7 if axes else _K_PTS
     bits_per_step = np.log2(k_pts + 1)
     n_steps = int(np.ceil(n_iters / bits_per_step))
     fracs = (jnp.arange(1, k_pts + 1, dtype=dtype) / (k_pts + 1))
@@ -365,7 +372,10 @@ def project_df_bisect_warm(b, c, dia, scaling, sat_level=None,
     cold_hi = jnp.maximum(gmax(b * dia - c, axes), cold_lo + 1.0)
     width_cold = cold_hi - cold_lo
 
-    k_pts = _K_PTS
+    # sharded images pay one psum per sweep STEP: K=7 (3 bits/step) keeps
+    # the collective rounds at 10 instead of K=3's 14; single-device
+    # sweeps are arithmetic-bound and take the smaller K (see _K_PTS)
+    k_pts = 7 if axes else _K_PTS
     n_steps = int(np.ceil(n_iters / np.log2(k_pts + 1)))
     # cold final width; the dtype-resolution floor is applied inside the
     # loop cond at the CURRENT bracket location (see below)
