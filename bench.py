@@ -31,7 +31,7 @@ import numpy as np
 BASELINE_STAMP_SECONDS = 0.0133       # reference median per-stamp wall (KL)
 BASELINE_BETA_STAMP_SECONDS = 0.0200  # reference median per-stamp wall (beta)
 BASELINE_FRAME_MS_PER_ITER = 128.0    # reference 410x410 sparse subframe
-BATCH = 6144
+BATCH = 8192  # round 3: fused-call scan 6144/8192/12288 -> 66.6/71.2/53.5k
 BETA_BATCH = 6144  # round 3: the 2048 wall was ~70% fixed overhead; 6144
                    # with compaction measured 48.7k vs 28.8k stamps/s
 N_REPEATS = 15  # the tunneled chip is contention-bimodal; min over many repeats
@@ -248,7 +248,7 @@ def main():
           f'iters median={int(np.median(iters))} max={int(iters.max())} '
           f'finite={bool(np.isfinite(np.asarray(res.x)).all())}',
           file=sys.stderr)
-    _emit('kl_sgp_stamp_restorations_per_second_b6144_tpu', stamps_per_s,
+    _emit('kl_sgp_stamp_restorations_per_second_b8192_tpu', stamps_per_s,
           'stamps/s', stamps_per_s * BASELINE_STAMP_SECONDS)
 
 

@@ -397,3 +397,23 @@ def test_restoration_session_packed_path_equivalence():
     assert not sess2._packed_progs
     r2 = sess2.restore(stamps, bkgs, fluxes=fluxes)
     assert r2.discr.shape[1] > 1
+
+
+@__import__('pytest').mark.filterwarnings(
+    'ignore:RestorationSession')
+def test_restoration_session_packed_guards():
+    """The packed path must not swallow the missing-fluxes error and must
+    route background MAPS through the plain multi-array path."""
+    import pytest
+    from tpu_sgp.parallel.session import RestorationSession
+
+    stamps, psf, bkgs, _ = synthetic_star_stamps(4, size=16, seed=23)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=4, track_discr=False)
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    with pytest.raises(ValueError, match='has_flux'):
+        sess.restore(stamps, bkgs)
+    bkg_maps = np.broadcast_to(bkgs[:, None, None], stamps.shape).copy()
+    r = sess.restore(stamps, bkg_maps, fluxes=fluxes)
+    assert not sess._packed_progs           # map request took the plain path
+    assert np.isfinite(r.x).all()

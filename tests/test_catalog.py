@@ -175,3 +175,54 @@ def test_clipped_box_stats_flat_high_level_boxes():
             dm, ds = direct(x[i])
             assert abs(med[i] - dm) <= 1e-12 * max(abs(dm), 1.0)
             assert abs(std[i] - ds) <= 1e-6 * max(ds, 1e-12)
+
+
+def test_batched_brightest_fluxes_match_serial(rng):
+    """The batched scorer must equal the serial source_info path exactly —
+    including on deconvolved-like stamps whose spline-overshoot RMS map
+    goes negative (the threshold floor), and wide stars with shallow
+    skirts (review regression)."""
+    from tpu_sgp.catalog.batched import brightest_catalog_fluxes
+
+    stamps = []
+    for i in range(24):
+        img = rng.normal(0, 0.01, (31, 31))
+        y, x = rng.integers(8, 23, 2)
+        img[y, x] = rng.uniform(100, 2000)        # sharp spike
+        stamps.append(img)
+    for i in range(8):
+        img = np.full((31, 31), 5.0) + rng.normal(0, 0.5, (31, 31))
+        img = _gauss_source(img, 15.5, 15.5, 2e5, sig=4.0)  # wide + skirt
+        stamps.append(img)
+    stamps = np.asarray(stamps)
+    fast = brightest_catalog_fluxes(stamps)
+    for i in range(len(stamps)):
+        scat, _ = source_info(stamps[i], localbkg_width=5)
+        if scat is None or len(scat) == 0:
+            assert not np.isfinite(fast[i]), i
+            continue
+        want = float(np.max(scat.to_table(['segment_flux'])
+                            ['segment_flux'].value))
+        np.testing.assert_allclose(fast[i], want, rtol=1e-12, err_msg=str(i))
+
+
+def test_batched_background_tolerates_nan_stamps(rng):
+    """A NaN-poisoned stamp (diverged candidate restoration) must not leak
+    into other stamps' background maps, and gets the serial path's
+    good&finite IDW mask itself."""
+    from tpu_sgp.catalog.batched import _batched_background
+
+    stamps = np.full((4, 31, 31), 100.0) + rng.normal(0, 3, (4, 31, 31))
+    stamps[2, 5:9, 5:9] = np.nan
+    bkg, rms = _batched_background(stamps)
+    assert np.isfinite(bkg[[0, 1, 3]]).all()
+    assert np.isfinite(rms[[0, 1, 3]]).all()
+
+
+def test_nanmedian_filter_even_size_shape():
+    from tpu_sgp.catalog.background import _nanmedian_filter
+    m = np.arange(36, dtype=float).reshape(6, 6)
+    out = _nanmedian_filter(m, (2, 2))
+    assert out.shape == (6, 6)
+    out3 = _nanmedian_filter(m[None], (3, 3))
+    assert out3.shape == (1, 6, 6)

@@ -86,3 +86,25 @@ def test_resume_refuses_enabling_untracked_series(rng):
     with pytest.raises(ValueError, match='without it'):
         resume_from_state(*args, st, cfg.replace(track_discr=True,
                                                  max_iter=6))
+
+
+def test_load_pre_round3_checkpoint_defaults_new_fields(tmp_path):
+    """Checkpoints saved before the warm-projection fields existed must
+    still load (the carry cold-starts as invalid)."""
+    import numpy as np
+
+    from tpu_sgp.solvers.checkpoint import (_FIELDS, load_state_npz,
+                                            save_state_npz)
+    from tpu_sgp.solvers.sgp import SGPState
+
+    state = SGPState(*[np.zeros(2) for _ in _FIELDS])
+    p = str(tmp_path / 'old.npz')
+    save_state_npz(p, state)
+    # strip the new fields to simulate an old checkpoint
+    with np.load(p) as z:
+        old = {k: z[k] for k in z.files
+               if k not in ('lam_dual', 'dlam_dual')}
+    np.savez(p, **old)
+    st = load_state_npz(p)
+    assert np.isnan(np.asarray(st.lam_dual)).all()
+    assert np.isposinf(np.asarray(st.dlam_dual)).all()

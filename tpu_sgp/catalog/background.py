@@ -70,13 +70,16 @@ def _idw_fill(mesh: np.ndarray, good: np.ndarray, n_neighbors: int = 10,
 
 def _nanmedian_filter(mesh: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     """photutils mesh filter: ``generic_filter(nanmedian, mode='constant',
-    cval=nan)`` — edge windows use only the in-bounds cells."""
+    cval=nan)`` — edge windows use only the in-bounds cells. Operates on
+    the LAST TWO axes (leading axes batch). Even window sizes use scipy's
+    origin convention (window offsets [-s//2, s - s//2 - 1]); a symmetric
+    pad there returned a mesh one row/column too large."""
     fy, fx = int(size[0]), int(size[1])
-    py_, px_ = fy // 2, fx // 2
-    pad = np.pad(mesh, ((py_, py_), (px_, px_)), mode='constant',
-                 constant_values=np.nan)
-    win = sliding_window_view(pad, (fy, fx))
-    flat = win.reshape(win.shape[0], win.shape[1], -1)
+    pads = [(0, 0)] * (mesh.ndim - 2)
+    pads += [(fy // 2, fy - 1 - fy // 2), (fx // 2, fx - 1 - fx // 2)]
+    pad = np.pad(mesh, pads, mode='constant', constant_values=np.nan)
+    win = sliding_window_view(pad, (fy, fx), axis=(-2, -1))
+    flat = win.reshape(win.shape[:-2] + (-1,))
     with np.errstate(all='ignore'):
         return np.nanmedian(flat, axis=-1)
 

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import numpy as np
 from scipy import ndimage
-from numpy.lib.stride_tricks import sliding_window_view
 
 from ..utils import make_2dgaussian_kernel
 from ._clip import clipped_box_stats
@@ -63,21 +62,35 @@ def _batched_background(cutouts: np.ndarray, box: int = 5,
         if ph:
             nbad[-1, -1] = box * box - (box - ph) * (box - pw)
     good = nbad <= (exclude_percentile / 100.0) * (box * box)
+    # stamps whose mesh picked up non-finite cells (e.g. a diverged f32
+    # candidate restoration) need the serial path's good&isfinite mask —
+    # they cannot share the fixed-geometry fill
+    finite = np.isfinite(med) & np.isfinite(std)
+    irregular = ~(finite | ~good[None]).all(axis=(1, 2))
     if not good.all():
+        # fixed-geometry Shepard fill as ONE gather + weight contraction:
+        # the neighbor sets and weights depend only on the shared mask
+        gy, gx = np.nonzero(good)
+        by_, bx_ = np.nonzero(~good)
+        d = np.sqrt((by_[:, None] - gy[None, :]) ** 2.0
+                    + (bx_[:, None] - gx[None, :]) ** 2.0)
+        k = min(10, gy.size)
+        idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+        wgt = 1.0 / np.maximum(np.take_along_axis(d, idx, axis=1),
+                               1e-30)
+        wsum = wgt.sum(axis=1)
         for mesh in (med, std):
-            mesh[...] = np.stack([_idw_fill(m, good) for m in mesh])
+            vals = mesh[:, gy, gx]                       # (n, n_good)
+            mesh[:, by_, bx_] = (vals[:, idx] * wgt).sum(axis=2) / wsum
+    for i in np.nonzero(irregular)[0]:
+        med[i] = _idw_fill(med[i], good & np.isfinite(med[i]))
+        std[i] = _idw_fill(std[i], good & np.isfinite(std[i]))
     if ny * nx > 1:
         fy = min(filter_size, 2 * ny - 1)
         fx = min(filter_size, 2 * nx - 1)
         if fy > 1 or fx > 1:
-            py_, px_ = fy // 2, fx // 2
-            for mesh in (med, std):
-                pad = np.pad(mesh, ((0, 0), (py_, py_), (px_, px_)),
-                             constant_values=np.nan)
-                win = sliding_window_view(pad, (fy, fx), axis=(1, 2))
-                with np.errstate(all='ignore'):
-                    mesh[...] = np.nanmedian(
-                        win.reshape(n, ny, nx, -1), axis=-1)
+            med = _nanmedian_filter(med, (fy, fx))
+            std = _nanmedian_filter(std, (fy, fx))
 
     order = 3 if min(ny, nx) >= 4 else 1
     wy = _zoom_axis_weights(ny, box, order, grid_mode=False)
@@ -114,7 +127,11 @@ def brightest_catalog_fluxes(cutouts: np.ndarray, n_pixels: int = 5,
     data_sub = cutouts - bkg_map
     kern = make_2dgaussian_kernel(1.2, size=3)
     conv = ndimage.convolve(data_sub, kern[None], mode='constant', cval=0.0)
-    mask = conv > sigma_threshold * rms_map
+    # source_info floors the threshold at 0 (np.maximum(..., threshold_floor
+    # =0.0)) — without it, regions where spline overshoot drives the RMS
+    # map negative detect everything and the batched mask diverges from
+    # the serial path
+    mask = conv > np.maximum(sigma_threshold * rms_map, 0.0)
 
     lab, nlab = ndimage.label(mask, structure=_PLANE8)
     out = np.full(n, np.nan)
@@ -148,7 +165,9 @@ def brightest_catalog_fluxes(cutouts: np.ndarray, n_pixels: int = 5,
                 multi = True
                 break
         if multi:
-            scat, _ = source_info(cutouts[i], localbkg_width=5)
+            scat, _ = source_info(cutouts[i], n_pixels=n_pixels,
+                                  sigma_threshold=sigma_threshold,
+                                  localbkg_width=5)
             if scat is not None and len(scat):
                 t = scat.to_table(['segment_flux'])
                 out[i] = float(np.max(t['segment_flux'].value))

@@ -61,8 +61,9 @@ class SGPConfig:
                                    # data-dependent sweep count runs to the
                                    # worst lane of the whole batch: 54.8k
                                    # vs 60.0k stamps/s at B=6144) — so off
-                                   # by default; whole-frame/CLI paths and
-                                   # the bench opt in.
+                                   # by default; single-image callers opt
+                                   # in by building their own SGPConfig
+                                   # (the whole-frame bench does).
     # Line search ---------------------------------------------------------
     gamma: float = 1e-4            # Armijo penalty
     bt_factor: float = 0.4         # backtracking shrink factor ("beta" in the reference)

@@ -174,9 +174,17 @@ class RestorationSession:
                 f'this request pays a full solver compile. Warm it with '
                 f'warmup(buckets=[{bucket}]) or warmup(max_batch=...).',
                 stacklevel=3)
+        if self.cfg.has_flux and fluxes is None:
+            # fail HERE like restore_stamps does — the packed layout would
+            # otherwise silently substitute flux 0 and serve identically
+            # zero reconstructions
+            raise ValueError('cfg.has_flux=True but fluxes=None: every '
+                             'reconstruction would be identically zero')
         if (self.mesh is None and not self.cfg.track_discr
-                and not self.cfg.errflag):
-            # packed single-device fast path: one H2D, one program, one D2H
+                and not self.cfg.errflag and np.ndim(bkgs) <= 1):
+            # packed single-device fast path: one H2D, one program, one
+            # D2H. Per-pixel background MAPS don't fit the (B, H*W+3)
+            # layout — they take the plain multi-array path below.
             packed = self._pack_request(np.asarray(stamps), bkgs, fluxes,
                                         beta0)
             out = self._packed_prog(bucket)(packed)

@@ -19,6 +19,27 @@ from .sgp import SGPState
 
 _FIELDS = SGPState._fields
 
+# Fields added after a release default on load so older checkpoints keep
+# resuming (the warm-projection carry cold-starts as invalid — results
+# only differ by the warm path's bracket-resolution roundoff):
+_FIELD_DEFAULTS = {
+    'lam_dual': lambda st: np.asarray(np.nan, np.asarray(st['fv']).dtype),
+    'dlam_dual': lambda st: np.asarray(np.inf, np.asarray(st['fv']).dtype),
+}
+
+
+def _fill_missing(items: dict) -> SGPState:
+    vals = []
+    for k in _FIELDS:
+        if k in items:
+            vals.append(items[k])
+        elif k in _FIELD_DEFAULTS:
+            vals.append(_FIELD_DEFAULTS[k](items))
+        else:
+            raise KeyError(f'checkpoint missing field {k!r} and no '
+                           'default exists')
+    return SGPState(*vals)
+
 
 def save_state_npz(path: str, state: SGPState) -> None:
     np.savez(path, **{k: np.asarray(v) for k, v in
@@ -27,7 +48,7 @@ def save_state_npz(path: str, state: SGPState) -> None:
 
 def load_state_npz(path: str) -> SGPState:
     with np.load(path) as z:
-        return SGPState(*[z[k] for k in _FIELDS])
+        return _fill_missing({k: z[k] for k in z.files})
 
 
 def save_state_orbax(path: str, state: SGPState) -> None:
@@ -46,7 +67,7 @@ def load_state_orbax(path: str) -> SGPState:
     path = os.path.abspath(path)
     ckpt = ocp.StandardCheckpointer()
     restored = ckpt.restore(path)
-    return SGPState(*[restored[k] for k in _FIELDS])
+    return _fill_missing(dict(restored))
 
 
 def save_state(path: str, state: SGPState, backend: str = 'npz') -> None:
