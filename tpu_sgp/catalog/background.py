@@ -49,18 +49,21 @@ def _idw_fill(mesh: np.ndarray, good: np.ndarray, n_neighbors: int = 10,
               power: float = 1.0) -> np.ndarray:
     """Fill ``~good`` cells by Shepard inverse-distance weighting of the
     ``n_neighbors`` nearest good cells (photutils ``_interpolate_meshes``
-    semantics: n_neighbors=10, power=1, reg=0)."""
+    semantics: n_neighbors=10, power=1, reg=0). Neighbor lookup via
+    cKDTree like photutils' ShepardIDWInterpolator — a brute-force
+    distance matrix cost 0.6 s on a megapixel frame's 205x205 mesh."""
     if good.all():
         return mesh
     gy, gx = np.nonzero(good)
     if gy.size == 0:
         return mesh
+    from scipy.spatial import cKDTree
+
     by_, bx_ = np.nonzero(~good)
-    d = np.sqrt((by_[:, None] - gy[None, :]) ** 2.0
-                + (bx_[:, None] - gx[None, :]) ** 2.0)
     k = min(n_neighbors, gy.size)
-    idx = np.argpartition(d, k - 1, axis=1)[:, :k]
-    dk = np.take_along_axis(d, idx, axis=1)
+    dk, idx = cKDTree(np.c_[gy, gx]).query(np.c_[by_, bx_], k=k)
+    dk = dk.reshape(len(by_), k)
+    idx = idx.reshape(len(by_), k)
     w = 1.0 / np.maximum(dk, 1e-30) ** power
     out = mesh.copy()
     vals = mesh[gy, gx]

@@ -69,15 +69,19 @@ def _batched_background(cutouts: np.ndarray, box: int = 5,
     irregular = ~(finite | ~good[None]).all(axis=(1, 2))
     if not good.all():
         # fixed-geometry Shepard fill as ONE gather + weight contraction:
-        # the neighbor sets and weights depend only on the shared mask
+        # the neighbor sets and weights depend only on the shared mask.
+        # cKDTree selection, exactly like the serial _idw_fill — brute
+        # force picks different equidistant-tie neighbors and the batched
+        # and serial fills would disagree at the tie cells
+        from scipy.spatial import cKDTree
+
         gy, gx = np.nonzero(good)
         by_, bx_ = np.nonzero(~good)
-        d = np.sqrt((by_[:, None] - gy[None, :]) ** 2.0
-                    + (bx_[:, None] - gx[None, :]) ** 2.0)
         k = min(10, gy.size)
-        idx = np.argpartition(d, k - 1, axis=1)[:, :k]
-        wgt = 1.0 / np.maximum(np.take_along_axis(d, idx, axis=1),
-                               1e-30)
+        dk, idx = cKDTree(np.c_[gy, gx]).query(np.c_[by_, bx_], k=k)
+        dk = dk.reshape(len(by_), k)
+        idx = idx.reshape(len(by_), k)
+        wgt = 1.0 / np.maximum(dk, 1e-30)
         wsum = wgt.sum(axis=1)
         for mesh in (med, std):
             vals = mesh[:, gy, gx]                       # (n, n_good)
