@@ -68,9 +68,10 @@ def bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
                     init_recon=2, proj_type=1, has_flux=True,
                     has_sat_level=True, dtype='float32', divergence='beta',
                     adapt_beta=True, schedule_lr=True, track_discr=False)
+    # p1/tail retuned in round 3: (32,512)->49.1k, (28,1024)->53.1k
     fused = jax.jit(lambda s_, p_, b_, f_: restore_stamps(
         s_, p_, b_, cfg, fluxes=f_, beta0=1.005, lr0=1e-3,
-        sat_level=65000.0, flatten=True, phase1_iters=32, tail_bucket=512))
+        sat_level=65000.0, flatten=True, phase1_iters=28, tail_bucket=1024))
     wall = _min_wall(lambda: _sync(fused(s, psf, b, f)))
     rate = BETA_BATCH / wall
     _emit('beta_sgp_stamp_restorations_per_second_b6144_tpu', rate,
@@ -220,9 +221,11 @@ def main():
     # floor (~10 ms net; a 1-iteration batched solve still costs ~59 ms
     # of fixed overhead on this rig — see NOTES.md round 3).
     if mesh is None:
+        # p1/tail retuned at B=8192: (31,512)->72.3k, (28,1024)->76.2k,
+        # (26,1024) collapses (tail overflows, catch-up phase runs)
         fused = jax.jit(lambda s, p, b, f: restore_stamps(
-            s, p, b, cfg, fluxes=f, sat_level=65000.0, phase1_iters=31,
-            tail_bucket=512, flatten=True))
+            s, p, b, cfg, fluxes=f, sat_level=65000.0, phase1_iters=28,
+            tail_bucket=1024, flatten=True))
 
         def run():
             return _sync(fused(stamps, psf, bkgs, fluxes))

@@ -417,3 +417,25 @@ def test_restoration_session_packed_guards():
     r = sess.restore(stamps, bkg_maps, fluxes=fluxes)
     assert not sess._packed_progs           # map request took the plain path
     assert np.isfinite(r.x).all()
+
+
+@__import__('pytest').mark.filterwarnings(
+    'ignore:RestorationSession')
+def test_restoration_session_packed_beta_divergence():
+    """The packed layout carries a per-request beta0 column — a
+    beta-divergence session must honor it."""
+    from tpu_sgp.parallel.session import RestorationSession
+
+    stamps, psf, bkgs, _ = synthetic_star_stamps(4, size=16, seed=29)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=8, divergence='beta', adapt_beta=True,
+               schedule_lr=True, track_discr=False)
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16), beta0=1.01)
+    sess.warmup(buckets=(4,))
+    assert sess._packed_progs
+    r1 = sess.restore(stamps, bkgs, fluxes=fluxes)
+    r2 = sess.restore(stamps, bkgs, fluxes=fluxes, beta0=0.97)
+    assert np.isfinite(r1.x).all() and np.isfinite(r2.x).all()
+    # a different beta0 must actually change the result
+    assert not np.allclose(r1.x, r2.x)
+    np.testing.assert_allclose(r1.beta, 1.01 * np.ones(4), rtol=0.05)
