@@ -20,9 +20,14 @@ arithmetic where re-expressed):
 
 Deblending cannot change which FLUX is brightest unless some segment
 actually hosts >1 local-maximum plateau (the exact pre-filter of
-``segmentation._deblend_one``); stamps where that happens fall back to
-the full ``source_info`` path, so selected betas are identical to the
-serial loop by construction.
+``segmentation._deblend_one``); stamps where that happens run the real
+deblender on the ALREADY-COMPUTED convolved image and labels (identical
+inputs -> identical children), so selected betas are identical to the
+serial loop by construction. An earlier fallback re-ran the whole
+``source_info`` per multi-peak stamp — and DECONVOLVED stamps are almost
+all multi-peak (ripples around the restored star), so the workload paid
+~3.5k serial background estimations again; now only the per-segment
+deblend runs.
 """
 from __future__ import annotations
 
@@ -123,7 +128,7 @@ def brightest_catalog_fluxes(cutouts: np.ndarray, n_pixels: int = 5,
     """Brightest-source ``segment_flux`` per cutout (NaN when nothing is
     detected). Matches ``source_info(cutout)`` + argmax(segment_flux)
     exactly; see the module docstring for the fallback rule."""
-    from .source_info import source_info
+    from .segmentation import SegmentationImage, deblend_sources
 
     cutouts = np.asarray(cutouts, np.float64)
     n, h, w = cutouts.shape
@@ -169,12 +174,19 @@ def brightest_catalog_fluxes(cutouts: np.ndarray, n_pixels: int = 5,
                 multi = True
                 break
         if multi:
-            scat, _ = source_info(cutouts[i], n_pixels=n_pixels,
-                                  sigma_threshold=sigma_threshold,
-                                  localbkg_width=5)
-            if scat is not None and len(scat):
-                t = scat.to_table(['segment_flux'])
-                out[i] = float(np.max(t['segment_flux'].value))
+            # deblend THIS stamp's already-computed labels on the
+            # already-computed convolved image (same inputs as the serial
+            # path -> same children), then take the brightest child's
+            # data_sub sum — exactly SourceCatalog's segment_flux
+            remap = np.zeros(int(li.max()) + 1, np.int32)
+            remap[present] = np.arange(1, present.size + 1,
+                                       dtype=np.int32)
+            deb = deblend_sources(conv[i], SegmentationImage(remap[li]),
+                                  npixels=n_pixels)
+            fl = ndimage.sum_labels(
+                data_sub[i], deb.data,
+                index=np.arange(1, int(deb.data.max()) + 1))
+            out[i] = float(np.max(fl)) if fl.size else np.nan
         else:
             out[i] = float(np.max(fluxes[present - 1]))
     return out
