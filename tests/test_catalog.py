@@ -177,11 +177,14 @@ def test_clipped_box_stats_flat_high_level_boxes():
             assert abs(std[i] - ds) <= 1e-6 * max(ds, 1e-12)
 
 
-def test_batched_brightest_fluxes_match_serial(rng):
+def test_batched_brightest_fluxes_match_serial(rng, monkeypatch):
     """The batched scorer must equal the serial source_info path exactly —
     including on deconvolved-like stamps whose spline-overshoot RMS map
-    goes negative (the threshold floor), and wide stars with shallow
-    skirts (review regression)."""
+    goes negative (the threshold floor), wide stars with shallow skirts
+    (review regression), and multi-peak stamps that route through the
+    deblend-only fallback (blended pairs and ripple-ringed deconvolved
+    stars — the dominant shape the workload scorer actually sees)."""
+    from tpu_sgp.catalog import segmentation
     from tpu_sgp.catalog.batched import brightest_catalog_fluxes
 
     stamps = []
@@ -194,8 +197,33 @@ def test_batched_brightest_fluxes_match_serial(rng):
         img = np.full((31, 31), 5.0) + rng.normal(0, 0.5, (31, 31))
         img = _gauss_source(img, 15.5, 15.5, 2e5, sig=4.0)  # wide + skirt
         stamps.append(img)
+    for i in range(6):
+        # close pair -> ONE segment with two peaks (deblend fallback)
+        img = np.full((31, 31), 5.0) + rng.normal(0, 0.3, (31, 31))
+        img = _gauss_source(img, 13.0, 13.0, rng.uniform(500, 3000), 1.8)
+        img = _gauss_source(img, 18.5, 18.0, rng.uniform(300, 2500), 1.8)
+        stamps.append(img)
+    for i in range(4):
+        # deconvolved-star shape: central spike + sinc ripple rings
+        img = rng.normal(0, 0.02, (31, 31))
+        yy, xx = np.mgrid[0:31, 0:31]
+        r = np.hypot(yy - 15, xx - 15)
+        img += 50 * np.sinc(r / 3.0) ** 2 + 800 * np.exp(-r ** 2 / 2.0)
+        stamps.append(img)
     stamps = np.asarray(stamps)
+    # the scorer imports deblend_sources from .segmentation at call time,
+    # so patching the segmentation module attribute counts its calls
+    deblend_calls = []
+    real_deblend = segmentation.deblend_sources
+
+    def counting(*a, **k):
+        deblend_calls.append(1)
+        return real_deblend(*a, **k)
+
+    monkeypatch.setattr(segmentation, 'deblend_sources', counting)
     fast = brightest_catalog_fluxes(stamps)
+    monkeypatch.setattr(segmentation, 'deblend_sources', real_deblend)
+    assert len(deblend_calls) >= 6   # the fallback path actually ran
     for i in range(len(stamps)):
         scat, _ = source_info(stamps[i], localbkg_width=5)
         if scat is None or len(scat) == 0:
