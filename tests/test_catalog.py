@@ -236,8 +236,12 @@ def test_batched_brightest_fluxes_match_serial(rng, monkeypatch):
 
 def test_batched_background_tolerates_nan_stamps(rng):
     """A NaN-poisoned stamp (diverged candidate restoration) must not leak
-    into other stamps' background maps, and gets the serial path's
-    good&finite IDW mask itself."""
+    into other stamps' background maps — and must equal the serial
+    Background2D exactly (review regression: the batched box-exclusion
+    mask is geometry-only, while serial counts data NaNs per box, so a
+    partially-NaN box can be excluded serially but kept batched; NaN
+    stamps now delegate to the serial class)."""
+    from tpu_sgp.catalog.background import Background2D
     from tpu_sgp.catalog.batched import _batched_background
 
     stamps = np.full((4, 31, 31), 100.0) + rng.normal(0, 3, (4, 31, 31))
@@ -245,6 +249,35 @@ def test_batched_background_tolerates_nan_stamps(rng):
     bkg, rms = _batched_background(stamps)
     assert np.isfinite(bkg[[0, 1, 3]]).all()
     assert np.isfinite(rms[[0, 1, 3]]).all()
+    ser = Background2D(stamps[2], (5, 5), filter_size=(3, 3))
+    np.testing.assert_array_equal(bkg[2], ser.background)
+    np.testing.assert_array_equal(rms[2], ser.background_rms)
+
+
+def test_batched_brightest_fluxes_nan_stamp_matches_serial(rng):
+    """Full-scorer serial exactness for a multi-peak stamp carrying a NaN
+    patch — the case where the geometry-only exclusion mask used to give a
+    measurably different background (serial=1780.9677 vs 1780.9736 in the
+    review fuzz) and could flip a near-tied beta-candidate argmin."""
+    from tpu_sgp.catalog.batched import brightest_catalog_fluxes
+
+    stamps = []
+    for i in range(4):
+        img = np.full((31, 31), 5.0) + rng.normal(0, 0.3, (31, 31))
+        img = _gauss_source(img, 13.0, 13.0, rng.uniform(500, 3000), 1.8)
+        img = _gauss_source(img, 18.5, 18.0, rng.uniform(300, 2500), 1.8)
+        img[2:4, 2:4] = np.nan          # partially-NaN box, 4/25 bad px
+        stamps.append(img)
+    stamps = np.asarray(stamps)
+    fast = brightest_catalog_fluxes(stamps)
+    for i in range(len(stamps)):
+        scat, _ = source_info(stamps[i], localbkg_width=5)
+        if scat is None or len(scat) == 0:
+            assert not np.isfinite(fast[i]), i
+            continue
+        want = float(np.max(scat.to_table(['segment_flux'])
+                            ['segment_flux'].value))
+        np.testing.assert_allclose(fast[i], want, rtol=1e-12, err_msg=str(i))
 
 
 def test_nanmedian_filter_even_size_shape():

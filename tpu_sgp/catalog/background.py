@@ -45,26 +45,36 @@ from numpy.lib.stride_tricks import sliding_window_view
 from ._clip import clipped_box_stats as _clipped_box_stats
 
 
-def _idw_fill(mesh: np.ndarray, good: np.ndarray, n_neighbors: int = 10,
-              power: float = 1.0) -> np.ndarray:
-    """Fill ``~good`` cells by Shepard inverse-distance weighting of the
-    ``n_neighbors`` nearest good cells (photutils ``_interpolate_meshes``
-    semantics: n_neighbors=10, power=1, reg=0). Neighbor lookup via
-    cKDTree like photutils' ShepardIDWInterpolator — a brute-force
-    distance matrix cost 0.6 s on a megapixel frame's 205x205 mesh."""
-    if good.all():
-        return mesh
-    gy, gx = np.nonzero(good)
-    if gy.size == 0:
-        return mesh
+def _knn_idw_query(good: np.ndarray, n_neighbors: int = 10,
+                   power: float = 1.0):
+    """Shared Shepard-fill geometry: nearest good-cell indices and inverse-
+    distance weights for every ``~good`` cell (photutils
+    ``_interpolate_meshes`` semantics: n_neighbors=10, power=1, reg=0).
+    Neighbor lookup via cKDTree like photutils' ShepardIDWInterpolator — a
+    brute-force distance matrix cost 0.6 s on a megapixel frame's 205x205
+    mesh, and tie-breaking must be IDENTICAL between the serial fill below
+    and the batched fill in ``batched._batched_background`` (equidistant
+    neighbors picked differently would make the two paths disagree at tie
+    cells). Returns ((gy, gx), (by, bx), idx, w)."""
     from scipy.spatial import cKDTree
 
+    gy, gx = np.nonzero(good)
     by_, bx_ = np.nonzero(~good)
     k = min(n_neighbors, gy.size)
     dk, idx = cKDTree(np.c_[gy, gx]).query(np.c_[by_, bx_], k=k)
     dk = dk.reshape(len(by_), k)
     idx = idx.reshape(len(by_), k)
     w = 1.0 / np.maximum(dk, 1e-30) ** power
+    return (gy, gx), (by_, bx_), idx, w
+
+
+def _idw_fill(mesh: np.ndarray, good: np.ndarray, n_neighbors: int = 10,
+              power: float = 1.0) -> np.ndarray:
+    """Fill ``~good`` cells by Shepard inverse-distance weighting of the
+    ``n_neighbors`` nearest good cells (see ``_knn_idw_query``)."""
+    if good.all() or not good.any():
+        return mesh
+    (gy, gx), (by_, bx_), idx, w = _knn_idw_query(good, n_neighbors, power)
     out = mesh.copy()
     vals = mesh[gy, gx]
     out[by_, bx_] = (w * vals[idx]).sum(axis=1) / w.sum(axis=1)

@@ -36,7 +36,8 @@ from scipy import ndimage
 
 from ..utils import make_2dgaussian_kernel
 from ._clip import clipped_box_stats
-from .background import (_idw_fill, _nanmedian_filter, _zoom_axis_weights)
+from .background import (Background2D, _knn_idw_query, _nanmedian_filter,
+                         _zoom_axis_weights)
 
 
 def _batched_background(cutouts: np.ndarray, box: int = 5,
@@ -67,33 +68,23 @@ def _batched_background(cutouts: np.ndarray, box: int = 5,
         if ph:
             nbad[-1, -1] = box * box - (box - ph) * (box - pw)
     good = nbad <= (exclude_percentile / 100.0) * (box * box)
-    # stamps whose mesh picked up non-finite cells (e.g. a diverged f32
-    # candidate restoration) need the serial path's good&isfinite mask —
-    # they cannot share the fixed-geometry fill
-    finite = np.isfinite(med) & np.isfinite(std)
-    irregular = ~(finite | ~good[None]).all(axis=(1, 2))
+    # stamps with non-finite DATA pixels (e.g. a diverged f32 candidate
+    # restoration) cannot share the fixed-geometry path at all: serial
+    # Background2D counts data NaNs into each box's exclusion test, so a
+    # partially-NaN box may be excluded serially while its clipped stats
+    # stay finite here — delegate those stamps to the serial class, which
+    # is exact by construction (they are rare; see the loop below)
+    irregular = ~np.isfinite(cutouts).all(axis=(1, 2))
     if not good.all():
         # fixed-geometry Shepard fill as ONE gather + weight contraction:
-        # the neighbor sets and weights depend only on the shared mask.
-        # cKDTree selection, exactly like the serial _idw_fill — brute
-        # force picks different equidistant-tie neighbors and the batched
-        # and serial fills would disagree at the tie cells
-        from scipy.spatial import cKDTree
-
-        gy, gx = np.nonzero(good)
-        by_, bx_ = np.nonzero(~good)
-        k = min(10, gy.size)
-        dk, idx = cKDTree(np.c_[gy, gx]).query(np.c_[by_, bx_], k=k)
-        dk = dk.reshape(len(by_), k)
-        idx = idx.reshape(len(by_), k)
-        wgt = 1.0 / np.maximum(dk, 1e-30)
+        # the neighbor sets, tie-breaks, and weights are shared with the
+        # serial _idw_fill through _knn_idw_query
+        _, (by_, bx_), idx, wgt = _knn_idw_query(good)
         wsum = wgt.sum(axis=1)
+        gy, gx = np.nonzero(good)
         for mesh in (med, std):
             vals = mesh[:, gy, gx]                       # (n, n_good)
             mesh[:, by_, bx_] = (vals[:, idx] * wgt).sum(axis=2) / wsum
-    for i in np.nonzero(irregular)[0]:
-        med[i] = _idw_fill(med[i], good & np.isfinite(med[i]))
-        std[i] = _idw_fill(std[i], good & np.isfinite(std[i]))
     if ny * nx > 1:
         fy = min(filter_size, 2 * ny - 1)
         fx = min(filter_size, 2 * nx - 1)
@@ -115,6 +106,13 @@ def _batched_background(cutouts: np.ndarray, box: int = 5,
             filt = mesh
         up = np.einsum('ab,nbc,dc->nad', wy, filt, wx)
         maps.append(up[:, :h, :w])
+    for i in np.nonzero(irregular)[0]:
+        b = Background2D(cutouts[i], (box, box),
+                         filter_size=(filter_size, filter_size),
+                         sigma=sigma, maxiters=maxiters,
+                         exclude_percentile=exclude_percentile)
+        maps[0][i] = b.background
+        maps[1][i] = b.background_rms
     return maps[0], maps[1]
 
 
@@ -183,10 +181,12 @@ def brightest_catalog_fluxes(cutouts: np.ndarray, n_pixels: int = 5,
                                        dtype=np.int32)
             deb = deblend_sources(conv[i], SegmentationImage(remap[li]),
                                   npixels=n_pixels)
+            # present.size >= 1 and the deblender labels every in-segment
+            # pixel, so fl always has at least one entry
             fl = ndimage.sum_labels(
                 data_sub[i], deb.data,
                 index=np.arange(1, int(deb.data.max()) + 1))
-            out[i] = float(np.max(fl)) if fl.size else np.nan
+            out[i] = float(np.max(fl))
         else:
             out[i] = float(np.max(fluxes[present - 1]))
     return out
