@@ -1,4 +1,9 @@
-"""Diagnose the crowded-field detection excess (ours 480 vs paper 392).
+"""Characterize the crowded-field catalog deviation vs the paper.
+
+Historical: round 2 detected 480 sources vs the paper's 392; round 3
+closed that to 409 (+4.3%) by matching photutils' masked-pad/IDW
+background, pixel-integrated kernel, legacy zoom mapping, and tree
+deblender exactly. This script reports the current mismatch structure.
 
 Matches our catalog against the paper's bundled photutils catalog
 (/root/reference/results/CROWDED_SUBDIV_ORIGCAT.csv) and characterizes the

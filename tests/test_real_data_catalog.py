@@ -13,7 +13,7 @@ exclude_percentile box exclusion + Shepard-IDW mesh fill; the oversampled
 (pixel-integrated) detection kernel; the pre-grid_mode legacy zoom
 coordinate mapping; and the multi-threshold segment-tree deblender with a
 brightest-frontier watershed. Result: sparse field 103/103 paper sources
-matched <1 px (count 105), crowded core 412 vs 392 (+5.1%) with 0.83
+matched <1 px (count 105), crowded core 409 vs 392 (+4.3%) with 0.84
 matched <2 px — the residual crowded deviation is centroid displacement of
 heavily blended children. The bounds below pin that agreement.
 """

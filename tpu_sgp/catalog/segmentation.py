@@ -13,8 +13,8 @@ level splits refine the lower components they intersect, lower-only
 components join as extra markers) and the final markers flood the segment
 by a brightest-frontier watershed on the convolved data. Validated against
 the paper's own photutils catalogs: sparse M13 field 103/103 sources
-matched <1 px, crowded core 0.83 matched <2 px
-(tests/test_real_data_catalog.py).
+matched <1 px, crowded core 409 detections vs the paper's 392 with 0.84
+matched <2 px (tests/test_real_data_catalog.py).
 """
 from __future__ import annotations
 
