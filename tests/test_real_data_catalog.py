@@ -61,15 +61,16 @@ def test_sparse_m13_field_matches_paper_catalog():
 @pytest.mark.skipif(not os.path.isdir(RESULTS),
                     reason='reference results not mounted')
 def test_crowded_m13_core_characterized():
-    """Crowded-core agreement (tightened in round 3): count within 8% of
-    the paper's 392, >=0.80 of paper sources matched within 2 px (>=0.72
-    within 1 px), matched fluxes to ~16% median. The residual deviation is
+    """Crowded-core agreement (tightened in round 3; re-tightened after
+    the FIFO watershed tie-break landed 409 vs the paper's 392): count
+    within 6%, >=0.80 of paper sources matched within 2 px (>=0.72 within
+    1 px), matched fluxes to ~16% median. The residual deviation is
     centroid displacement of heavily blended children whose watershed
     boundaries land differently."""
     import pandas as pd
     ours = _catalog_for(f'{RESULTS}/CROWDED_SUBDIV_ORIGIMG.fits')
     ref = pd.read_csv(f'{RESULTS}/CROWDED_SUBDIV_ORIGCAT.csv')
-    assert abs(len(ours) - len(ref)) <= 0.08 * len(ref), \
+    assert abs(len(ours) - len(ref)) <= 0.06 * len(ref), \
         (len(ours), len(ref))
     frac1, flux_rel = _match(ours, ref, tol=1.0)
     frac2, _ = _match(ours, ref, tol=2.0)
