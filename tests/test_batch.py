@@ -439,3 +439,71 @@ def test_restoration_session_packed_beta_divergence():
     # a different beta0 must actually change the result
     assert not np.allclose(r1.x, r2.x)
     np.testing.assert_allclose(r1.beta, 1.01 * np.ones(4), rtol=0.05)
+
+
+def test_beta_init_search_background_maps():
+    """(B, H, W) background maps with fluxes=None must work and use the
+    map's PIXEL SUM as F_orig (review regression: the old h*w*bkgs formula
+    both mis-shaped and mis-valued map backgrounds)."""
+    stamps, psf, bkgs, _ = synthetic_star_stamps(3, size=16, seed=31)
+    bkg_maps = np.broadcast_to(bkgs[:, None, None], stamps.shape).copy()
+    cfg = _cfg(max_iter=6, divergence='beta', has_flux=False,
+               has_sat_level=False, track_discr=False)
+    cands = np.array([0.98, 1.0, 1.02])
+    bb_map, bx_map, _ = beta_init_search(
+        stamps, psf, bkg_maps, cfg, beta_candidates=cands,
+        scorer='flux_sum')
+    # equivalent scalar-per-stamp backgrounds must select identically
+    bb_vec, bx_vec, _ = beta_init_search(
+        stamps, psf, bkgs, cfg, beta_candidates=cands, scorer='flux_sum')
+    np.testing.assert_array_equal(np.asarray(bb_map), np.asarray(bb_vec))
+    np.testing.assert_allclose(np.asarray(bx_map), np.asarray(bx_vec),
+                               rtol=1e-6)
+    # a callable scorer never touches F_orig and must also run with maps
+    bb_c, _, _ = beta_init_search(
+        stamps, psf, bkg_maps, cfg, beta_candidates=cands,
+        scorer=lambda xg: np.abs(xg.sum(axis=(2, 3)) - 1.0))
+    assert np.isfinite(np.asarray(bb_c)).all()
+
+
+def test_beta_init_search_flux_sum_ignores_nonfinite_candidates():
+    """The flux_sum scorer must never let a non-finite FFD lane win the
+    argmin (jnp.argmin selects NaN lanes); an all-background stamp drives
+    F_orig to 0 and the FFD non-finite, and the search must still return
+    the first candidate with finite outputs rather than NaN garbage."""
+    stamps, psf, bkgs, _ = synthetic_star_stamps(2, size=16, seed=33)
+    stamps[1] = bkgs[1]                     # pure background: F_orig == 0
+    cfg = _cfg(max_iter=4, divergence='beta', has_flux=False,
+               has_sat_level=False, track_discr=False)
+    cands = np.array([0.99, 1.01])
+    bb, bx, _ = beta_init_search(stamps, psf, bkgs, cfg,
+                                 beta_candidates=cands, scorer='flux_sum')
+    assert np.isfinite(np.asarray(bb)).all()
+    assert float(np.asarray(bb)[1]) == cands[0]  # deterministic fallback
+
+
+@__import__('pytest').mark.filterwarnings('ignore:RestorationSession')
+def test_session_warmup_exact_buckets_and_batch_axis():
+    """warmup(max_batch=...) must compile each produced bucket at EXACTLY
+    its own size (review regression: the dummy batch was re-run through
+    the padding policy, double-rounding e.g. bucket 6 -> 12 on a 6-device
+    mesh so bucket 6 never warmed), and a mesh whose axis is not named
+    'batch' must be usable via batch_axis=."""
+    from tpu_sgp.parallel.batch import _bucket_target
+    from tpu_sgp.parallel.session import RestorationSession
+
+    stamps, psf, bkgs, _ = synthetic_star_stamps(2, size=16, seed=35)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    mesh = Mesh(np.array(jax.devices()[:6]), ('dp',))
+    cfg = _cfg(max_iter=4, track_discr=False)
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16), mesh=mesh,
+                              batch_axis='dp')
+    sess.warmup(max_batch=4)
+    needed = {_bucket_target(b, mesh) for b in range(1, 5)}
+    assert needed <= sess._warmed, (needed, sess._warmed)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')      # a non-warmed bucket would warn
+        r = sess.restore(stamps, bkgs, fluxes=fluxes)
+    assert r.x.shape == stamps.shape
+    assert np.isfinite(r.x).all()

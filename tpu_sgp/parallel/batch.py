@@ -357,48 +357,59 @@ def beta_init_search(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
             rng = np.random.RandomState(seed)
             cands.append(rng.normal(loc=1.0, scale=0.05))
         beta_candidates = np.array(cands)
-    beta_candidates = jnp.asarray(beta_candidates, cfg.jnp_dtype)
+    # grid construction is pure HOST NumPy: eager jnp.repeat/tile at the
+    # novel pre-pad shape would compile-and-load tiny device programs and
+    # round-trip the ~B*K-stamp grid through the device before the bucket
+    # padding pulled it back anyway (restore_stamps stages the final
+    # shapes itself)
+    beta_candidates = np.asarray(beta_candidates)
     k = beta_candidates.shape[0]
-    stamps = jnp.asarray(stamps, cfg.jnp_dtype)
+    stamps = np.asarray(stamps)
     b, h, w = stamps.shape
 
-    rep = lambda a: jnp.repeat(a, k, axis=0)
+    rep = lambda a: np.repeat(a, k, axis=0)
     stamps_g = rep(stamps)
-    bkgs = jnp.asarray(bkgs, cfg.jnp_dtype)
+    bkgs = np.asarray(bkgs)
     if bkgs.ndim == 0:
-        bkgs = jnp.broadcast_to(bkgs, (b,))
+        bkgs = np.broadcast_to(bkgs, (b,))
     bkgs_g = rep(bkgs)
-    fluxes_g = None if fluxes is None else rep(jnp.asarray(fluxes, cfg.jnp_dtype))
-    psf_g = rep(jnp.asarray(psf, cfg.jnp_dtype)) if jnp.ndim(psf) == 3 else psf
-    beta_g = jnp.tile(beta_candidates, b)
+    fluxes_g = None if fluxes is None else rep(np.asarray(fluxes))
+    psf_g = rep(np.asarray(psf)) if np.ndim(psf) == 3 else psf
+    beta_g = np.tile(beta_candidates, b)
 
     res = restore_stamps(stamps_g, psf_g, bkgs_g, cfg, fluxes=fluxes_g,
                          beta0=beta_g, lr0=lr0, sat_level=sat_level,
                          mesh=mesh, phase1_iters=phase1_iters,
                          bucket=bucket)
 
-    # Flux fractional difference per (stamp, candidate): 1 - F_rest/F_orig.
+    # Flux fractional difference per (stamp, candidate): 1 - F_rest/F_orig
+    # with F_orig the background-subtracted stamp sum (map backgrounds sum
+    # over their pixels; (B,) backgrounds are per-pixel levels).
     x_g = res.x.reshape(b, k, h, w)
     if fluxes is not None:
-        f_orig = jnp.asarray(fluxes, cfg.jnp_dtype)[:, None]
+        f_orig = np.asarray(fluxes, np.float64)[:, None]
     else:
-        f_orig = jnp.sum(stamps, axis=(1, 2))[:, None] - h * w * bkgs[:, None]
+        bkg_tot = (bkgs.sum(axis=(1, 2)) if bkgs.ndim == 3
+                   else h * w * bkgs)
+        f_orig = (stamps.sum(axis=(1, 2)) - bkg_tot)[:, None]
     if scorer == 'flux_sum':
         f_rest = jnp.sum(x_g, axis=(2, 3))
-        ffd = 1.0 - f_rest / f_orig
+        ffd = 1.0 - f_rest / jnp.asarray(f_orig, cfg.jnp_dtype)
+        # a diverged (NaN) candidate must never win the argmin
+        ffd = jnp.where(jnp.isfinite(ffd), ffd, jnp.inf)
         best = jnp.argmin(ffd, axis=1)
     else:
         if scorer == 'catalog':
             from ..catalog.batched import brightest_catalog_fluxes
             f_np = brightest_catalog_fluxes(
                 np.asarray(res.x).reshape(b * k, h, w)).reshape(b, k)
-            ffd_np = 1.0 - f_np / np.asarray(f_orig)
+            ffd_np = 1.0 - f_np / f_orig
         elif callable(scorer):
             ffd_np = np.asarray(scorer(np.asarray(x_g)))
         else:
             raise ValueError(f'unknown scorer {scorer!r}')
         ffd_np = np.where(np.isfinite(ffd_np), ffd_np, np.inf)
         best = jnp.asarray(np.argmin(ffd_np, axis=1))
-    best_beta = beta_candidates[best]
+    best_beta = jnp.asarray(beta_candidates, cfg.jnp_dtype)[best]
     best_x = x_g[jnp.arange(b), best]
     return best_beta, best_x, res

@@ -85,7 +85,14 @@ def pad_to_mesh(gn, bkg, ty: int, tx: int, half: int):
     they are source-free sky: the solver reconstructs ~0 flux there and the
     global reductions (flux sum, objective, stop norms) see only a benign
     background extension. Returns (gn_pad, bkg_pad, (H, W) padded shape).
+
+    Runs in HOST NumPy: eager device pads at arbitrary pre-pad shapes each
+    compile-and-load a tiny program (seconds per novel image shape on
+    tunneled backends) — the device only ever sees the final mesh-divisible
+    shape.
     """
+    gn = np.asarray(gn)
+    bkg = np.asarray(bkg)
     h, w = gn.shape[-2:]
     hp = _padded_extent(h, ty, half)
     wp = _padded_extent(w, tx, half)
@@ -93,10 +100,10 @@ def pad_to_mesh(gn, bkg, ty: int, tx: int, half: int):
         return gn, bkg, (h, w)
     lead = ((0, 0),) * (gn.ndim - 2)
     pad = lead + ((0, hp - h), (0, wp - w))
-    bkg_pad = jnp.pad(bkg, pad, mode='edge')
-    gn_pad = jnp.pad(gn, pad, mode='constant')
-    mask = jnp.pad(jnp.ones(gn.shape, bool), pad, mode='constant')
-    gn_pad = jnp.where(mask, gn_pad, bkg_pad)
+    bkg_pad = np.pad(bkg, pad, mode='edge')
+    gn_pad = np.pad(gn, pad, mode='constant')
+    mask = np.pad(np.ones(gn.shape, bool), pad, mode='constant')
+    gn_pad = np.where(mask, gn_pad, bkg_pad)
     return gn_pad, bkg_pad, (hp, wp)
 
 
@@ -126,8 +133,11 @@ def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
     axis_names = tuple(mesh.axis_names)
     cfg = cfg.replace(operator='halo', axis_names=axis_names)
     dt = cfg.jnp_dtype
+    dt_np = np.dtype(cfg.dtype)
 
-    gn = jnp.asarray(gn, dt)
+    # padding happens in host NumPy (see pad_to_mesh); jit stages the
+    # final mesh-divisible shapes
+    gn = np.asarray(gn, dt_np)
     h, w = gn.shape
     ty, tx = (mesh.shape[axis_names[0]], mesh.shape[axis_names[1]])
     kh, kw = np.shape(psf)
@@ -135,13 +145,13 @@ def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
     # larger of the two half-widths
     half = max(kh, kw) // 2
 
-    bkg = jnp.broadcast_to(jnp.asarray(bkg, dt), (h, w))
+    bkg = np.broadcast_to(np.asarray(bkg, dt_np), (h, w))
     gn, bkg, (hp, wp) = pad_to_mesh(gn, bkg, ty, tx, half)
     pad = ((0, hp - h), (0, wp - w))
-    x0 = (jnp.zeros((hp, wp), dt) if x0 is None
-          else jnp.pad(jnp.asarray(x0, dt), pad))
-    obj = (jnp.zeros((hp, wp), dt) if obj is None
-           else jnp.pad(jnp.asarray(obj, dt), pad))
+    x0 = (np.zeros((hp, wp), dt_np) if x0 is None
+          else np.pad(np.asarray(x0, dt_np), pad))
+    obj = (np.zeros((hp, wp), dt_np) if obj is None
+           else np.pad(np.asarray(obj, dt_np), pad))
     psf = jnp.asarray(psf, dt)
     flux_in = jnp.asarray(0.0 if flux is None else flux, dt)
     cfg = cfg.replace(has_flux=flux is not None)
@@ -200,8 +210,10 @@ def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
     # iteration counts; without lockstep their in-loop collectives deadlock
     cfg = cfg.replace(operator='halo', axis_names=(py, px), sync_axes=(bax,))
     dt = cfg.jnp_dtype
+    dt_np = np.dtype(cfg.dtype)
 
-    gns = jnp.asarray(gns, dt)
+    # all padding in host NumPy (see pad_to_mesh)
+    gns = np.asarray(gns, dt_np)
     if gns.ndim != 3:
         raise ValueError(f'gns must be (B, H, W), got {gns.shape}')
     b, h, w = gns.shape
@@ -211,10 +223,10 @@ def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
     # larger of the two half-widths
     half = max(kh, kw) // 2
 
-    bkgs = jnp.asarray(bkgs, dt)
+    bkgs = np.asarray(bkgs, dt_np)
     if bkgs.ndim == 1:
         bkgs = bkgs[:, None, None]
-    bkgs = jnp.broadcast_to(bkgs, (b, h, w))
+    bkgs = np.broadcast_to(bkgs, (b, h, w))
     # spatial auto-pad (background-filled, see pad_to_mesh) + batch auto-pad
     # (repeat lane 0 — exact: lanes are independent and per-lane masked)
     gns, bkgs, (hp, wp) = pad_to_mesh(gns, bkgs, ty, tx, half)
@@ -222,30 +234,32 @@ def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
     if (hp, wp) != (h, w):
         pad3 = ((0, 0), (0, hp - h), (0, wp - w))
         if x0 is not None:
-            x0 = jnp.pad(jnp.asarray(x0, dt), pad3)
+            x0 = np.pad(np.asarray(x0, dt_np), pad3)
         if objs is not None:
-            objs = jnp.pad(jnp.asarray(objs, dt), pad3)
+            objs = np.pad(np.asarray(objs, dt_np), pad3)
     if bp_ != b:
         def _repeat0(a):
-            return jnp.concatenate(
-                [a, jnp.broadcast_to(a[:1], (bp_ - b,) + a.shape[1:])])
+            a = np.asarray(a)
+            return np.concatenate(
+                [a, np.broadcast_to(a[:1], (bp_ - b,) + a.shape[1:])])
         gns, bkgs = _repeat0(gns), _repeat0(bkgs)
         if x0 is not None:
-            x0 = _repeat0(jnp.asarray(x0, dt))
+            x0 = _repeat0(np.asarray(x0, dt_np))
         if objs is not None:
-            objs = _repeat0(jnp.asarray(objs, dt))
+            objs = _repeat0(np.asarray(objs, dt_np))
         if fluxes is not None:
-            fluxes = _repeat0(jnp.asarray(fluxes, dt))
-        beta0 = _repeat0(jnp.broadcast_to(jnp.asarray(beta0, dt), (b,)))
+            fluxes = _repeat0(np.asarray(fluxes, dt_np))
+        beta0 = _repeat0(np.broadcast_to(np.asarray(beta0, dt_np), (b,)))
     bfull = bp_
-    x0 = jnp.zeros((bfull, hp, wp), dt) if x0 is None else jnp.asarray(x0, dt)
-    objs = (jnp.zeros((bfull, hp, wp), dt) if objs is None
-            else jnp.asarray(objs, dt))
+    x0 = (np.zeros((bfull, hp, wp), dt_np) if x0 is None
+          else np.asarray(x0, dt_np))
+    objs = (np.zeros((bfull, hp, wp), dt_np) if objs is None
+            else np.asarray(objs, dt_np))
     psf = jnp.asarray(psf, dt)
-    flux_in = (jnp.zeros((bfull,), dt) if fluxes is None
-               else jnp.asarray(fluxes, dt))
+    flux_in = (np.zeros((bfull,), dt_np) if fluxes is None
+               else np.asarray(fluxes, dt_np))
     cfg = cfg.replace(has_flux=fluxes is not None)
-    beta0 = jnp.broadcast_to(jnp.asarray(beta0, dt), (bfull,))
+    beta0 = np.broadcast_to(np.asarray(beta0, dt_np), (bfull,))
     lr0 = jnp.asarray(lr0, dt)
     sat = jnp.asarray(sat_level, dt)
 

@@ -23,7 +23,7 @@ class RestorationSession:
     def __init__(self, psf: np.ndarray, cfg: Optional[SGPConfig] = None,
                  stamp_shape: Tuple[int, int] = (31, 31),
                  sat_level: float = 65000.0, beta0: float = 1.005,
-                 lr0: float = 1e-3, mesh=None,
+                 lr0: float = 1e-3, mesh=None, batch_axis: str = 'batch',
                  phase1_iters: Optional[int] = None,
                  tail_bucket: int = 512):
         """``phase1_iters`` enables convergence compaction for served
@@ -31,7 +31,10 @@ class RestorationSession:
         measure your workload's iteration distribution once and pass ~its
         p95 — a bad estimate costs time, never correctness. Kept explicit
         (not auto-tuned) so ``warmup`` pre-compiles the exact programs
-        serving will run; an adaptive cap would recompile at serve time."""
+        serving will run; an adaptive cap would recompile at serve time.
+
+        ``batch_axis`` names the mesh axis the served batch shards over
+        (meshes whose axes are not named 'batch' need it forwarded)."""
         if cfg is None:
             # serving reads x/iters, never the per-iteration series:
             # track_discr=False drops a (B, max_iter+1) scatter per
@@ -47,6 +50,7 @@ class RestorationSession:
         self.beta0 = beta0
         self.lr0 = lr0
         self.mesh = mesh
+        self.batch_axis = batch_axis
         self.phase1_iters = phase1_iters
         self.tail_bucket = tail_bucket
         # flat (B, H*W) stamp layout whenever the dense shared-PSF matmul
@@ -81,7 +85,13 @@ class RestorationSession:
         policy can produce for batches 1..max_batch — the safe choice when
         the serving batch-size ceiling is known. A request landing in a
         non-warmed bucket still works but pays a full solver compile at
-        serve time (the session warns when that happens)."""
+        serve time (the session warns when that happens).
+
+        Each bucket is compiled at EXACTLY its own size (the dummy batch
+        bypasses the padding policy): feeding a bucket value back through
+        the policy would double-round it — e.g. a 6-device mesh produces
+        bucket 6 for batches 1..2, but a size-6 dummy would itself pad to
+        12, so bucket 6 would never be warmed."""
         from .batch import _bucket_target
         if max_batch is not None:
             buckets = sorted({_bucket_target(b, self.mesh)
@@ -92,9 +102,10 @@ class RestorationSession:
             for b in buckets:
                 dummy = np.full((b, h, w), 100.0)
                 dummy[:, h // 2, w // 2] = 1000.0
-                jax.block_until_ready(self.restore(
+                self._finish(self._restore_padded(
                     dummy, np.full(b, 100.0),
-                    fluxes=np.full(b, 900.0) if self.cfg.has_flux else None))
+                    fluxes=np.full(b, 900.0) if self.cfg.has_flux else None,
+                    _exact=True))
         finally:
             self._warming = False
 
@@ -150,20 +161,25 @@ class RestorationSession:
         return SGPResult(x=x, iters=iters, discr=z, err=z, beta=beta,
                          fv=fv, scaling=scaling)
 
-    def _restore_padded(self, stamps, bkgs, fluxes=None, beta0=None):
+    def _restore_padded(self, stamps, bkgs, fluxes=None, beta0=None,
+                        _exact=False):
         """Dispatch (non-blocking): host-pad to a bucket size and run the
         pre-compiled batch program. Returns (device SGPResult at bucket
         size, original batch size). Padding host-side matters: eager device
         ops at arbitrary pre-pad sizes each compile-and-load a new tiny
         program, which costs seconds per novel batch size on tunneled
-        backends."""
+        backends. ``_exact`` (warmup only) takes the batch size as the
+        bucket itself instead of running it through the padding policy."""
         stamps = np.asarray(stamps)
         if stamps.shape[1:] != self.stamp_shape:
             raise ValueError(
                 f'stamps {stamps.shape[1:]} != session {self.stamp_shape}')
-        (stamps, bkgs, fluxes, _, _, beta0, _, _, _), b = \
-            _pad_args_to_bucket(self.mesh, stamps, bkgs, fluxes=fluxes,
-                                beta0=beta0)
+        if _exact:
+            b = stamps.shape[0]
+        else:
+            (stamps, bkgs, fluxes, _, _, beta0, _, _, _), b = \
+                _pad_args_to_bucket(self.mesh, stamps, bkgs, fluxes=fluxes,
+                                    beta0=beta0)
         bucket = stamps.shape[0]
         if bucket not in self._warmed \
                 and not getattr(self, '_warming', False):
@@ -193,7 +209,8 @@ class RestorationSession:
         res = restore_stamps(
             stamps, self.psf, bkgs, self.cfg, fluxes=fluxes,
             beta0=self.beta0 if beta0 is None else beta0, lr0=self.lr0,
-            sat_level=self.sat_level, mesh=self.mesh, bucket=False,
+            sat_level=self.sat_level, mesh=self.mesh,
+            batch_axis=self.batch_axis, bucket=False,
             phase1_iters=self.phase1_iters, tail_bucket=self.tail_bucket,
             flatten=self.flatten)
         # only after the solve dispatched successfully — a failed request
@@ -201,18 +218,27 @@ class RestorationSession:
         self._warmed.add(bucket)
         return ('plain', res), b
 
+    def _finish(self, pending) -> SGPResult:
+        """Force completion of a ``_restore_padded`` dispatch and unwrap to
+        host arrays (the np.asarray transfer IS the synchronization —
+        block_until_ready is a no-op on some tunneled backends). Slices the
+        bucket padding off host-side; shared by restore(), restore_stream()
+        and warmup() so the unwrap rule cannot drift between them."""
+        (kind, res), b = pending
+        if kind == 'packed':
+            h, w = self.stamp_shape
+            return self._unpack_result(np.asarray(res), b, h, w)
+        return SGPResult(*(np.asarray(f)[:b] for f in res))
+
     def restore(self, stamps, bkgs, fluxes=None, beta0=None) -> SGPResult:
         """Restore a batch. Any batch size whose pad bucket was warmed
         reuses compiled device programs (the default warmup covers all
         buckets for 33..1024); the padding is sliced off host-side after
         one transfer. Returns an SGPResult of NumPy arrays (serving results
         live on the host)."""
-        (kind, res), b = self._restore_padded(stamps, bkgs, fluxes=fluxes,
-                                              beta0=beta0)
-        if kind == 'packed':
-            h, w = self.stamp_shape
-            return self._unpack_result(np.asarray(res), b, h, w)
-        return SGPResult(*(np.asarray(f)[:b] for f in res))
+        return self._finish(self._restore_padded(stamps, bkgs,
+                                                 fluxes=fluxes,
+                                                 beta0=beta0))
 
     def restore_stream(self, batches: Iterable,
                        lookahead: int = 2) -> Iterable[SGPResult]:
@@ -233,21 +259,12 @@ class RestorationSession:
             stamps, bkgs, fluxes = item
             return self._restore_padded(stamps, bkgs, fluxes=fluxes)
 
-        def done(pending):
-            # transfer forces completion; block_until_ready is a no-op on
-            # some tunneled backends. Slice the bucket padding off host-side.
-            (kind, res), b = pending
-            if kind == 'packed':
-                h, w = self.stamp_shape
-                return self._unpack_result(np.asarray(res), b, h, w)
-            return SGPResult(*(np.asarray(f)[:b] for f in res))
-
         from collections import deque
         inflight: deque = deque()
         with ThreadPoolExecutor(max_workers=1) as pool:
             for item in batches:
                 inflight.append(pool.submit(dispatch, item))
                 while len(inflight) > max(1, int(lookahead)):
-                    yield done(inflight.popleft().result())
+                    yield self._finish(inflight.popleft().result())
             while inflight:
-                yield done(inflight.popleft().result())
+                yield self._finish(inflight.popleft().result())
