@@ -118,6 +118,9 @@ def test_native_deblend_matches_python(rng):
     out_native = deblend_sources(img, segm, use_native=True)
     out_python = deblend_sources(img, segm, use_native=False)
     assert out_native.nlabels == out_python.nlabels == 3
+    # both paths renumber children by first raster occurrence, so the
+    # label ARRAYS (not just the partitions) must be identical
+    np.testing.assert_array_equal(out_native.data, out_python.data)
     # same pixel membership per child up to label permutation: compare
     # centroid sets
     want = sorted([(17, 20), (24, 20), (20, 31)])

@@ -103,7 +103,6 @@ def test_deblend_native_equals_python_on_real_data():
     a = deblend_sources(conv, segm, use_native=True)
     b = deblend_sources(conv, segm, use_native=False)
     assert a.nlabels == b.nlabels
-    for lab0, sl in enumerate(ndimage.find_objects(segm.data), start=1):
-        m = segm.data[sl] == lab0
-        assert len(np.unique(a.data[sl][m])) == \
-            len(np.unique(b.data[sl][m])), lab0
+    # exact array equality: both paths renumber children by first raster
+    # occurrence and share the FIFO-tie-break watershed
+    np.testing.assert_array_equal(a.data, b.data)

@@ -4,9 +4,11 @@ Sigma clipping removes exactly the values outside [med - s*std, med + s*std]
 — a CONTIGUOUS range in sorted order. So the boxes are sorted ONCE and each
 clip iteration only narrows per-box [lo, hi) index bounds, with median /
 mean / var recovered from prefix sums in O(1) per box. Results are identical
-to the remove-and-recompute loop (NaNs sort to the end and compare False on
-both clip sides, so windows only narrow), without re-sorting or re-scanning
-per iteration. After the first pass only the boxes whose window is still
+to the remove-and-recompute loop over the FINITE values (all non-finite
+entries are masked to NaN up front so they sort to the end — a raw -inf
+would sort to the FRONT, sit inside the window with a zeroed prefix-sum
+contribution, and silently skew the statistics), without re-sorting or
+re-scanning per iteration. After the first pass only the boxes whose window is still
 narrowing are revisited — most converge in 1-2 clips, so late iterations
 touch a small active subset instead of the whole mesh.
 """
@@ -50,7 +52,15 @@ def clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int,
     the returned std exactly ``maxiters``."""
     shape = boxes.shape[:-1]
     mdim = boxes.shape[-1]
-    srt = np.sort(boxes.astype(np.float64, copy=False), axis=-1)
+    vals = boxes.astype(np.float64, copy=False)
+    nonfin = ~np.isfinite(vals)
+    if nonfin.any():
+        # mask EVERY non-finite value to NaN so it sorts past the finite
+        # window; -inf would otherwise sort to the front and corrupt the
+        # window bounds (clipping is defined over the finite values,
+        # matching utils.sigma_clip's isfinite pre-mask)
+        vals = np.where(nonfin, np.nan, vals)
+    srt = np.sort(vals, axis=-1)
     nbox = int(np.prod(shape)) if shape else 1
     srt = srt.reshape(nbox, mdim)
     nvalid = np.isfinite(srt).sum(axis=-1)
@@ -110,10 +120,11 @@ def clipped_box_stats(boxes: np.ndarray, sigma: float, maxiters: int,
     std[empty] = np.nan
     med = med.reshape(shape)
     std = std.reshape(shape)
-    # boxes that clipped away entirely fall back to raw (NaN-aware) stats
+    # boxes that clipped away entirely fall back to raw stats over the
+    # finite values (``vals`` has every non-finite entry masked to NaN)
     bad = ~np.isfinite(med)
     if bad.any():
         with np.errstate(all='ignore'):
-            med[bad] = np.nanmedian(boxes[bad], axis=-1)
-            std[bad] = np.nanstd(boxes[bad], axis=-1)
+            med[bad] = np.nanmedian(vals[bad], axis=-1)
+            std[bad] = np.nanstd(vals[bad], axis=-1)
     return med, std

@@ -68,17 +68,22 @@ def _knn_idw_query(good: np.ndarray, n_neighbors: int = 10,
     return (gy, gx), (by_, bx_), idx, w
 
 
+def _apply_idw(mesh: np.ndarray, query) -> np.ndarray:
+    """Apply a precomputed ``_knn_idw_query`` fill to one mesh."""
+    (gy, gx), (by_, bx_), idx, w = query
+    out = mesh.copy()
+    vals = mesh[gy, gx]
+    out[by_, bx_] = (w * vals[idx]).sum(axis=1) / w.sum(axis=1)
+    return out
+
+
 def _idw_fill(mesh: np.ndarray, good: np.ndarray, n_neighbors: int = 10,
               power: float = 1.0) -> np.ndarray:
     """Fill ``~good`` cells by Shepard inverse-distance weighting of the
     ``n_neighbors`` nearest good cells (see ``_knn_idw_query``)."""
     if good.all() or not good.any():
         return mesh
-    (gy, gx), (by_, bx_), idx, w = _knn_idw_query(good, n_neighbors, power)
-    out = mesh.copy()
-    vals = mesh[gy, gx]
-    out[by_, bx_] = (w * vals[idx]).sum(axis=1) / w.sum(axis=1)
-    return out
+    return _apply_idw(mesh, _knn_idw_query(good, n_neighbors, power))
 
 
 def _nanmedian_filter(mesh: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
@@ -123,8 +128,18 @@ class Background2D:
             good = nbad == nbad.min()  # degenerate: keep the least-masked
         mesh_med, mesh_std = _clipped_box_stats(boxes, sigma, maxiters,
                                                 extra_median_iters=5)
-        mesh_med = _idw_fill(mesh_med, good & np.isfinite(mesh_med))
-        mesh_std = _idw_fill(mesh_std, good & np.isfinite(mesh_std))
+        good_med = good & np.isfinite(mesh_med)
+        good_std = good & np.isfinite(mesh_std)
+        if (np.array_equal(good_med, good_std) and not good_med.all()
+                and good_med.any()):
+            # one KNN query serves both meshes (the common case: the two
+            # masks only differ when exactly one statistic went non-finite)
+            q = _knn_idw_query(good_med)
+            mesh_med = _apply_idw(mesh_med, q)
+            mesh_std = _apply_idw(mesh_std, q)
+        else:
+            mesh_med = _idw_fill(mesh_med, good_med)
+            mesh_std = _idw_fill(mesh_std, good_std)
 
         if filter_size is not None and ny * nx > 1:
             fy = min(filter_size[0], 2 * ny - 1)

@@ -68,6 +68,10 @@ def _batched_background(cutouts: np.ndarray, box: int = 5,
         if ph:
             nbad[-1, -1] = box * box - (box - ph) * (box - pw)
     good = nbad <= (exclude_percentile / 100.0) * (box * box)
+    if not good.any():
+        # degenerate geometry (e.g. cutouts narrower than a box): keep the
+        # least-masked cells, exactly like the serial Background2D fallback
+        good = nbad == nbad.min()
     # stamps with non-finite DATA pixels (e.g. a diverged f32 candidate
     # restoration) cannot share the fixed-geometry path at all: serial
     # Background2D counts data NaNs into each box's exclusion test, so a

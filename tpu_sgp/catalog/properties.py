@@ -182,7 +182,13 @@ class SourceCatalog:
 
         sky = np.full((n, 2), np.nan)
         if self.wcs is not None and n:
-            ra, dec = self.wcs.pixel_to_world(xc, yc)
+            world = self.wcs.pixel_to_world(xc, yc)
+            if isinstance(world, tuple):
+                ra, dec = world
+            else:
+                # an astropy WCS returns one SkyCoord array, not a tuple
+                ra = np.atleast_1d(world.ra.deg)
+                dec = np.atleast_1d(world.dec.deg)
             sky[:, 0], sky[:, 1] = ra, dec
 
         self._props = out

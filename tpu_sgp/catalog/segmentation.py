@@ -158,11 +158,18 @@ def _deblend_one(sub: np.ndarray, inseg: np.ndarray, det_threshold: float,
         off = int(segm.max())
         segm = np.where(segm > 0, segm, np.where(extra > 0, extra + off, 0))
 
-    u = np.unique(segm[segm > 0])
+    flat = segm.ravel()
+    nzv = flat[flat > 0]
+    u, first = np.unique(nzv, return_index=True)
     if u.size < 2:
         return None
+    # renumber children by FIRST RASTER OCCURRENCE, exactly like the C++
+    # path (deblend.cpp renumbers during its raster scan) — sorted-by-value
+    # numbering permuted child ids whenever lower-level-only markers joined,
+    # so native and fallback catalogs disagreed on label order
+    order = u[np.argsort(first)]
     remap = np.zeros(int(segm.max()) + 1, np.int32)
-    remap[u] = np.arange(1, u.size + 1, dtype=np.int32)
+    remap[order] = np.arange(1, order.size + 1, dtype=np.int32)
     return _watershed_assign(sub, inseg, remap[segm])
 
 

@@ -78,7 +78,11 @@ void local_background_batch(const double* data, int32_t h, int32_t w,
       const bool in_y = (y >= y0 && y <= y1);
       for (int32_t x = xx0; x < xx1; ++x) {
         if (in_y && x >= x0 && x <= x1) continue;  // inside the bbox
-        ann.push_back(data[(int64_t)y * w + x]);
+        const double v = data[(int64_t)y * w + x];
+        // the Python path clips over an isfinite pre-mask; a NaN here
+        // would poison mean/std AND make nth_element's comparator lose
+        // strict weak ordering (undefined behavior)
+        if (std::isfinite(v)) ann.push_back(v);
       }
     }
     out[i] = ann.empty() ? 0.0 : clipped_median(ann, sigma, maxiters);
