@@ -64,9 +64,15 @@ def test_crowded_m13_core_characterized():
     """Crowded-core agreement (tightened in round 3; re-tightened after
     the FIFO watershed tie-break landed 409 vs the paper's 392): count
     within 6%, >=0.80 of paper sources matched within 2 px (>=0.72 within
-    1 px), matched fluxes to ~16% median. The residual deviation is
-    centroid displacement of heavily blended children whose watershed
-    boundaries land differently."""
+    1 px), matched fluxes to ~16% median. The residual is bounded by the
+    oracle's own reproducibility floor: the bundled CSV's background map
+    (reconstructed from its own max/min/flux/localbkg columns) sits
+    +2.1 ADU above / ~13% RMS below anything a faithful photutils
+    pipeline produces from the bundled FITS — the artifact pair came
+    from different runs. The +17 count excess is faint singleton
+    detections at the threshold margin, not deblending (family-size
+    histograms agree). Full forensics:
+    examples/diag_crowded.py:oracle_forensics."""
     import pandas as pd
     ours = _catalog_for(f'{RESULTS}/CROWDED_SUBDIV_ORIGIMG.fits')
     ref = pd.read_csv(f'{RESULTS}/CROWDED_SUBDIV_ORIGCAT.csv')
