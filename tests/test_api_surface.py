@@ -1,0 +1,257 @@
+"""Direct tests for public-API surfaces only exercised indirectly before.
+
+Each function here is part of the reference-parity surface (cited in the
+individual tests) or of the library's supported API; these pins make sure
+the thin entry points behave — the heavy numerical cores behind them have
+their own differential suites.
+"""
+import os
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- simulate
+
+def test_degrade_is_normalized_same_convolution():
+    # reference utils.py:46-56: blur by the (normalized) PSF, 'same' size
+    from tpu_sgp.simulate import degrade
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(1.0, 2.0, (16, 16))
+    psf = np.zeros((5, 5))
+    psf[2, 2] = 2.0  # unnormalized delta: degrade must normalize to sum 1
+    out = degrade(img, psf)
+    assert out.shape == img.shape
+    np.testing.assert_allclose(out, img, rtol=1e-12)
+    # flat image stays flat under any normalized kernel (interior pixels)
+    g = np.exp(-((np.arange(5) - 2) ** 2) / 2.0)
+    psf2 = np.outer(g, g)
+    out2 = degrade(np.full((16, 16), 3.0), psf2)
+    np.testing.assert_allclose(out2[4:-4, 4:-4], 3.0, rtol=1e-12)
+
+
+def test_artificial_sky_background_seeding(monkeypatch):
+    # reference utils.py:400-431: Poisson sky, GUIDE_RANDOM_SEED env seed
+    from tpu_sgp.simulate import artificial_sky_background
+
+    img = np.zeros((64, 64))
+    a = artificial_sky_background(img, 200.0, seed=7)
+    b = artificial_sky_background(img, 200.0, seed=7)
+    np.testing.assert_array_equal(a, b)
+    assert abs(a.mean() - 200.0) < 5.0
+    monkeypatch.setenv('GUIDE_RANDOM_SEED', '7')
+    c = artificial_sky_background(img, 200.0)
+    np.testing.assert_array_equal(a, c)
+    # gain scales the Poisson counts, not the returned sky level
+    d = artificial_sky_background(img, 200.0, gain=4.0, seed=1)
+    assert abs(d.mean() - 200.0) < 5.0
+    assert d.var() < a.var()  # 4x the counts -> 1/4 the variance in ADU
+
+
+# ----------------------------------------------------------------- metrics
+
+def test_flux_fractional_difference():
+    # application_sgp_star_stamps.py:131: 1 - restored/original
+    from tpu_sgp.metrics import flux_fractional_difference
+
+    assert flux_fractional_difference(90.0, 100.0) == pytest.approx(0.1)
+    assert flux_fractional_difference(100.0, 100.0) == 0.0
+
+
+# -------------------------------------------------------------- divergence
+
+def test_beta_div_value_dispatch():
+    # reference betaDiv special cases beta=0/1 (sgp.py:452-458); the
+    # generic branch must approach them continuously
+    from tpu_sgp.ops.divergence import beta_div_value
+
+    rng = np.random.default_rng(3)
+    den = rng.uniform(1.0, 4.0, 64)
+    gn = rng.uniform(1.0, 4.0, 64)
+    for b in (0.0, 1.0):
+        exact = float(beta_div_value(den, gn, b))
+        near = float(beta_div_value(den, gn, b + 1e-7))
+        assert exact == pytest.approx(near, rel=1e-5)
+    # KL at beta=1 equals the closed form sum(gn*log(gn/den) - gn + den)
+    kl = float(np.sum(gn * np.log(gn / den) - gn + den))
+    assert float(beta_div_value(den, gn, 1.0)) == pytest.approx(kl, rel=1e-12)
+
+
+def test_lr_schedule():
+    # reference lr_schedule (sgp.py:502-503): init_lr * exp(-k*epoch)
+    from tpu_sgp.ops.divergence import lr_schedule
+
+    assert float(lr_schedule(1e-3, 0.1, 0)) == pytest.approx(1e-3)
+    assert float(lr_schedule(1e-3, 0.1, 10)) == pytest.approx(1e-3 / np.e)
+
+
+# ------------------------------------------------------------------ reduce
+
+def test_global_reductions_single_device():
+    from tpu_sgp.ops.reduce import gsum, gmax, gmean
+
+    x = np.arange(12.0).reshape(3, 4)
+    assert float(gsum(x)) == pytest.approx(x.sum())
+    assert float(gmax(x)) == pytest.approx(x.max())
+    assert float(gmean(x)) == pytest.approx(x.mean())
+
+
+# --------------------------------------------------------------- api/config
+
+def test_check_psf_normalized():
+    # reference sgp.py:97-102: |sum-1| <= 1e4*eps, eps at the PSF's dtype
+    from tpu_sgp.api import check_psf_normalized
+
+    psf = np.full((5, 5), 1.0 / 25.0)
+    check_psf_normalized(psf)
+    check_psf_normalized(psf.astype(np.float32))
+    with pytest.raises(ValueError):
+        check_psf_normalized(psf * 1.01)
+
+
+def test_parity_config_preset():
+    from tpu_sgp.config import parity_config
+
+    cfg = parity_config()
+    assert cfg.dtype == 'float64'
+    assert parity_config(max_iter=5).max_iter == 5
+
+
+# ------------------------------------------------------------------- image
+
+def test_cutout_position_round_trip():
+    # astropy Cutout2D.to_original_position/to_cutout_position analogs
+    from tpu_sgp.image.cutout import Cutout2D
+
+    data = np.arange(100.0).reshape(10, 10)
+    c = Cutout2D(data, position=(5.0, 6.0), size=(5, 5))
+    orig = c.to_original_position((2.0, 2.0))
+    back = c.to_cutout_position(orig)
+    assert back == (2.0, 2.0)
+    ox, oy = c.origin_original
+    assert orig == (2.0 + ox, 2.0 + oy)
+
+
+def test_getheader_round_trip(tmp_path):
+    from tpu_sgp.image import write_fits
+    from tpu_sgp.image.fitsio import getheader
+
+    p = str(tmp_path / 'h.fits')
+    write_fits(p, np.zeros((4, 4)), header={'GAIN': 1.22, 'OBJ': 'M13'})
+    h = getheader(p)
+    assert float(h['GAIN']) == pytest.approx(1.22)
+    assert str(h['OBJ']).strip() == 'M13'
+
+
+def test_match_backgrounds_recovers_offsets():
+    # reproject match_background model: additive offsets, mean-zero
+    from tpu_sgp.image.mosaic import match_backgrounds
+
+    base = np.random.default_rng(5).uniform(10, 11, (20, 30))
+    t1 = base[:, :18].copy() + 2.0
+    t2 = base[:, 12:].copy() - 2.0
+    off = match_backgrounds([t1, t2], [(0, 0), (12, 0)])
+    assert off.sum() == pytest.approx(0.0, abs=1e-9)
+    assert off[0] - off[1] == pytest.approx(4.0, abs=1e-6)
+
+
+def test_pixel_to_skycoord_matches_wcs():
+    from tpu_sgp.image.wcs import WCS, pixel_to_skycoord
+
+    w = WCS({'CRPIX1': 5.0, 'CRPIX2': 5.0, 'CRVAL1': 150.0,
+             'CRVAL2': 30.0, 'CDELT1': -2.8e-4, 'CDELT2': 2.8e-4})
+    ra, dec = pixel_to_skycoord(4.0, 4.0, w)
+    assert float(ra) == pytest.approx(150.0, abs=1e-9)
+    assert float(dec) == pytest.approx(30.0, abs=1e-9)
+    # round trip through the inverse
+    x, y = w.world_to_pixel(*pixel_to_skycoord(7.3, 2.1, w))
+    assert float(x) == pytest.approx(7.3, abs=1e-6)
+    assert float(y) == pytest.approx(2.1, abs=1e-6)
+
+
+def test_tile_origins():
+    from tpu_sgp.image.tiling import create_subdivisions, tile_origins
+
+    img = np.zeros((50, 70))
+    tiles = create_subdivisions(img, subdiv_shape=(30, 30), overlap=5)
+    org = tile_origins(tiles)
+    assert org.shape == (len(tiles), 2)
+    assert (org >= 0).all()
+    assert {tuple(o) for o in org} == {tuple(t.origin_original)
+                                       for t in tiles}
+
+
+# -------------------------------------------------------------- preprocess
+
+def test_select_biases(tmp_path):
+    # Automation.cl rule: biases are EXPTIME == 0 frames
+    from tpu_sgp.image import write_fits
+    from tpu_sgp.preprocess import select_biases
+
+    pb = str(tmp_path / 'bias.fits')
+    ps = str(tmp_path / 'sci.fits')
+    write_fits(pb, np.zeros((4, 4)), header={'EXPTIME': 0.0})
+    write_fits(ps, np.zeros((4, 4)), header={'EXPTIME': 30.0})
+    assert select_biases([pb, ps, str(tmp_path / 'missing.fits')]) == [pb]
+
+
+# --------------------------------------------------------------- psf stars
+
+def test_select_psf_stars_filters_and_orders():
+    from tpu_sgp.psf.pipeline import select_psf_stars
+
+    img = np.zeros((100, 100))
+    stars = np.array(
+        [(50.0, 50.0, 5000.0, 40.0, 0),    # good, brightest
+         (20.0, 20.0, 1000.0, 40.0, 0),    # good
+         (80.0, 20.0, 3000.0, 40.0, 1),    # saturated -> dropped
+         (5.0, 50.0, 2000.0, 40.0, 0),     # too close to edge (hw=15)
+         (80.0, 80.0, 50.0, 40.0, 0),      # below min_flux
+         (48.0, 52.0, 4000.0, 40.0, 0)],   # blended pair with the first:
+        dtype=[('x', 'f8'), ('y', 'f8'), ('approx_flux', 'f8'),  # both out
+               ('local_bkg_level', 'f8'),
+               ('num_saturated_pixels_in_aperture', 'i8')])
+    sel = select_psf_stars(img, stars, hw=15, min_flux=100.0)
+    # the (50,50)/(48,52) pair mutually contaminate (neighbor > 20% flux
+    # inside min_sep=2*hw); only the isolated (20,20) star survives
+    assert list(sel['approx_flux']) == [1000.0]
+    # with the blend partner removed, brightest-first ordering shows
+    sel2 = select_psf_stars(img, stars[np.arange(len(stars)) != 5],
+                            hw=15, min_flux=100.0)
+    assert list(sel2['approx_flux']) == [5000.0, 1000.0]
+
+
+# ---------------------------------------------------------------- plotting
+
+def test_plot_positions_smoke():
+    from tpu_sgp.catalog import source_info
+    from tpu_sgp.catalog.plotting import plot_positions
+
+    rng = np.random.default_rng(11)
+    img = rng.normal(100.0, 3.0, (64, 64))
+    yy, xx = np.mgrid[:64, :64]
+    for cx, cy in [(20, 20), (44, 30)]:
+        img += 300.0 * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / 4.0)
+    scat, bkg = source_info(img, box_size=(16, 16))
+    fig = plot_positions(img - bkg.background, scat.to_table())
+    assert fig is not None
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+
+# --------------------------------------------------------------------- cli
+
+def test_cli_build_parser_defaults(capsys):
+    from tpu_sgp.cli import build_parser, print_options
+
+    p = build_parser()
+    args = p.parse_args(['--data_path_sciimg', 'x.fits',
+                         '--data_path_psf', 'p.fits'])
+    # reference defaults (sgp.py:922-923)
+    assert args.subdivision_size == 100
+    assert args.subdiv_overlap == 10
+    assert not args.use_beta_div
+    print_options(args)
+    out = capsys.readouterr().out
+    assert 'data_path_sciimg' in out and 'x.fits' in out

@@ -53,6 +53,10 @@ def test_sparse_m13_field_matches_paper_catalog():
     ours = _catalog_for(f'{RESULTS}/SUBDIV_ORIGIMG.fits')
     ref = pd.read_csv(f'{RESULTS}/SUBDIV_ORIGCAT.csv')
     assert abs(len(ours) - len(ref)) <= 4, (len(ours), len(ref))
+    # exact regression sentinel: the stack currently detects 105; any
+    # change at all to the detection chain shows up here first (the
+    # parity bound above would absorb a +-4 drift silently)
+    assert len(ours) == 105, len(ours)
     frac, flux_rel = _match(ours, ref)
     assert frac >= 0.97, frac            # every paper source, within 1 px
     assert flux_rel <= 0.12, flux_rel    # median matched-flux agreement
@@ -78,6 +82,9 @@ def test_crowded_m13_core_characterized():
     ref = pd.read_csv(f'{RESULTS}/CROWDED_SUBDIV_ORIGCAT.csv')
     assert abs(len(ours) - len(ref)) <= 0.06 * len(ref), \
         (len(ours), len(ref))
+    # exact regression sentinel (currently 409): catches single-count
+    # drifts the 6% parity bound would absorb
+    assert abs(len(ours) - 409) <= 2, len(ours)
     frac1, flux_rel = _match(ours, ref, tol=1.0)
     frac2, _ = _match(ours, ref, tol=2.0)
     assert frac1 >= 0.72, frac1
