@@ -110,16 +110,37 @@ def make_otf_operator(psf: jnp.ndarray) -> Tuple[Operator, Operator]:
     return A, AT
 
 
+def _good_fft_size(n: int) -> int:
+    """Smallest even 7-smooth integer >= n (factors only 2/3/5/7).
+
+    TPU FFT cost depends on the radix factorization: the whole-frame
+    workload's natural pad 410+31-1 = 440 = 2^3*5*11 carries an 11-radix
+    and measured 0.575 ms/conv pair on the v5e, vs 0.491 ms at 448 = 2^6*7
+    (~15% faster; 480 and 512 measured 0.490/0.523). Zero-padding past the
+    linear-convolution length leaves the cropped result mathematically
+    unchanged, so rounding up is free.
+    """
+    s = n + (n & 1)
+    while True:
+        m = s
+        for p in (2, 3, 5, 7):
+            while m % p == 0:
+                m //= p
+        if m == 1:
+            return s
+        s += 2
+
+
 def _linear_conv_same(x: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     """Zero-padded linear convolution, 'same'-cropped at the kernel center.
 
     Equivalent to astropy ``convolve_fft(x, kern, boundary='fill')`` up to
     roundoff (any zero-padded linear convolution is), written directly with
-    rFFTs on the padded grid.
+    rFFTs on a padded grid rounded up to an FFT-friendly (7-smooth) size.
     """
     h, w = x.shape
     kh, kw = kern.shape
-    ph, pw = h + kh - 1, w + kw - 1
+    ph, pw = _good_fft_size(h + kh - 1), _good_fft_size(w + kw - 1)
     fx = jnp.fft.rfft2(x, s=(ph, pw))
     fk = jnp.fft.rfft2(kern, s=(ph, pw))
     full = jnp.fft.irfft2(fx * fk, s=(ph, pw))
