@@ -230,18 +230,24 @@ def make_halo_operator(psf: jnp.ndarray, axis_names: Tuple[str, str]
         # (a fixed forward-shaped crop silently corrupts AT for non-square
         # PSFs).
         kh, kw = kernel.shape
+        th, tw = x.shape
         padded = _halo_exchange(x, kh // 2, kw // 2, axis_y, axis_x)
         # VALID linear convolution of the halo-extended tile via rFFT.
-        # The first kh-1 / kw-1 rows/cols of a circular convolution are the
-        # only ones touched by wrap-around, and they are exactly the ones a
-        # VALID crop discards — so no extra zero padding is needed.
+        # Wrap-around of a size-S circular convolution aliases only output
+        # rows/cols below (ph + kh - 1) - S, so any S >= ph leaves the
+        # VALID window [kh-1, kh-1+th) exact — the FFT size is therefore
+        # free to round up to a 7-smooth radix (halo-extended tiles land
+        # on awkward sizes like 235 = 5*47; see _good_fft_size).
         # (A conv_general_dilated local apply was measured ~1800x slower
         # than the FFT on the v5e at HIGHEST precision — see NOTES.md.)
         ph, pw = padded.shape
+        sy, sx = _good_fft_size(ph), _good_fft_size(pw)
         circ = jnp.fft.irfft2(
-            jnp.fft.rfft2(padded) * jnp.fft.rfft2(kernel, s=(ph, pw)),
-            s=(ph, pw))
-        return circ[kh - 1:, kw - 1:].astype(x.dtype)
+            jnp.fft.rfft2(padded, s=(sy, sx))
+            * jnp.fft.rfft2(kernel, s=(sy, sx)),
+            s=(sy, sx))
+        return circ[kh - 1:kh - 1 + th,
+                    kw - 1:kw - 1 + tw].astype(x.dtype)
 
     def A(x):
         return apply(kern, x)
