@@ -86,6 +86,24 @@ def test_lr_schedule():
     assert float(lr_schedule(1e-3, 0.1, 10)) == pytest.approx(1e-3 / np.e)
 
 
+# --------------------------------------------------------------- operators
+
+def test_good_fft_size():
+    from tpu_sgp.ops.psf_operator import _good_fft_size
+
+    for n in [1, 2, 7, 440, 441, 1054, 235]:
+        s = _good_fft_size(n)
+        assert s >= n and s % 2 == 0
+        m = s
+        for p in (2, 3, 5, 7):
+            while m % p == 0:
+                m //= p
+        assert m == 1, (n, s)
+    assert _good_fft_size(440) == 448    # 2^6 * 7 (not 441 = odd)
+    assert _good_fft_size(448) == 448    # already smooth
+    assert _good_fft_size(1054) == 1080  # 2^3 * 3^3 * 5
+
+
 # ------------------------------------------------------------------ reduce
 
 def test_global_reductions_single_device():
