@@ -44,3 +44,19 @@ def test_restore_with_spatial_psf_end_to_end():
     assert (info['iters'] >= 1).all()
     # per-tile PSFs really differ across the frame
     assert not np.allclose(info['psfs'][0], info['psfs'][-1])
+
+
+def test_spatial_psf_cli(tmp_path):
+    from tpu_sgp.image import write_fits
+    from tpu_sgp.workloads.spatial_psf import main
+
+    _model()  # skip when the reference tree is absent
+    image, _, _ = synthetic_star_field(128, 128, n_stars=12, seed=7,
+                                       flux_range=(3e4, 9e4))
+    src = str(tmp_path / 'frame.fits')
+    out = str(tmp_path / 'restored.fits')
+    write_fits(src, np.asarray(image, np.float32))
+    info = main(['--image', src, '--psf_model', REF_TXT, '--out', out,
+                 '--subdivision_size', '64', '--subdiv_overlap', '8'])
+    assert os.path.exists(out)
+    assert len(info['tiles']) == len(info['origins'])

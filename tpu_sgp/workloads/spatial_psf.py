@@ -83,3 +83,41 @@ def restore_with_spatial_psf(image: np.ndarray, model: DiaplPSFModel,
         'iters': np.asarray(res.iters), 'footprint': footprint,
         'centers': centers,
     }
+
+
+def main(argv=None):
+    import argparse
+
+    from ..image import read_fits, write_fits
+
+    ap = argparse.ArgumentParser(
+        description='Deconvolve a frame with a spatially-varying DIAPL '
+                    'PSF model (per-tile local PSFs, one vmapped batch, '
+                    'background-matched coadd)')
+    ap.add_argument('--image', required=True, help='science frame FITS')
+    ap.add_argument('--psf_model', required=True,
+                    help='DIAPL coefficient file (.bin.txt)')
+    ap.add_argument('--out', default='spatial_psf_restored.fits')
+    ap.add_argument('--subdivision_size', type=int, default=100)
+    ap.add_argument('--subdiv_overlap', type=int, default=10)
+    ap.add_argument('--psf_size', type=int, default=31)
+    ap.add_argument('--initial_beta', type=float, default=1.005)
+    ap.add_argument('--saturate', type=float, default=65000.0)
+    opt = ap.parse_args(argv)
+
+    image, header = read_fits(opt.image)
+    model = DiaplPSFModel.from_txt(opt.psf_model)
+    mosaic, info = restore_with_spatial_psf(
+        np.asarray(image, np.float64), model,
+        subdiv_shape=(opt.subdivision_size, opt.subdivision_size),
+        overlap=opt.subdiv_overlap, psf_size=opt.psf_size,
+        beta0=opt.initial_beta, sat_level=opt.saturate)
+    write_fits(opt.out, np.asarray(mosaic, np.float32), header=header)
+    it = info['iters']
+    print(f'{len(info["tiles"])} tiles, iters median '
+          f'{int(np.median(it))} max {int(it.max())} -> {opt.out}')
+    return info
+
+
+if __name__ == '__main__':
+    main()
