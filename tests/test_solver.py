@@ -278,3 +278,40 @@ def test_randomized_config_sweep_matches_oracle(rng):
         assert iters == ito, label
         np.testing.assert_allclose(x, xo, rtol=1e-7, atol=1e-7,
                                    err_msg=label)
+
+
+def test_fuzz_differential_random_problems(rng):
+    """Randomized multi-seed sweep: same three configs, eight random
+    problems each (varying FWHM, flux, sky) — the per-axis tests above
+    pin each feature once; this guards the feature INTERACTIONS across
+    the problem distribution without extra compiles (data varies, the
+    jitted config does not)."""
+    combos = [
+        dict(init_recon=2, stop_criterion=1, MAXIT=15),
+        dict(init_recon=3, stop_criterion=3, MAXIT=60,
+             tol_convergence=1e-5),
+        dict(init_recon=2, proj_type=1, stop_criterion=1, MAXIT=10,
+             ccd_sat_level=65000.0),
+    ]
+    for k, kw in enumerate(combos):
+        for draw in range(8):
+            r = np.random.default_rng(1000 * k + draw)
+            img, psf, bkg, _ = synthetic_stamp(
+                r, fwhm=float(r.uniform(2.0, 4.5)),
+                flux=float(r.uniform(2e3, 5e4)),
+                bkg=float(r.uniform(40.0, 400.0)))
+            skw = dict(kw)
+            okw = {('maxit' if key == 'MAXIT' else
+                    'sat' if key == 'ccd_sat_level' else
+                    'tol' if key == 'tol_convergence' else key): v
+                   for key, v in kw.items()}
+            if kw.get('proj_type') == 1:
+                flux = float(np.sum(img - bkg))
+                skw['flux'] = okw['flux'] = flux
+            x, iters, _, _, _ = sgp(img, psf, bkg, **skw)
+            xo, ito, _, _ = oracle_solve(img, psf, bkg, **okw)
+            assert iters == ito, (k, draw, iters, ito)
+            # wider than the per-axis pins: random draws reach flux 5e4,
+            # where JAX-vs-pocketfft roundoff accumulates to ~1e-7 abs
+            # over tens of iterations (still ~11 significant digits)
+            _agree(x, xo, rtol=1e-6, atol=1e-5)
