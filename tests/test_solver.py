@@ -292,8 +292,10 @@ def test_fuzz_differential_random_problems(rng):
              tol_convergence=1e-5),
         dict(init_recon=2, proj_type=1, stop_criterion=1, MAXIT=10,
              ccd_sat_level=65000.0),
+        dict(init_recon=2, stop_criterion=1, MAXIT=12, _beta=True),
     ]
     for k, kw in enumerate(combos):
+        beta_mode = kw.pop('_beta', False)
         for draw in range(8):
             r = np.random.default_rng(1000 * k + draw)
             img, psf, bkg, _ = synthetic_stamp(
@@ -308,7 +310,14 @@ def test_fuzz_differential_random_problems(rng):
             if kw.get('proj_type') == 1:
                 flux = float(np.sum(img - bkg))
                 skw['flux'] = okw['flux'] = flux
-            x, iters, _, _, _ = sgp(img, psf, bkg, **skw)
+            if beta_mode:
+                x, iters, _, _, _ = sgp_beta_div(
+                    img, psf, bkg, betaParam=1.01, lr=1e-3,
+                    adapt_beta=True, schedule_lr=True, **skw)
+                okw.update(divergence='beta', beta_param=1.01, lr=1e-3,
+                           adapt_beta=True, schedule_lr=True)
+            else:
+                x, iters, _, _, _ = sgp(img, psf, bkg, **skw)
             xo, ito, _, _ = oracle_solve(img, psf, bkg, **okw)
             assert iters == ito, (k, draw, iters, ito)
             # wider than the per-axis pins: random draws reach flux 5e4,
