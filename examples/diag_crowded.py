@@ -167,7 +167,7 @@ def _paper_bkg_samples(img, bkg, ours_df, paper_rows, tol=1.0,
         yy, xx = np.unravel_index(np.argmax(sub), sub.shape)
         gy, gx = by0[j] + yy, bx0[j] + xx
         pts.append((gy, gx, img[gy, gx] - pmax[j]))
-    pts = np.array(pts)
+    pts = np.array(pts).reshape(-1, 3)  # keep 2-D when no source matched
     iy, ix = pts[:, 0].astype(int), pts[:, 1].astype(int)
     pb = pts[:, 2]
     return iy, ix, pb, pb - bkg.background[iy, ix]

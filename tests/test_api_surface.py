@@ -5,8 +5,6 @@ individual tests) or of the library's supported API; these pins make sure
 the thin entry points behave — the heavy numerical cores behind them have
 their own differential suites.
 """
-import os
-
 import numpy as np
 import pytest
 

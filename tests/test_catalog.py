@@ -153,6 +153,26 @@ def test_native_local_background_matches_python(rng):
     np.testing.assert_allclose(lb_native, lb_python, rtol=0, atol=1e-12)
 
 
+def test_local_background_all_nan_annulus_parity():
+    """Degenerate case: a source whose entire annulus is NaN must yield the
+    same local_background (0.0 = no correction) on the native and the
+    Python path — the NaN pixels are dropped BEFORE the emptiness check."""
+    from tpu_sgp.catalog import native
+    from tpu_sgp.catalog.properties import SourceCatalog
+
+    img = np.full((40, 40), np.nan)
+    img[15:25, 15:25] = 100.0  # the source bbox itself; annulus all NaN
+    scat = SourceCatalog.__new__(SourceCatalog)
+    scat.data = img
+    scat.localbkg_width = 5
+    boxes = np.array([[15, 24, 15, 24]], np.int32)
+    lb_python = np.array([scat._local_bkg(*b) for b in boxes])
+    assert lb_python[0] == 0.0
+    if native.available():
+        lb_native = native.local_background_batch(img, boxes, 5)
+        np.testing.assert_array_equal(lb_native, lb_python)
+
+
 def test_clipped_box_stats_flat_high_level_boxes():
     """Prefix-sum variance must not cancel: a flat sky box at 6e4 counts
     with std 1e-5 previously returned an RMS ~300x too large (inflating

@@ -96,9 +96,7 @@ def test_crowded_m13_core_characterized():
                     reason='reference results not mounted')
 def test_deblend_native_equals_python_on_real_data():
     """The C++ whole-frame deblend and the NumPy fallback must produce the
-    same per-segment child counts on the real crowded field."""
-    from scipy import ndimage
-
+    same label array (exact equality) on the real crowded field."""
     from tpu_sgp.catalog.background import Background2D
     from tpu_sgp.catalog.segmentation import deblend_sources, detect_sources
     from tpu_sgp.catalog import native

@@ -281,8 +281,8 @@ def test_randomized_config_sweep_matches_oracle(rng):
 
 
 def test_fuzz_differential_random_problems(rng):
-    """Randomized multi-seed sweep: same three configs, eight random
-    problems each (varying FWHM, flux, sky) — the per-axis tests above
+    """Randomized multi-seed sweep: four config combos (incl. adaptive-β),
+    eight random problems each (varying FWHM, flux, sky) — the per-axis tests above
     pin each feature once; this guards the feature INTERACTIONS across
     the problem distribution without extra compiles (data varies, the
     jitted config does not)."""

@@ -186,7 +186,10 @@ class SourceCatalog:
             if isinstance(world, tuple):
                 ra, dec = world
             else:
-                # an astropy WCS returns one SkyCoord array, not a tuple
+                # an astropy WCS returns one SkyCoord array, not a tuple;
+                # go through ICRS so non-equatorial frames (galactic,
+                # ecliptic) expose .ra/.dec instead of raising
+                world = world.icrs
                 ra = np.atleast_1d(world.ra.deg)
                 dec = np.atleast_1d(world.dec.deg)
             sky[:, 0], sky[:, 1] = ra, dec
@@ -216,6 +219,10 @@ class SourceCatalog:
         inner = np.zeros(region.shape, bool)
         inner[y0 - yy0:y1 + 1 - yy0, x0 - xx0:x1 + 1 - xx0] = True
         ann = region[~inner]
+        # match the native path (localbkg.cpp): non-finite pixels are
+        # dropped BEFORE the emptiness check, so an all-NaN annulus yields
+        # 0.0 (no correction) on both paths rather than NaN here only
+        ann = ann[np.isfinite(ann)]
         if ann.size == 0:
             return 0.0
         _, med, _ = sigma_clipped_stats(ann)
