@@ -196,6 +196,10 @@ def oracle_forensics():
         ours = scat.to_table().to_pandas()
         paper = load_paper(catp)
         iy, ix, pb, delta = _paper_bkg_samples(img, bkg, ours, paper)
+        if len(pb) == 0:
+            print(f'\n[{name}] paper-bkg samples n=0: no paper source '
+                  f'matched ours within tolerance — skipping offset stats')
+            continue
         print(f'\n[{name}] paper-bkg samples n={len(pb)}: '
               f'paper - ours med {np.median(delta):+.2f} '
               f'p10 {np.percentile(delta, 10):+.2f} '

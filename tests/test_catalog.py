@@ -310,3 +310,58 @@ def test_nanmedian_filter_even_size_shape():
     assert out.shape == (6, 6)
     out3 = _nanmedian_filter(m[None], (3, 3))
     assert out3.shape == (1, 6, 6)
+
+
+class _Deg:
+    def __init__(self, v):
+        self.deg = np.asarray(v, float)
+
+
+class _EquatorialCoord:
+    """Duck-typed astropy SkyCoord in an equatorial frame (has .ra/.dec);
+    .icrs is booby-trapped to prove native-frame output is preserved."""
+
+    def __init__(self, ra, dec):
+        self.ra, self.dec = _Deg(ra), _Deg(dec)
+
+    @property
+    def icrs(self):  # pragma: no cover - must never be taken
+        raise AssertionError('equatorial frames must NOT be converted')
+
+
+class _GalacticCoord:
+    """Duck-typed SkyCoord in a non-equatorial frame: no .ra/.dec until
+    converted through .icrs."""
+
+    def __init__(self, ra, dec):
+        self._ra, self._dec = ra, dec
+
+    @property
+    def icrs(self):
+        return _EquatorialCoord(self._ra, self._dec)
+
+
+class _FakeWCS:
+    def __init__(self, coord):
+        self._coord = coord
+
+    def pixel_to_world(self, x, y):
+        return self._coord
+
+
+def test_sky_centroid_skycoord_frames():
+    """The astropy-SkyCoord WCS branch: equatorial frames (FK5/FK4/ICRS)
+    are reported in their OWN frame (photutils semantics — no silent
+    precession), while non-equatorial frames (galactic) convert via .icrs
+    instead of raising AttributeError."""
+    img = np.zeros((20, 20))
+    img[8:12, 8:12] = 50.0
+    segm = detect_sources(img, 1.0, npixels=5)
+
+    eq = SourceCatalog(img, segm, wcs=_FakeWCS(_EquatorialCoord(10.5, -3.25)))
+    np.testing.assert_allclose(eq._sky, [[10.5, -3.25]])
+    t = eq.to_table(['sky_centroid'])
+    np.testing.assert_allclose(np.asarray(t['sky_centroid']), [10.5])
+
+    gal = SourceCatalog(img, segm, wcs=_FakeWCS(_GalacticCoord(200.0, 45.0)))
+    np.testing.assert_allclose(gal._sky, [[200.0, 45.0]])

@@ -186,10 +186,13 @@ class SourceCatalog:
             if isinstance(world, tuple):
                 ra, dec = world
             else:
-                # an astropy WCS returns one SkyCoord array, not a tuple;
-                # go through ICRS so non-equatorial frames (galactic,
-                # ecliptic) expose .ra/.dec instead of raising
-                world = world.icrs
+                # an astropy WCS returns one SkyCoord array, not a tuple.
+                # Equatorial frames (ICRS/FK5/FK4) expose .ra/.dec directly
+                # and must be reported in their own frame (photutils
+                # semantics); only non-equatorial frames (galactic,
+                # ecliptic) lack those attributes — convert them to ICRS.
+                if not hasattr(world, 'ra'):
+                    world = world.icrs
                 ra = np.atleast_1d(world.ra.deg)
                 dec = np.atleast_1d(world.dec.deg)
             sky[:, 0], sky[:, 1] = ra, dec
