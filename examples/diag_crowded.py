@@ -149,11 +149,14 @@ def _paper_bkg_samples(img, bkg, ours_df, paper_rows, tol=1.0,
     gp = lambda c, f=float: np.array([f(r[c]) for r in paper_rows])
     px, py = gp('xcentroid'), gp('ycentroid')
     parea, pmax = gp('area'), gp('max_value')
-    bx0, by0 = gp('bbox_xmin', int), gp('bbox_ymin', int)
-    bx1, by1 = gp('bbox_xmax', int), gp('bbox_ymax', int)
     ox = ours_df['xcentroid'].to_numpy()
     oy = ours_df['ycentroid'].to_numpy()
     oarea = ours_df['area'].to_numpy()
+    # our segment's peak pixel (maxval index), NOT a raw-image argmax over
+    # the paper bbox — a brighter neighbor inside the rectangular bbox
+    # would otherwise contaminate the sample
+    omx = ours_df['maxval_xindex'].to_numpy().astype(int)
+    omy = ours_df['maxval_yindex'].to_numpy().astype(int)
     d2 = (ox[:, None] - px) ** 2 + (oy[:, None] - py) ** 2
     nn = d2.argmin(axis=1)
     nnd = np.sqrt(d2[np.arange(len(ox)), nn])
@@ -163,9 +166,8 @@ def _paper_bkg_samples(img, bkg, ours_df, paper_rows, tol=1.0,
     pts = []
     for k in np.flatnonzero(sel):
         j = nn[k]
-        sub = img[by0[j]:by1[j] + 1, bx0[j]:bx1[j] + 1]
-        yy, xx = np.unravel_index(np.argmax(sub), sub.shape)
-        gy, gx = by0[j] + yy, bx0[j] + xx
+        gy, gx = omy[k], omx[k]  # equal-area centroid-matched segments
+        # share their peak pixel with the paper's segment
         pts.append((gy, gx, img[gy, gx] - pmax[j]))
     pts = np.array(pts).reshape(-1, 3)  # keep 2-D when no source matched
     iy, ix = pts[:, 0].astype(int), pts[:, 1].astype(int)

@@ -365,3 +365,21 @@ def test_sky_centroid_skycoord_frames():
 
     gal = SourceCatalog(img, segm, wcs=_FakeWCS(_GalacticCoord(200.0, 45.0)))
     np.testing.assert_allclose(gal._sky, [[200.0, 45.0]])
+
+
+def test_maxval_pixel_indices():
+    """maxval_{x,y}index: first raster-order pixel attaining the segment
+    max of the (background-subtracted) data, per photutils semantics."""
+    img = np.zeros((30, 30))
+    img[5:9, 5:9] = 10.0
+    img[6, 7] = 99.0               # unique peak
+    img[20:24, 20:24] = 10.0       # flat plateau: first raster pixel wins
+    segm = detect_sources(img, 1.0, npixels=5)
+    scat = SourceCatalog(img, segm)
+    t = scat.to_table(['maxval_xindex', 'maxval_yindex', 'max_value'])
+    mx = np.asarray(t['maxval_xindex'], int)
+    my = np.asarray(t['maxval_yindex'], int)
+    mv = np.asarray(t['max_value'])
+    order = np.argsort(my)
+    assert (mx[order[0]], my[order[0]]) == (7, 6) and mv[order[0]] == 99.0
+    assert (mx[order[1]], my[order[1]]) == (20, 20) and mv[order[1]] == 10.0

@@ -82,9 +82,10 @@ def test_crowded_m13_core_characterized():
     ref = pd.read_csv(f'{RESULTS}/CROWDED_SUBDIV_ORIGCAT.csv')
     assert abs(len(ours) - len(ref)) <= 0.06 * len(ref), \
         (len(ours), len(ref))
-    # exact regression sentinel (currently 409): catches single-count
-    # drifts the 6% parity bound would absorb
-    assert abs(len(ours) - 409) <= 2, len(ours)
+    # exact regression sentinel: the pipeline is deterministic NumPy/scipy
+    # on a fixed frame, so pin the count exactly — single-count drifts the
+    # 6% parity bound would absorb must fail loudly
+    assert len(ours) == 409, len(ours)
     frac1, flux_rel = _match(ours, ref, tol=1.0)
     frac2, _ = _match(ours, ref, tol=2.0)
     assert frac1 >= 0.72, frac1

@@ -124,8 +124,16 @@ class SourceCatalog:
             np.maximum.at(maxv, lab, dval)
             out['min_value'] = minv[1:]
             out['max_value'] = maxv[1:]
+            # first raster-order pixel attaining the segment max (photutils
+            # maxval_{x,y}index semantics: np.argmax over the segment)
+            is_max = dval == maxv[lab]
+            first = np.full(m, np.iinfo(np.int64).max)
+            np.minimum.at(first, lab[is_max], nz[is_max])
+            out['maxval_xindex'] = (first[1:] % w).astype(float)
+            out['maxval_yindex'] = (first[1:] // w).astype(float)
         else:
             out['min_value'] = out['max_value'] = np.empty(0)
+            out['maxval_xindex'] = out['maxval_yindex'] = np.empty(0)
 
         # moments on the convolved data, negative values zeroed; labels
         # whose positive-flux total is zero fall back to uniform weights

@@ -120,6 +120,8 @@ def _good_fft_size(n: int) -> int:
     linear-convolution length leaves the cropped result mathematically
     unchanged, so rounding up is free.
     """
+    if n <= 0:
+        raise ValueError(f'FFT size must be positive, got {n}')
     s = n + (n & 1)
     while True:
         m = s
