@@ -383,3 +383,25 @@ def test_maxval_pixel_indices():
     order = np.argsort(my)
     assert (mx[order[0]], my[order[0]]) == (7, 6) and mv[order[0]] == 99.0
     assert (mx[order[1]], my[order[1]]) == (20, 20) and mv[order[1]] == 10.0
+
+
+def test_source_info_batch_threaded_matches_serial(rng):
+    """source_info_batch on a thread pool is order-preserving and
+    bit-identical to the serial loop (pure function per frame)."""
+    from tpu_sgp.catalog import source_info_batch
+    frames = [synthetic_star_field(120, 120, n_stars=8, seed=s)[0]
+              for s in (1, 2, 3, 4, 5, 6)]
+    floors = [0.0, 0.0, 1.0, 0.0, 2.0, 0.0]
+    pf = [dict(threshold_floor=f) for f in floors]
+    serial = source_info_batch(frames, per_frame_kwargs=pf, n_workers=1)
+    pooled = source_info_batch(frames, per_frame_kwargs=pf, n_workers=4)
+    for (s_cat, s_bkg), (p_cat, p_bkg) in zip(serial, pooled):
+        np.testing.assert_array_equal(s_bkg.background, p_bkg.background)
+        if s_cat is None:
+            assert p_cat is None
+            continue
+        assert len(s_cat) == len(p_cat)
+        for col in ('xcentroid', 'ycentroid', 'segment_flux',
+                    'local_background', 'max_value'):
+            np.testing.assert_array_equal(s_cat.to_table([col])[col],
+                                          p_cat.to_table([col])[col])

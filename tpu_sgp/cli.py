@@ -19,7 +19,7 @@ from timeit import default_timer as timer
 import numpy as np
 
 from .api import sgp, sgp_beta_div
-from .catalog import source_info
+from .catalog import source_info, source_info_batch
 from .config import DEFAULT_COLUMNS, SGPConfig
 from .image import (WCS, coadd_tiles, create_subdivisions, read_fits,
                     write_fits)
@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--gain', type=float, default=None)
     p.add_argument('--saturate', type=float, default=None)
     p.add_argument('--dtype', type=str, default='float32')
+    p.add_argument('--catalog_workers', type=int, default=None,
+                   help='host threads for the per-tile catalog stage '
+                        '(default: one per CPU core; <=1 = serial)')
     p.add_argument('--output_dir', type=str,
                    default='sgp_reconstruction_results')
     p.add_argument('--plot', action='store_true')
@@ -117,8 +120,11 @@ def main(argv=None) -> dict:
             overlap=opt.subdiv_overlap, wcs=wcs)
 
         tiles, bkg_maps, fluxes, rms_floors = [], [], [], []
+        cats = source_info_batch([s.data for s in subdivs],
+                                 n_workers=opt.catalog_workers,
+                                 localbkg_width=5)
         for i, sub in enumerate(subdivs):
-            scat, bkg = source_info(sub.data, localbkg_width=5)
+            scat, bkg = cats[i]
             tiles.append(np.asarray(sub.data, np.float64))
             bkg_maps.append(bkg.background)
             rms_floors.append(1.5 * bkg.background_rms_median)
@@ -160,10 +166,12 @@ def main(argv=None) -> dict:
         restored_tiles = np.asarray(res.x, np.float64)
 
         dbkg_tiles, drms_tiles = [], []
+        dcats = source_info_batch(
+            list(restored_tiles), n_workers=opt.catalog_workers,
+            per_frame_kwargs=[dict(threshold_floor=f) for f in rms_floors],
+            n_pixels=1, localbkg_width=5)
         for i, sub in enumerate(subdivs):
-            scat, dbkg = source_info(restored_tiles[i], n_pixels=1,
-                                     localbkg_width=5,
-                                     threshold_floor=rms_floors[i])
+            scat, dbkg = dcats[i]
             dbkg_tiles.append(dbkg.background)
             drms_tiles.append(dbkg.background_rms)
             if scat is not None and len(scat):
