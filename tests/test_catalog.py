@@ -405,3 +405,44 @@ def test_source_info_batch_threaded_matches_serial(rng):
                     'local_background', 'max_value'):
             np.testing.assert_array_equal(s_cat.to_table([col])[col],
                                           p_cat.to_table([col])[col])
+
+
+def test_native_deblend_thread_count_invariant(tmp_path):
+    """The OpenMP deblend must produce the identical label array for any
+    OMP_NUM_THREADS (relative child ids + sequential prefix-sum offsets).
+    Exercised in subprocesses because libgomp reads the env at load."""
+    import os
+    import subprocess
+    import sys
+
+    from tpu_sgp.catalog import native
+    if not native.available():
+        import pytest
+        pytest.skip('native toolchain unavailable')
+
+    img, _, _ = synthetic_star_field(150, 150, n_stars=25, seed=11,
+                                     flux_range=(2e4, 8e4))
+    np.save(tmp_path / 'img.npy', img)
+    prog = (
+        "import numpy as np, sys\n"
+        "from tpu_sgp.catalog.background import Background2D\n"
+        "from tpu_sgp.catalog.segmentation import detect_sources, "
+        "deblend_sources\n"
+        "img = np.load(sys.argv[1])\n"
+        "bkg = Background2D(img, (30, 30))\n"
+        "segm = detect_sources(img - bkg.background, "
+        "1.5 * bkg.background_rms, npixels=5)\n"
+        "out = deblend_sources(img - bkg.background, segm, use_native=True)\n"
+        "np.save(sys.argv[2], out.data)\n"
+    )
+    labs = {}
+    for nt in ('1', '4'):
+        env = dict(os.environ, OMP_NUM_THREADS=nt, JAX_PLATFORMS='cpu')
+        outp = tmp_path / f'lab{nt}.npy'
+        subprocess.run([sys.executable, '-c', prog,
+                        str(tmp_path / 'img.npy'), str(outp)],
+                       check=True, env=env, cwd='/root/repo',
+                       capture_output=True)
+        labs[nt] = np.load(outp)
+    assert labs['1'].max() >= 10  # the field actually deblended into many
+    np.testing.assert_array_equal(labs['1'], labs['4'])

@@ -29,9 +29,16 @@ def _load():
     try:
         newest_src = max(_SRC.stat().st_mtime, _SRC2.stat().st_mtime)
         if not _SO.exists() or _SO.stat().st_mtime < newest_src:
-            subprocess.run(['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                            str(_SRC), str(_SRC2), '-o', str(_SO)],
-                           check=True, capture_output=True)
+            base = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+                    str(_SRC), str(_SRC2), '-o', str(_SO)]
+            # OpenMP threads the per-segment deblend loop on multi-core
+            # hosts (results are thread-count independent by construction);
+            # fall back to a serial build on toolchains without it
+            try:
+                subprocess.run(base[:1] + ['-fopenmp'] + base[1:],
+                               check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                subprocess.run(base, check=True, capture_output=True)
         lib = ctypes.CDLL(str(_SO))
         lib.local_background_batch.restype = None
         lib.local_background_batch.argtypes = [

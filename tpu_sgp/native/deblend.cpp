@@ -204,6 +204,12 @@ int32_t deblend_segment(const double* vals, const uint8_t* inseg, int32_t h,
 // caller-zeroed) receives the deblended segmentation with children
 // renumbered sequentially in parent-label order — the exact numbering of
 // catalog/segmentation.py:deblend_sources. Returns the output label count.
+//
+// Segments are independent, so the per-segment phase runs under OpenMP
+// (when compiled with -fopenmp; OMP_NUM_THREADS controls the pool). Child
+// ids are written RELATIVE (1..k) in that phase and shifted by a
+// sequential prefix sum of child counts afterwards, which reproduces the
+// serial parent-label-order numbering exactly for any thread count.
 int32_t deblend_all(const double* data, const int32_t* seg, int32_t H,
                     int32_t W, int32_t nseg, int32_t npixels, int32_t nlevels,
                     double contrast, int32_t* out) {
@@ -221,37 +227,62 @@ int32_t deblend_all(const double* data, const int32_t* seg, int32_t H,
     by1[s] = std::max(by1[s], y);
   }
 
-  std::vector<double> vals;
-  std::vector<uint8_t> inseg;
-  std::vector<int32_t> sub;
+  // phase 1: deblend every segment independently; relative child ids
+  std::vector<int32_t> nchild(nseg + 1, 0);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<double> vals;
+    std::vector<uint8_t> inseg;
+    std::vector<int32_t> sub;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int32_t s = 1; s <= nseg; ++s) {
+      if (bx1[s] < bx0[s]) continue;  // label absent from the image
+      const int32_t x0 = bx0[s], y0 = by0[s];
+      const int32_t w = bx1[s] - x0 + 1, h = by1[s] - y0 + 1;
+      const int64_t size = (int64_t)h * w;
+      vals.assign(size, 0.0);
+      inseg.assign(size, 0);
+      sub.assign(size, 0);
+      for (int32_t y = 0; y < h; ++y) {
+        const int64_t grow = (int64_t)(y0 + y) * W + x0;
+        const int64_t lrow = (int64_t)y * w;
+        for (int32_t x = 0; x < w; ++x) {
+          vals[lrow + x] = data[grow + x];
+          inseg[lrow + x] = seg[grow + x] == s;
+        }
+      }
+      const int32_t k = deblend_segment(vals.data(), inseg.data(), h, w,
+                                        npixels, nlevels, contrast,
+                                        sub.data());
+      for (int32_t y = 0; y < h; ++y) {
+        const int64_t grow = (int64_t)(y0 + y) * W + x0;
+        const int64_t lrow = (int64_t)y * w;
+        for (int32_t x = 0; x < w; ++x) {
+          if (!inseg[lrow + x]) continue;
+          out[grow + x] = k == 0 ? 1 : sub[lrow + x];
+        }
+      }
+      nchild[s] = k == 0 ? 1 : k;
+    }
+  }
+
+  // phase 2: label offsets in parent order (prefix sum), then shift
+  std::vector<int32_t> start(nseg + 1, 0);
   int32_t next_label = 1;
   for (int32_t s = 1; s <= nseg; ++s) {
-    if (bx1[s] < bx0[s]) continue;  // label absent from the image
-    const int32_t x0 = bx0[s], y0 = by0[s];
-    const int32_t w = bx1[s] - x0 + 1, h = by1[s] - y0 + 1;
-    const int64_t size = (int64_t)h * w;
-    vals.assign(size, 0.0);
-    inseg.assign(size, 0);
-    sub.assign(size, 0);
-    for (int32_t y = 0; y < h; ++y) {
-      const int64_t grow = (int64_t)(y0 + y) * W + x0;
-      const int64_t lrow = (int64_t)y * w;
-      for (int32_t x = 0; x < w; ++x) {
-        vals[lrow + x] = data[grow + x];
-        inseg[lrow + x] = seg[grow + x] == s;
-      }
-    }
-    const int32_t k = deblend_segment(vals.data(), inseg.data(), h, w,
-                                      npixels, nlevels, contrast, sub.data());
-    for (int32_t y = 0; y < h; ++y) {
-      const int64_t grow = (int64_t)(y0 + y) * W + x0;
-      const int64_t lrow = (int64_t)y * w;
-      for (int32_t x = 0; x < w; ++x) {
-        if (!inseg[lrow + x]) continue;
-        out[grow + x] = k == 0 ? next_label : sub[lrow + x] + next_label - 1;
-      }
-    }
-    next_label += k == 0 ? 1 : k;
+    start[s] = next_label;
+    next_label += nchild[s];
+  }
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int64_t i = 0; i < total; ++i) {
+    const int32_t s = seg[i];
+    if (s > 0 && s <= nseg && out[i]) out[i] += start[s] - 1;
   }
   return next_label - 1;
 }
