@@ -62,11 +62,17 @@ extern "C" {
 // data: (h, w) row-major background-subtracted image.
 // boxes: (n, 4) int32 rows [x0, x1, y0, y1] inclusive bboxes.
 // out: (n,) local background medians.
+// Sources are independent: the loop threads under OpenMP (out[i] is the
+// only write, disjoint per iteration), so results are thread-count
+// invariant.
 void local_background_batch(const double* data, int32_t h, int32_t w,
                             const int32_t* boxes, int32_t n, int32_t width,
                             double sigma, int32_t maxiters, double* out) {
-  std::vector<double> ann;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
   for (int i = 0; i < n; ++i) {
+    std::vector<double> ann;
     const int32_t x0 = boxes[i * 4 + 0], x1 = boxes[i * 4 + 1];
     const int32_t y0 = boxes[i * 4 + 2], y1 = boxes[i * 4 + 3];
     const int32_t yy0 = std::max(0, y0 - width);
