@@ -108,17 +108,28 @@ void diapl_eval_grid(const DiaplPSFParams* p, const double* local,
 }
 
 // Bulk: render n spatially-varying PSF matrices at frame positions
-// (xs[k], ys[k]); out has shape [n, size, size] row-major.
+// (xs[k], ys[k]); out has shape [n, size, size] row-major. Positions are
+// independent (disjoint out slices), so the loop threads under OpenMP
+// with thread-count-invariant results.
 void diapl_render_many(const DiaplPSFParams* p, const double* vec,
                        const double* xs, const double* ys, int32_t n,
                        int32_t size, int32_t normalize, double* out) {
   const int ncomp = n_local_coeffs(p);
-  double* local = new double[ncomp];
-  for (int k = 0; k < n; ++k) {
-    diapl_local_coeffs(p, vec, xs[k], ys[k], local);
-    diapl_eval_grid(p, local, size, normalize, out + (int64_t)k * size * size);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    double* local = new double[ncomp];
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+    for (int k = 0; k < n; ++k) {
+      diapl_local_coeffs(p, vec, xs[k], ys[k], local);
+      diapl_eval_grid(p, local, size, normalize,
+                      out + (int64_t)k * size * size);
+    }
+    delete[] local;
   }
-  delete[] local;
 }
 
 }  // extern "C"

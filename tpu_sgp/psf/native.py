@@ -40,7 +40,13 @@ class _Params(ctypes.Structure):
 def _build() -> None:
     cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
            str(_SRC), '-o', str(_SO)]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # OpenMP threads the bulk renderer on multi-core hosts; fall back to
+    # a serial build on toolchains without it
+    try:
+        subprocess.run(cmd[:1] + ['-fopenmp'] + cmd[1:],
+                       check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(cmd, check=True, capture_output=True)
 
 
 def _load():
