@@ -115,9 +115,20 @@ def bench_whole_frame(jnp, jax, SGPConfig):
     iters_c = int(np.asarray(run(cfg_c).iters))
     wall_c = _min_wall(lambda: run(cfg_c))
     wall_t = _min_wall(lambda: run(cfg_t))
-    ms_per_iter = wall_t * 1e3 / 200.0
+    # same-key series (r02-comparable): converged crit-3 wall over its own
+    # iteration count — includes this rig's fixed dispatch floor and the
+    # f32 run-to-run iteration swing (51-74), exactly like the reference's
+    # 128 ms/iter includes ITS per-call overheads at its converged count
+    ms_per_iter = wall_c * 1e3 / max(iters_c, 1)
     _emit('whole_frame_410_ms_per_iteration_tpu', ms_per_iter, 'ms/iter',
           BASELINE_FRAME_MS_PER_ITER / ms_per_iter)
+    # marginal-cost view under its own key: fixed 200 iterations amortize
+    # the ~28 ms dispatch floor away (different methodology — do not
+    # compare against the converged series above)
+    ms_per_iter_fixed = wall_t * 1e3 / 200.0
+    _emit('whole_frame_410_ms_per_iteration_fixed200_tpu',
+          ms_per_iter_fixed, 'ms/iter',
+          BASELINE_FRAME_MS_PER_ITER / ms_per_iter_fixed)
     print(f'# whole-frame crit-3 iters={iters_c} wall={wall_c * 1e3:.1f}ms;'
           f' fixed-200 wall={wall_t * 1e3:.1f}ms', file=sys.stderr)
 

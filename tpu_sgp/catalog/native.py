@@ -7,7 +7,9 @@ toolchain is present.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -20,25 +22,45 @@ _SO = _NATIVE_DIR / 'libtpusgp_deblend.so'
 
 _lib = None
 _load_error: Optional[str] = None
+_load_lock = threading.Lock()
+
+
+def _build_shared(sources, so_path) -> None:
+    """Compile sources into so_path, atomically (temp file + rename), so a
+    concurrent process never observes — or caches — a half-written .so.
+    Tries -fopenmp first, serial fallback on toolchains without it."""
+    tmp = Path(f'{so_path}.{os.getpid()}.tmp')
+    base = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+            *[str(s) for s in sources], '-o', str(tmp)]
+    try:
+        try:
+            subprocess.run(base[:1] + ['-fopenmp'] + base[1:],
+                           check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            subprocess.run(base, check=True, capture_output=True)
+        os.replace(tmp, so_path)
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _load():
     global _lib, _load_error
     if _lib is not None or _load_error is not None:
         return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
     try:
         newest_src = max(_SRC.stat().st_mtime, _SRC2.stat().st_mtime)
         if not _SO.exists() or _SO.stat().st_mtime < newest_src:
-            base = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                    str(_SRC), str(_SRC2), '-o', str(_SO)]
             # OpenMP threads the per-segment deblend loop on multi-core
-            # hosts (results are thread-count independent by construction);
-            # fall back to a serial build on toolchains without it
-            try:
-                subprocess.run(base[:1] + ['-fopenmp'] + base[1:],
-                               check=True, capture_output=True)
-            except subprocess.CalledProcessError:
-                subprocess.run(base, check=True, capture_output=True)
+            # hosts (results are thread-count independent by construction)
+            _build_shared([_SRC, _SRC2], _SO)
         lib = ctypes.CDLL(str(_SO))
         lib.local_background_batch.restype = None
         lib.local_background_batch.argtypes = [
@@ -56,6 +78,8 @@ def _load():
             ctypes.c_double,
             np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
         ]
+        lib.tpusgp_set_omp_threads.restype = ctypes.c_int32
+        lib.tpusgp_set_omp_threads.argtypes = [ctypes.c_int32]
         lib.deblend_all.restype = ctypes.c_int32
         lib.deblend_all.argtypes = [
             np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
@@ -73,6 +97,16 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def set_omp_threads(n: int) -> int:
+    """Cap the CALLING thread's OpenMP team size for the native kernels
+    (libgomp ICVs are per-thread: call on the thread to be capped).
+    Returns the previous cap; 0 when native/OpenMP is unavailable."""
+    lib = _load()
+    if lib is None:
+        return 0
+    return int(lib.tpusgp_set_omp_threads(int(n)))
 
 
 def deblend_segment(sub: np.ndarray, inseg: np.ndarray, npixels: int,

@@ -76,7 +76,18 @@ def source_info_batch(frames, per_frame_kwargs=None, n_workers=None, **kw):
     if n_workers <= 1 or len(frames) <= 1:
         return [source_info(f, **{**kw, **p}) for f, p in zip(frames, pf)]
     from concurrent.futures import ThreadPoolExecutor
+
+    from . import native as _native
+
+    # divide the cores between pool workers: each worker's native calls
+    # (deblend_all / local_background_batch) would otherwise spawn a
+    # full-size OpenMP team, oversubscribing the host ~cores^2 threads
+    omp_cap = max(1, (_os.cpu_count() or 1) // n_workers)
+
+    def _run(f, p):
+        _native.set_omp_threads(omp_cap)  # per-thread ICV; cheap, idempotent
+        return source_info(f, **{**kw, **p})
+
     with ThreadPoolExecutor(max_workers=n_workers) as ex:
-        futs = [ex.submit(source_info, f, **{**kw, **p})
-                for f, p in zip(frames, pf)]
+        futs = [ex.submit(_run, f, p) for f, p in zip(frames, pf)]
         return [f.result() for f in futs]

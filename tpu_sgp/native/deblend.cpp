@@ -19,6 +19,10 @@
 #include <queue>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 struct Pix {
@@ -71,6 +75,24 @@ int label_components(const double* vals, const uint8_t* inseg, int h, int w,
 }  // namespace
 
 extern "C" {
+
+// Cap (or restore) this thread's OpenMP team size. Callers running these
+// kernels from a host-side thread pool divide the physical cores between
+// pool workers; without the cap each worker spawns a full-size team and
+// the host oversubscribes ~cores^2 runnable threads. Returns the previous
+// max team size (so callers can restore it); no-op returning 0 when the
+// library was built without OpenMP. Per-thread in libgomp: must be called
+// ON the worker thread it should affect.
+int32_t tpusgp_set_omp_threads(int32_t n) {
+#ifdef _OPENMP
+  const int32_t prev = omp_get_max_threads();
+  if (n > 0) omp_set_num_threads(n);
+  return prev;
+#else
+  (void)n;
+  return 0;
+#endif
+}
 
 int32_t deblend_segment(const double* vals, const uint8_t* inseg, int32_t h,
                         int32_t w, int32_t npixels, int32_t nlevels,

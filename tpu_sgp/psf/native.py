@@ -8,8 +8,7 @@ toolchain is present, and callers use the vectorized NumPy path in
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -23,6 +22,7 @@ _SO = _NATIVE_DIR / 'libtpusgp_psf.so'
 
 _lib = None
 _load_error: Optional[str] = None
+_load_lock = threading.Lock()
 
 
 class _Params(ctypes.Structure):
@@ -38,18 +38,21 @@ class _Params(ctypes.Structure):
 
 
 def _build() -> None:
-    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-           str(_SRC), '-o', str(_SO)]
-    # OpenMP threads the bulk renderer on multi-core hosts; fall back to
-    # a serial build on toolchains without it
-    try:
-        subprocess.run(cmd[:1] + ['-fopenmp'] + cmd[1:],
-                       check=True, capture_output=True)
-    except subprocess.CalledProcessError:
-        subprocess.run(cmd, check=True, capture_output=True)
+    # OpenMP threads the bulk renderer on multi-core hosts; atomic
+    # temp-file + rename build with a serial fallback (shared helper)
+    from ..catalog.native import _build_shared
+    _build_shared([_SRC], _SO)
 
 
 def _load():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
     global _lib, _load_error
     if _lib is not None or _load_error is not None:
         return _lib

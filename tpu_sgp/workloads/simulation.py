@@ -85,16 +85,33 @@ def run_beta(fixture: str = 'NGC7027_255.mat', maxit: Optional[int] = None,
     return x, relative_error(x, obj), gn, obj, beta_init
 
 
-def main(data_dir: Optional[str] = None):
+def run_all(data_dir: Optional[str] = None):
+    """Run all four fixture/divergence combinations; return name->rel_err."""
     results = {}
-    for name, fn in [('ngc_kl', lambda: run_kl('NGC7027_255.mat')),
-                     ('sat_kl', lambda: run_kl('satellite_25500.mat')),
-                     ('ngc_beta', lambda: run_beta('NGC7027_255.mat')),
-                     ('sat_beta', lambda: run_beta('satellite_25500.mat'))]:
+    for name, fn in [
+            ('ngc_kl', lambda: run_kl('NGC7027_255.mat', data_dir=data_dir)),
+            ('sat_kl', lambda: run_kl('satellite_25500.mat',
+                                      data_dir=data_dir)),
+            ('ngc_beta', lambda: run_beta('NGC7027_255.mat',
+                                          data_dir=data_dir)),
+            ('sat_beta', lambda: run_beta('satellite_25500.mat',
+                                          data_dir=data_dir))]:
         out = fn()
         results[name] = out[1]
         print(f'{name}: rel_err = {out[1]:.6f}')
     return results
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(
+        description='SGP-dec simulation ground-truth workload '
+                    '(NGC7027 + satellite fixtures, KL and beta).')
+    p.add_argument('--data_dir', default=None,
+                   help=f'directory with the .mat fixtures '
+                        f'(default {DEFAULT_DATA_DIR})')
+    args = p.parse_args(argv)
+    return run_all(args.data_dir)
 
 
 if __name__ == '__main__':
