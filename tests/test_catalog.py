@@ -446,3 +446,63 @@ def test_native_deblend_thread_count_invariant(tmp_path):
         labs[nt] = np.load(outp)
     assert labs['1'].max() >= 10  # the field actually deblended into many
     np.testing.assert_array_equal(labs['1'], labs['4'])
+
+
+def test_nonfinite_pixels_are_masked_like_photutils():
+    """photutils automatically masks non-finite data/convolved pixels and
+    excludes them from every measurement; fully-masked segments give NaN
+    stats (never sentinel arithmetic garbage)."""
+    from tpu_sgp.catalog.segmentation import SegmentationImage
+
+    data = np.zeros((10, 10))
+    data[2:5, 2:5] = 5.0
+    data[2, 3] = 7.0
+    data[3, 3] = np.nan    # masked: excluded, not propagated
+    data[7:9, 7:9] = np.nan  # segment 2 fully masked
+    seg = np.zeros((10, 10), np.int32)
+    seg[2:5, 2:5] = 1
+    seg[7:9, 7:9] = 2
+    cat = SourceCatalog(data, SegmentationImage(seg),
+                        convolved_data=data.copy())
+    t = cat.to_table(['maxval_xindex', 'maxval_yindex', 'segment_flux',
+                      'max_value', 'area', 'xcentroid',
+                      'bbox_xmin', 'bbox_xmax'])
+    # segment 1: 8 finite pixels (7 at 5.0 + one 7.0), max at (x=3, y=2)
+    assert t['area'][0] == 8
+    np.testing.assert_allclose(t['segment_flux'][0], 7 * 5.0 + 7.0)
+    assert t['max_value'][0] == 7.0
+    assert t['maxval_xindex'][0] == 3 and t['maxval_yindex'][0] == 2
+    assert np.isfinite(t['xcentroid'][0])
+    # segment 2: fully masked -> NaN stats, zero unmasked area
+    assert t['area'][1] == 0
+    for col in ('segment_flux', 'max_value', 'maxval_xindex', 'xcentroid'):
+        assert np.isnan(t[col][1]), col
+    # bboxes keep ALL segment pixels (photutils: bbox is from the segment
+    # image, independent of the non-finite mask)
+    assert t['bbox_xmin'][1] == 7 and t['bbox_xmax'][1] == 8
+
+
+def test_set_omp_threads_roundtrip():
+    """set_omp_threads returns the previous cap and restores cleanly (0 =
+    native/OpenMP unavailable, also fine)."""
+    from tpu_sgp.catalog import native
+
+    prev = native.set_omp_threads(1)
+    if prev == 0:  # serial build or no toolchain: documented no-op
+        return
+    assert native.set_omp_threads(prev) == 1
+    assert native.set_omp_threads(prev) == prev
+
+
+def test_source_info_batch_pool_matches_serial_with_omp_cap(rng):
+    """The pooled path (which caps each worker's OpenMP team) must stay
+    result-identical to the serial loop."""
+    from tpu_sgp.catalog import source_info_batch
+
+    frames = [synthetic_star_field(80, 80, n_stars=6, seed=s)[0]
+              for s in (3, 4)]
+    serial = source_info_batch(frames, n_workers=1)
+    pooled = source_info_batch(frames, n_workers=2)
+    for (sc, _), (pc, _) in zip(serial, pooled):
+        np.testing.assert_array_equal(sc.to_table(['xcentroid'])['xcentroid'],
+                                      pc.to_table(['xcentroid'])['xcentroid'])

@@ -13,6 +13,11 @@ in ONE pass over the label image (``np.flatnonzero`` + ``bincount``/
 ``ufunc.at`` on the gathered vectors), not a Python loop over sources and
 not repeated full-image passes — catalog extraction is a host hot path in
 the batched workloads.
+
+Non-finite pixels in ``data`` or ``convolved_data`` are automatically
+masked out of every measurement (photutils SourceCatalog semantics);
+fully-masked sources report NaN statistics, and segment bboxes keep all
+pixels (photutils derives them from the segmentation image alone).
 """
 from __future__ import annotations
 
@@ -96,11 +101,25 @@ class SourceCatalog:
         # run all accumulations on the gathered vectors (one full-image pass
         # total, instead of one per moment) — catalog extraction is a host
         # hot path at megapixel scale.
-        nz = np.flatnonzero(seg.ravel())
-        lab = seg.ravel()[nz]
-        dval = self.data.ravel()[nz]
-        yi = (nz // w).astype(np.int32)
-        xi = (nz % w).astype(np.int32)
+        nz_all = np.flatnonzero(seg.ravel())
+        lab_all = seg.ravel()[nz_all]
+        yi_all = (nz_all // w).astype(np.int32)
+        xi_all = (nz_all % w).astype(np.int32)
+
+        # photutils automatically masks non-finite values in data OR
+        # convolved_data and excludes them from every measurement (area,
+        # fluxes, min/max, moments); the segment bbox alone comes from the
+        # segmentation image itself and keeps all pixels
+        dval_all = self.data.ravel()[nz_all]
+        cval_all = self.conv.ravel()[nz_all]
+        fin = np.isfinite(dval_all) & np.isfinite(cval_all)
+        if fin.all():
+            nz, lab, dval, cval = nz_all, lab_all, dval_all, cval_all
+            yi, xi = yi_all, xi_all
+        else:
+            nz, lab = nz_all[fin], lab_all[fin]
+            dval, cval = dval_all[fin], cval_all[fin]
+            yi, xi = yi_all[fin], xi_all[fin]
         yf = yi.astype(np.float64)
         xf = xi.astype(np.float64)
 
@@ -110,6 +129,8 @@ class SourceCatalog:
         out['area'] = np.bincount(lab, minlength=m)[1:].astype(float)
         out['segment_flux'] = np.bincount(lab, weights=dval,
                                           minlength=m)[1:]
+        # photutils: fully-masked sources get NaN-valued photometry
+        out['segment_flux'][out['area'] == 0] = np.nan
         if self.error is not None:
             e2 = np.asarray(self.error, np.float64).ravel()[nz] ** 2
             out['segment_fluxerr'] = np.sqrt(
@@ -122,22 +143,33 @@ class SourceCatalog:
             maxv = np.full(m, -np.inf)
             np.minimum.at(minv, lab, dval)
             np.maximum.at(maxv, lab, dval)
+            # a fully-masked segment has no finite pixel: NaN stats
+            empty = minv == np.inf
+            minv[empty] = np.nan
+            maxv[empty] = np.nan
             out['min_value'] = minv[1:]
             out['max_value'] = maxv[1:]
             # first raster-order pixel attaining the segment max (photutils
-            # maxval_{x,y}index semantics: np.argmax over the segment)
-            is_max = dval == maxv[lab]
+            # maxval_{x,y}index semantics: np.argmax over the unmasked
+            # segment pixels)
+            with np.errstate(invalid='ignore'):
+                is_max = dval == maxv[lab]
             first = np.full(m, np.iinfo(np.int64).max)
             np.minimum.at(first, lab[is_max], nz[is_max])
-            out['maxval_xindex'] = (first[1:] % w).astype(float)
-            out['maxval_yindex'] = (first[1:] // w).astype(float)
+            unset = first == np.iinfo(np.int64).max  # fully-masked segment
+            xidx = (first % w).astype(float)
+            yidx = (first // w).astype(float)
+            xidx[unset] = np.nan
+            yidx[unset] = np.nan
+            out['maxval_xindex'] = xidx[1:]
+            out['maxval_yindex'] = yidx[1:]
         else:
             out['min_value'] = out['max_value'] = np.empty(0)
             out['maxval_xindex'] = out['maxval_yindex'] = np.empty(0)
 
         # moments on the convolved data, negative values zeroed; labels
         # whose positive-flux total is zero fall back to uniform weights
-        wgt = np.maximum(self.conv.ravel()[nz], 0.0)
+        wgt = np.maximum(cval, 0.0)
         tot = np.bincount(lab, weights=wgt, minlength=m)[1:]
         bad = tot <= 0
         if bad.any():
@@ -145,13 +177,14 @@ class SourceCatalog:
             tot = np.bincount(lab, weights=wgt, minlength=m)[1:]
         sx = np.bincount(lab, weights=wgt * xf, minlength=m)[1:]
         sy = np.bincount(lab, weights=wgt * yf, minlength=m)[1:]
-        xc, yc = sx / tot, sy / tot
-        sxx = np.bincount(lab, weights=wgt * xf * xf, minlength=m)[1:]
-        syy = np.bincount(lab, weights=wgt * yf * yf, minlength=m)[1:]
-        sxy = np.bincount(lab, weights=wgt * xf * yf, minlength=m)[1:]
-        mxx = sxx / tot - xc * xc
-        myy = syy / tot - yc * yc
-        mxy = sxy / tot - xc * yc
+        with np.errstate(invalid='ignore'):  # fully-masked: 0/0 -> NaN
+            xc, yc = sx / tot, sy / tot
+            sxx = np.bincount(lab, weights=wgt * xf * xf, minlength=m)[1:]
+            syy = np.bincount(lab, weights=wgt * yf * yf, minlength=m)[1:]
+            sxy = np.bincount(lab, weights=wgt * xf * yf, minlength=m)[1:]
+            mxx = sxx / tot - xc * xc
+            myy = syy / tot - yc * yc
+            mxy = sxy / tot - xc * yc
         out['xcentroid'], out['ycentroid'] = xc, yc
 
         t1 = 0.5 * (mxx + myy)
@@ -169,15 +202,17 @@ class SourceCatalog:
         out['fwhm'] = 2.0 * np.sqrt(np.log(2.0) * (lam1 + lam2))
 
         # bounding boxes from the gathered pixel coordinates (after the
-        # remap every label 1..n is populated, so no None slices exist)
+        # remap every label 1..n is populated, so no None slices exist);
+        # photutils bboxes come from the segmentation image, so they keep
+        # ALL segment pixels including non-finite-masked ones
         bx0 = np.full(m, w, np.int32)
         bx1 = np.full(m, -1, np.int32)
         by0 = np.full(m, h, np.int32)
         by1 = np.full(m, -1, np.int32)
-        np.minimum.at(bx0, lab, xi)
-        np.maximum.at(bx1, lab, xi)
-        np.minimum.at(by0, lab, yi)
-        np.maximum.at(by1, lab, yi)
+        np.minimum.at(bx0, lab_all, xi_all)
+        np.maximum.at(bx1, lab_all, xi_all)
+        np.minimum.at(by0, lab_all, yi_all)
+        np.maximum.at(by1, lab_all, yi_all)
         out['bbox_xmin'] = bx0[1:].astype(float)
         out['bbox_xmax'] = bx1[1:].astype(float)
         out['bbox_ymin'] = by0[1:].astype(float)
