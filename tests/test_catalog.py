@@ -506,3 +506,28 @@ def test_source_info_batch_pool_matches_serial_with_omp_cap(rng):
     for (sc, _), (pc, _) in zip(serial, pooled):
         np.testing.assert_array_equal(sc.to_table(['xcentroid'])['xcentroid'],
                                       pc.to_table(['xcentroid'])['xcentroid'])
+
+
+def test_native_loader_recovers_from_corrupt_so(tmp_path):
+    """A corrupt cached .so (fresh mtime, bad ELF) must trigger one forced
+    rebuild instead of permanently disabling the native path."""
+    import subprocess
+    import sys
+
+    from tpu_sgp.catalog import native
+    if not native.available():
+        import pytest
+        pytest.skip('native toolchain unavailable')
+    prog = (
+        "from pathlib import Path\n"
+        "import tpu_sgp.catalog.native as cn\n"
+        "Path(str(cn._SO)).write_bytes(b'not an elf file')\n"
+        "assert cn.available(), cn._load_error\n"
+        "print('recovered')\n"
+    )
+    r = subprocess.run([sys.executable, '-c', prog], cwd='/root/repo',
+                       capture_output=True, text=True,
+                       env={**__import__('os').environ,
+                            'JAX_PLATFORMS': 'cpu'})
+    assert r.returncode == 0, r.stderr
+    assert 'recovered' in r.stdout

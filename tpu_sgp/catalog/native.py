@@ -61,7 +61,14 @@ def _load_locked():
             # OpenMP threads the per-segment deblend loop on multi-core
             # hosts (results are thread-count independent by construction)
             _build_shared([_SRC, _SRC2], _SO)
-        lib = ctypes.CDLL(str(_SO))
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            # a corrupt/stale cached .so (e.g. interrupted build from an
+            # older version, ABI drift) must not brick the native path
+            # forever: force one rebuild before giving up
+            _build_shared([_SRC, _SRC2], _SO)
+            lib = ctypes.CDLL(str(_SO))
         lib.local_background_batch.restype = None
         lib.local_background_batch.argtypes = [
             np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),

@@ -60,7 +60,12 @@ def _load_locked():
         if (not _SO.exists()
                 or _SO.stat().st_mtime < _SRC.stat().st_mtime):
             _build()
-        lib = ctypes.CDLL(str(_SO))
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            # corrupt/stale cached .so: force one rebuild, don't brick
+            _build()
+            lib = ctypes.CDLL(str(_SO))
         dptr = np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS')
         lib.diapl_local_coeffs.argtypes = [
             ctypes.POINTER(_Params), dptr, ctypes.c_double, ctypes.c_double,
