@@ -518,16 +518,56 @@ def test_native_loader_recovers_from_corrupt_so(tmp_path):
     if not native.available():
         import pytest
         pytest.skip('native toolchain unavailable')
+    # corrupt a SANDBOXED copy of the .so: truncating the real file in
+    # place would invalidate the mapping every other process (including
+    # this pytest run) holds of that inode -> bus error
     prog = (
+        "import sys\n"
         "from pathlib import Path\n"
         "import tpu_sgp.catalog.native as cn\n"
-        "Path(str(cn._SO)).write_bytes(b'not an elf file')\n"
+        "sand = Path(sys.argv[1]) / 'libtpusgp_deblend.so'\n"
+        "sand.write_bytes(b'not an elf file')\n"
+        "cn._SO = sand\n"
         "assert cn.available(), cn._load_error\n"
         "print('recovered')\n"
     )
-    r = subprocess.run([sys.executable, '-c', prog], cwd='/root/repo',
-                       capture_output=True, text=True,
+    r = subprocess.run([sys.executable, '-c', prog, str(tmp_path)],
+                       cwd='/root/repo', capture_output=True, text=True,
                        env={**__import__('os').environ,
                             'JAX_PLATFORMS': 'cpu'})
     assert r.returncode == 0, r.stderr
     assert 'recovered' in r.stdout
+
+
+def test_omp_cap_is_per_thread(tmp_path):
+    """The pool's team cap relies on libgomp ICVs being per-thread: capping
+    one worker must not leak into another. Subprocess (libgomp reads
+    OMP_NUM_THREADS at load)."""
+    import os
+    import subprocess
+    import sys
+
+    from tpu_sgp.catalog import native
+    if not native.available() or native.set_omp_threads(0) == 0:
+        import pytest
+        pytest.skip('OpenMP build unavailable')
+    prog = (
+        "import threading\n"
+        "import tpu_sgp.catalog.native as cn\n"
+        "res = {}\n"
+        "def worker(name, cap):\n"
+        "    prev = cn.set_omp_threads(cap)\n"
+        "    now = cn.set_omp_threads(cap)\n"
+        "    res[name] = (prev, now)\n"
+        "for name, cap in (('a', 2), ('b', 3)):\n"
+        "    t = threading.Thread(target=worker, args=(name, cap))\n"
+        "    t.start(); t.join()\n"
+        "assert res['a'] == (4, 2), res\n"
+        "assert res['b'] == (4, 3), res\n"
+        "print('ok')\n"
+    )
+    r = subprocess.run([sys.executable, '-c', prog], cwd='/root/repo',
+                       capture_output=True, text=True,
+                       env={**os.environ, 'OMP_NUM_THREADS': '4',
+                            'JAX_PLATFORMS': 'cpu'})
+    assert r.returncode == 0, r.stderr
