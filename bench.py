@@ -37,6 +37,45 @@ BETA_BATCH = 6144  # round 3: the 2048 wall was ~70% fixed overhead; 6144
 N_REPEATS = 15  # the tunneled chip is contention-bimodal; min over many repeats
 
 
+def _wait_for_backend(max_wait_s: float = 600.0) -> bool:
+    """The tunneled axon backend has a full-outage mode where client
+    creation hangs for minutes and then raises UNAVAILABLE; a failed
+    in-process init is cached by jax and unrecoverable. Probe device init
+    in SUBPROCESSES (disposable) until one succeeds, so a transient outage
+    delays the bench instead of hanging or poisoning it. Costs one ~5 s
+    probe on a healthy rig; returns False when the budget is exhausted."""
+    import os
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        left = deadline - time.monotonic()
+        if left <= 0:
+            return False
+        try:
+            # the axon register hook ignores the JAX_PLATFORMS env var but
+            # honors the config flag — mirror it into the config like
+            # tests/conftest.py does, so a cpu-forced bench probes cpu
+            r = subprocess.run(
+                [sys.executable, '-c',
+                 'import os, jax\n'
+                 'p = os.environ.get("JAX_PLATFORMS")\n'
+                 'if p: jax.config.update("jax_platforms", p)\n'
+                 'jax.devices(); print("up")'],
+                cwd=os.path.dirname(os.path.abspath(__file__)) or '.',
+                capture_output=True, text=True,
+                timeout=min(90.0, max(10.0, left)))
+            if r.returncode == 0 and 'up' in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f'# backend probe {attempt} failed; retrying '
+              f'({left:.0f}s left)', file=sys.stderr)
+        time.sleep(min(20.0, max(0.0, deadline - time.monotonic())))
+
+
 def _sync(res):
     """Force completion via a real transfer (block_until_ready no-ops on
     the tunneled axon backend)."""
@@ -187,6 +226,10 @@ def bench_serving_stream(np_stamps, np_psf, np_bkgs, np_fluxes):
 
 
 def main():
+    if not _wait_for_backend():
+        print('# device backend unavailable after 10 min of probes; '
+              'no metrics emitted', file=sys.stderr)
+        sys.exit(2)
     import jax
     # the tpu_sgp import below auto-enables the persistent compilation
     # cache (~/.cache/tpu_sgp/jax) on non-CPU backends: repeated bench runs
