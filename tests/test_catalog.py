@@ -571,3 +571,29 @@ def test_omp_cap_is_per_thread(tmp_path):
                        env={**os.environ, 'OMP_NUM_THREADS': '4',
                             'JAX_PLATFORMS': 'cpu'})
     assert r.returncode == 0, r.stderr
+
+
+def test_native_deblend_fuzz_matches_python():
+    """Differential fuzz: on random crowded fields the native deblender's
+    label ARRAY equals the NumPy path exactly (same tree, same watershed,
+    same renumbering)."""
+    from tpu_sgp.catalog import native
+    from tpu_sgp.catalog.segmentation import deblend_sources, detect_sources
+    if not native.available():
+        import pytest
+        pytest.skip('native toolchain unavailable')
+    n_checked = 0
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        img, _, _ = synthetic_star_field(
+            120, 120, n_stars=int(rng.integers(15, 40)), seed=seed + 100,
+            flux_range=(5e3, 9e4))
+        img = img + rng.normal(0, 1.0, img.shape)
+        segm = detect_sources(img - np.median(img), 5.0, npixels=5)
+        if segm is None:
+            continue
+        a = deblend_sources(img, segm, use_native=True)
+        b = deblend_sources(img, segm, use_native=False)
+        np.testing.assert_array_equal(a.data, b.data)
+        n_checked += 1
+    assert n_checked >= 4  # the fuzz actually exercised fields
