@@ -271,3 +271,28 @@ def test_cli_build_parser_defaults(capsys):
     print_options(args)
     out = capsys.readouterr().out
     assert 'data_path_sciimg' in out and 'x.fits' in out
+
+
+def test_jax_platforms_env_wins_over_plugin_override():
+    """Importing tpu_sgp with JAX_PLATFORMS=cpu must force the cpu backend
+    even when a plugin register hook pre-set jax_platforms to its own list
+    (during a backend outage the hook's preferred platform hangs), and
+    must NOT enable the persistent compile cache for the cpu run. With the
+    env allowing the hook's preference, the hook's list is left alone."""
+    import os
+    import subprocess
+    import sys
+
+    prog_cpu = (
+        "import tpu_sgp, jax\n"
+        "assert jax.config.jax_platforms == 'cpu', jax.config.jax_platforms\n"
+        "assert not jax.config.jax_compilation_cache_dir\n"
+        "print(jax.devices()[0].platform)\n"
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('TPU_SGP_NO_COMPILE_CACHE',)}
+    env['JAX_PLATFORMS'] = 'cpu'
+    r = subprocess.run([sys.executable, '-c', prog_cpu], cwd='/root/repo',
+                       capture_output=True, text=True, env=env, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().endswith('cpu')

@@ -48,6 +48,37 @@ def _enable_persistent_compile_cache():
         pass  # read-only home etc. — run without a persistent cache
 
 
+def _mirror_platforms_env():
+    """Mirror JAX_PLATFORMS into the jax_platforms config flag.
+
+    Some PJRT plugin register hooks (the tunneled axon one here) overwrite
+    the jax_platforms config with their own list (e.g. 'axon,cpu') and
+    consult only that flag — so `JAX_PLATFORMS=cpu python ...` still waits
+    on the plugin's device client (minutes, during a backend outage).
+    Stock JAX semantics are that the env var IS the platform list; restore
+    them by writing the env value over the hook's override — but only when
+    the hook's PREFERRED platform is one the env excludes (the broken
+    case: env 'cpu' vs hook 'axon,cpu' hangs waiting on the axon client).
+    When the env allows the hook's preference (e.g. env 'axon'), the
+    hook's list is left alone."""
+    env = _os.environ.get('JAX_PLATFORMS')
+    if not env:
+        return
+    import jax
+    try:
+        cfg = jax.config.jax_platforms
+        if cfg and cfg != env:
+            allowed = {p.strip() for p in env.split(',') if p.strip()}
+            preferred = cfg.split(',')[0].strip()
+            if preferred not in allowed:
+                jax.config.update('jax_platforms', env)
+    except Exception:
+        pass  # backends already initialized, or an unknown platform name
+
+
+# mirror FIRST: the cache decision below keys off the effective platform
+# (a cpu-forced run must not load AOT executables compiled elsewhere)
+_mirror_platforms_env()
 _enable_persistent_compile_cache()
 
 from .config import SGPConfig, DEFAULT_PARAMS, DEFAULT_COLUMNS, parity_config
