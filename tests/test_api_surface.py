@@ -296,3 +296,27 @@ def test_jax_platforms_env_wins_over_plugin_override():
                        capture_output=True, text=True, env=env, timeout=120)
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip().endswith('cpu')
+
+
+def test_bench_backend_probe_fails_cleanly_on_bad_platform():
+    """bench.py's outage guard: with an impossible platform the probe must
+    return False within its budget instead of hanging."""
+    import importlib.util
+    import os
+    import time
+
+    spec = importlib.util.spec_from_file_location(
+        'benchmod', os.path.join('/root/repo', 'bench.py'))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    old = os.environ.get('JAX_PLATFORMS')
+    os.environ['JAX_PLATFORMS'] = 'no_such_platform'
+    try:
+        t0 = time.monotonic()
+        assert m._wait_for_backend(max_wait_s=8) is False
+        assert time.monotonic() - t0 < 60
+    finally:
+        if old is None:
+            os.environ.pop('JAX_PLATFORMS', None)
+        else:
+            os.environ['JAX_PLATFORMS'] = old
