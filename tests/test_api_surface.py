@@ -298,6 +298,36 @@ def test_jax_platforms_env_wins_over_plugin_override():
     assert r.stdout.strip().endswith('cpu')
 
 
+def test_jax_platforms_env_order_decides_default_platform():
+    """The env var's FIRST platform is the user's default: a hook override
+    that reorders it (env 'cpu,X' vs hook 'X,cpu') must be replaced by the
+    env list, while a hook that merely appends a fallback behind the env's
+    own first choice (env 'X' vs hook 'X,cpu') is left alone. Config-only
+    (no backend is initialized), so the fake platform name is safe."""
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "import os, jax\n"
+        "jax.config.update('jax_platforms', 'fakeplat,cpu')  # hook override\n"
+        "import tpu_sgp\n"
+        "assert jax.config.jax_platforms == 'cpu,fakeplat', \\\n"
+        "    jax.config.jax_platforms\n"
+        "tpu_sgp._os.environ['JAX_PLATFORMS'] = 'fakeplat'\n"
+        "jax.config.update('jax_platforms', 'fakeplat,cpu')\n"
+        "tpu_sgp._mirror_platforms_env()\n"
+        "assert jax.config.jax_platforms == 'fakeplat,cpu', \\\n"
+        "    jax.config.jax_platforms\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS='cpu,fakeplat')
+    r = subprocess.run([sys.executable, '-c', prog], cwd='/root/repo',
+                       capture_output=True, text=True, env=env, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().endswith('ok')
+
+
 def test_bench_backend_probe_fails_cleanly_on_bad_platform():
     """bench.py's outage guard: with an impossible platform the probe must
     return False within its budget instead of hanging."""

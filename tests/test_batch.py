@@ -136,6 +136,31 @@ def test_restoration_session_mesh_divisible_buckets():
     assert np.isfinite(np.asarray(res.x)).all()
 
 
+def test_restoration_session_warmup_normalizes_buckets_to_policy_grid():
+    """warmup() must warm the buckets the padding policy actually serves:
+    on a 6-device mesh an explicit/default bucket like 4 is not a policy
+    output (and not device-count divisible — the sharded device_put
+    rejected it outright); it must normalize to bucket 6, which a real
+    batch of 1..6 then hits without a serve-time compile warning."""
+    import warnings
+    import jax
+    from jax.sharding import Mesh
+    from tpu_sgp.parallel.batch import _bucket_target
+    from tpu_sgp.parallel.session import RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(3, size=16, seed=21)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=4, dtype='float64')
+    mesh = Mesh(np.array(jax.devices()[:6]), axis_names=('batch',))
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16), mesh=mesh)
+    sess.warmup(buckets=(4,))  # crashed before: 4 % 6 != 0
+    assert sess._warmed == {_bucket_target(3, mesh)} == {6}
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        res = sess.restore(stamps, bkgs, fluxes=fluxes)
+    assert res.x.shape == (3, 16, 16)
+    assert np.isfinite(np.asarray(res.x)).all()
+
+
 @__import__('pytest').mark.filterwarnings(
     'ignore:RestorationSession')
 def test_restoration_session_serves_buckets():

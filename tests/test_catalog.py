@@ -463,9 +463,9 @@ def test_nonfinite_pixels_are_masked_like_photutils():
     seg[2:5, 2:5] = 1
     seg[7:9, 7:9] = 2
     cat = SourceCatalog(data, SegmentationImage(seg),
-                        convolved_data=data.copy())
+                        convolved_data=data.copy(), error=np.ones_like(data))
     t = cat.to_table(['maxval_xindex', 'maxval_yindex', 'segment_flux',
-                      'max_value', 'area', 'xcentroid',
+                      'segment_fluxerr', 'max_value', 'area', 'xcentroid',
                       'bbox_xmin', 'bbox_xmax'])
     # segment 1: 8 finite pixels (7 at 5.0 + one 7.0), max at (x=3, y=2)
     assert t['area'][0] == 8
@@ -473,9 +473,14 @@ def test_nonfinite_pixels_are_masked_like_photutils():
     assert t['max_value'][0] == 7.0
     assert t['maxval_xindex'][0] == 3 and t['maxval_yindex'][0] == 2
     assert np.isfinite(t['xcentroid'][0])
-    # segment 2: fully masked -> NaN stats, zero unmasked area
+    # segment 1 has an error plane of ones: fluxerr = sqrt(area)
+    np.testing.assert_allclose(t['segment_fluxerr'][0], np.sqrt(8.0))
+    # segment 2: fully masked -> NaN stats, zero unmasked area (fluxerr too
+    # — regression: it used to come out 0.0, i.e. an infinitely-precise
+    # zero-flux measurement)
     assert t['area'][1] == 0
-    for col in ('segment_flux', 'max_value', 'maxval_xindex', 'xcentroid'):
+    for col in ('segment_flux', 'segment_fluxerr', 'max_value',
+                'maxval_xindex', 'xcentroid'):
         assert np.isnan(t[col][1]), col
     # bboxes keep ALL segment pixels (photutils: bbox is from the segment
     # image, independent of the non-finite mask)

@@ -55,12 +55,15 @@ def _mirror_platforms_env():
     the jax_platforms config with their own list (e.g. 'axon,cpu') and
     consult only that flag — so `JAX_PLATFORMS=cpu python ...` still waits
     on the plugin's device client (minutes, during a backend outage).
-    Stock JAX semantics are that the env var IS the platform list; restore
-    them by writing the env value over the hook's override — but only when
-    the hook's PREFERRED platform is one the env excludes (the broken
-    case: env 'cpu' vs hook 'axon,cpu' hangs waiting on the axon client).
-    When the env allows the hook's preference (e.g. env 'axon'), the
-    hook's list is left alone."""
+    Stock JAX semantics are that the env var IS the platform list, in the
+    env's own priority order; restore them by writing the env value over
+    the hook's override whenever the hook changed the DEFAULT (first)
+    platform the user asked for — env 'cpu' vs hook 'axon,cpu' hangs
+    waiting on the axon client during an outage, and env 'cpu,axon' vs
+    hook 'axon,axon/cpu' silently initializes axon as the default. Only
+    when the hook's first platform already equals the env's first (e.g.
+    env 'axon', hook 'axon,cpu') is the hook's list left alone — it then
+    merely appends a fallback behind the platform the user chose."""
     env = _os.environ.get('JAX_PLATFORMS')
     if not env:
         return
@@ -68,9 +71,9 @@ def _mirror_platforms_env():
     try:
         cfg = jax.config.jax_platforms
         if cfg and cfg != env:
-            allowed = {p.strip() for p in env.split(',') if p.strip()}
+            env_first = env.split(',')[0].strip()
             preferred = cfg.split(',')[0].strip()
-            if preferred not in allowed:
+            if preferred != env_first:
                 jax.config.update('jax_platforms', env)
     except Exception:
         pass  # backends already initialized, or an unknown platform name

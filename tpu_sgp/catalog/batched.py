@@ -45,79 +45,88 @@ def _batched_background(cutouts: np.ndarray, box: int = 5,
                         maxiters: int = 10, exclude_percentile: float = 10.0):
     """(background, rms) maps for a (N, H, W) stack — Background2D
     semantics vectorized over N (pad geometry is shared, so the exclusion
-    mask and all weight matrices are computed once)."""
+    mask and all weight matrices are computed once).
+
+    Stamps with non-finite DATA pixels (e.g. a diverged f32 candidate
+    restoration) cannot share the fixed-geometry path at all: serial
+    Background2D counts data NaNs into each box's exclusion test, so a
+    partially-NaN box may be excluded serially while its clipped stats
+    stay finite here — those stamps are sliced out FIRST and delegated to
+    the serial class, which is exact by construction (running them through
+    the batched stages only to overwrite the result would pay both
+    paths)."""
     from scipy.ndimage import spline_filter1d
 
     n, h, w = cutouts.shape
-    ny, nx = -(-h // box), -(-w // box)
-    ph, pw = ny * box - h, nx * box - w
-    padded = np.pad(cutouts.astype(np.float64, copy=False),
-                    ((0, 0), (0, ph), (0, pw)), mode='constant',
-                    constant_values=np.nan)
-    boxes = padded.reshape(n, ny, box, nx, box).swapaxes(2, 3).reshape(
-        n, ny, nx, box * box)
-    med, std = clipped_box_stats(boxes, sigma, maxiters,
-                                 extra_median_iters=5)
-
-    # geometry-only exclusion mask (the data itself has no NaNs)
-    nbad = np.zeros((ny, nx), np.int64)
-    if ph:
-        nbad[-1, :] += ph * box
-    if pw:
-        nbad[:, -1] += pw * box
-        if ph:
-            nbad[-1, -1] = box * box - (box - ph) * (box - pw)
-    good = nbad <= (exclude_percentile / 100.0) * (box * box)
-    if not good.any():
-        # degenerate geometry (e.g. cutouts narrower than a box): keep the
-        # least-masked cells, exactly like the serial Background2D fallback
-        good = nbad == nbad.min()
-    # stamps with non-finite DATA pixels (e.g. a diverged f32 candidate
-    # restoration) cannot share the fixed-geometry path at all: serial
-    # Background2D counts data NaNs into each box's exclusion test, so a
-    # partially-NaN box may be excluded serially while its clipped stats
-    # stay finite here — delegate those stamps to the serial class, which
-    # is exact by construction (they are rare; see the loop below)
     irregular = ~np.isfinite(cutouts).all(axis=(1, 2))
-    if not good.all():
-        # fixed-geometry Shepard fill as ONE gather + weight contraction:
-        # the neighbor sets, tie-breaks, and weights are shared with the
-        # serial _idw_fill through _knn_idw_query
-        _, (by_, bx_), idx, wgt = _knn_idw_query(good)
-        wsum = wgt.sum(axis=1)
-        gy, gx = np.nonzero(good)
-        for mesh in (med, std):
-            vals = mesh[:, gy, gx]                       # (n, n_good)
-            mesh[:, by_, bx_] = (vals[:, idx] * wgt).sum(axis=2) / wsum
-    if ny * nx > 1:
-        fy = min(filter_size, 2 * ny - 1)
-        fx = min(filter_size, 2 * nx - 1)
-        if fy > 1 or fx > 1:
-            med = _nanmedian_filter(med, (fy, fx))
-            std = _nanmedian_filter(std, (fy, fx))
+    bkg = np.empty((n, h, w), np.float64)
+    rms = np.empty((n, h, w), np.float64)
+    reg = np.flatnonzero(~irregular)
+    sub = cutouts if reg.size == n else cutouts[reg]
+    if reg.size:
+        m = reg.size
+        ny, nx = -(-h // box), -(-w // box)
+        ph, pw = ny * box - h, nx * box - w
+        padded = np.pad(sub.astype(np.float64, copy=False),
+                        ((0, 0), (0, ph), (0, pw)), mode='constant',
+                        constant_values=np.nan)
+        boxes = padded.reshape(m, ny, box, nx, box).swapaxes(2, 3).reshape(
+            m, ny, nx, box * box)
+        med, std = clipped_box_stats(boxes, sigma, maxiters,
+                                     extra_median_iters=5)
 
-    order = 3 if min(ny, nx) >= 4 else 1
-    wy = _zoom_axis_weights(ny, box, order, grid_mode=False)
-    wx = _zoom_axis_weights(nx, box, order, grid_mode=False)
-    maps = []
-    for mesh in (med, std):
-        if order > 1:
-            filt = spline_filter1d(mesh, order=order, axis=1,
-                                   mode='reflect', output=np.float64)
-            filt = spline_filter1d(filt, order=order, axis=2,
-                                   mode='reflect', output=np.float64)
-        else:
-            filt = mesh
-        up = np.einsum('ab,nbc,dc->nad', wy, filt, wx)
-        maps.append(up[:, :h, :w])
-    for i in np.nonzero(irregular)[0]:
+        # geometry-only exclusion mask (the regular stamps have no NaNs)
+        nbad = np.zeros((ny, nx), np.int64)
+        if ph:
+            nbad[-1, :] += ph * box
+        if pw:
+            nbad[:, -1] += pw * box
+            if ph:
+                nbad[-1, -1] = box * box - (box - ph) * (box - pw)
+        good = nbad <= (exclude_percentile / 100.0) * (box * box)
+        if not good.any():
+            # degenerate geometry (e.g. cutouts narrower than a box): keep
+            # the least-masked cells, exactly like the serial Background2D
+            # fallback
+            good = nbad == nbad.min()
+        if not good.all():
+            # fixed-geometry Shepard fill as ONE gather + weight
+            # contraction: the neighbor sets, tie-breaks, and weights are
+            # shared with the serial _idw_fill through _knn_idw_query
+            _, (by_, bx_), idx, wgt = _knn_idw_query(good)
+            wsum = wgt.sum(axis=1)
+            gy, gx = np.nonzero(good)
+            for mesh in (med, std):
+                vals = mesh[:, gy, gx]                   # (m, n_good)
+                mesh[:, by_, bx_] = (vals[:, idx] * wgt).sum(axis=2) / wsum
+        if ny * nx > 1:
+            fy = min(filter_size, 2 * ny - 1)
+            fx = min(filter_size, 2 * nx - 1)
+            if fy > 1 or fx > 1:
+                med = _nanmedian_filter(med, (fy, fx))
+                std = _nanmedian_filter(std, (fy, fx))
+
+        order = 3 if min(ny, nx) >= 4 else 1
+        wy = _zoom_axis_weights(ny, box, order, grid_mode=False)
+        wx = _zoom_axis_weights(nx, box, order, grid_mode=False)
+        for mesh, out in ((med, bkg), (std, rms)):
+            if order > 1:
+                filt = spline_filter1d(mesh, order=order, axis=1,
+                                       mode='reflect', output=np.float64)
+                filt = spline_filter1d(filt, order=order, axis=2,
+                                       mode='reflect', output=np.float64)
+            else:
+                filt = mesh
+            up = np.einsum('ab,nbc,dc->nad', wy, filt, wx)
+            out[reg] = up[:, :h, :w]
+    for i in np.flatnonzero(irregular):
         b = Background2D(cutouts[i], (box, box),
                          filter_size=(filter_size, filter_size),
                          sigma=sigma, maxiters=maxiters,
                          exclude_percentile=exclude_percentile)
-        maps[0][i] = b.background
-        maps[1][i] = b.background_rms
-    return maps[0], maps[1]
+        bkg[i] = b.background
+        rms[i] = b.background_rms
+    return bkg, rms
 
 
 _PLANE8 = np.zeros((3, 3, 3), bool)
@@ -158,39 +167,52 @@ def brightest_catalog_fluxes(cutouts: np.ndarray, n_pixels: int = 5,
                                 index=np.arange(1, nlab + 1))
 
     # stamps where some surviving segment hosts >1 local-max plateau can
-    # deblend — delegate those to the exact serial path
+    # deblend — delegate those to the exact serial path. The screen itself
+    # is fully vectorized (the labels from ndimage.label are globally
+    # unique across the stack, so per-segment/per-plateau facts reduce to
+    # bincounts): an earlier per-stamp, per-segment Python loop over
+    # np.unique + full-stamp masks walked ~1e8 elements at workload scale.
     inseg = lab > 0
     neigh_max = ndimage.maximum_filter(np.where(inseg, conv, -np.inf),
                                        size=(1, 3, 3))
     is_max = inseg & (conv >= neigh_max)
-    mlab, _ = ndimage.label(is_max, structure=_PLANE8)
-    for i in range(n):
+    mlab, nplat = ndimage.label(is_max, structure=_PLANE8)
+
+    flat = np.flatnonzero(lab.ravel())             # in-segment pixels
+    seg_stamp = np.zeros(nlab + 1, np.int64)       # segment -> stamp index
+    seg_stamp[lab.ravel()[flat]] = flat // (h * w)
+    # each 8-connected plateau lies inside exactly ONE segment (two
+    # distinct 8-connected segments are never 8-adjacent), so any of its
+    # pixels names that segment
+    msel = np.flatnonzero(mlab.ravel())
+    plat_seg = np.zeros(nplat + 1, np.int64)       # plateau -> segment
+    plat_seg[mlab.ravel()[msel]] = lab.ravel()[msel]
+    npeaks = np.bincount(plat_seg[1:], minlength=nlab + 1)
+    stamp_multi = np.zeros(n, bool)
+    stamp_multi[seg_stamp[np.flatnonzero(npeaks > 1)]] = True
+
+    # single-plateau stamps: brightest kept-segment flux, one scatter-max
+    ids = np.flatnonzero(keep)
+    best = np.full(n, -np.inf)
+    np.maximum.at(best, seg_stamp[ids], fluxes[ids - 1])
+    sel = ~stamp_multi & (best > -np.inf)
+    out[sel] = best[sel]
+
+    for i in np.flatnonzero(stamp_multi):
         li = lab[i]
         present = np.unique(li[li > 0])
-        if present.size == 0:
-            continue
-        multi = False
-        for p in present:
-            peaks = np.unique(mlab[i][li == p])
-            if (peaks > 0).sum() > 1:
-                multi = True
-                break
-        if multi:
-            # deblend THIS stamp's already-computed labels on the
-            # already-computed convolved image (same inputs as the serial
-            # path -> same children), then take the brightest child's
-            # data_sub sum — exactly SourceCatalog's segment_flux
-            remap = np.zeros(int(li.max()) + 1, np.int32)
-            remap[present] = np.arange(1, present.size + 1,
-                                       dtype=np.int32)
-            deb = deblend_sources(conv[i], SegmentationImage(remap[li]),
-                                  npixels=n_pixels)
-            # present.size >= 1 and the deblender labels every in-segment
-            # pixel, so fl always has at least one entry
-            fl = ndimage.sum_labels(
-                data_sub[i], deb.data,
-                index=np.arange(1, int(deb.data.max()) + 1))
-            out[i] = float(np.max(fl))
-        else:
-            out[i] = float(np.max(fluxes[present - 1]))
+        # deblend THIS stamp's already-computed labels on the
+        # already-computed convolved image (same inputs as the serial
+        # path -> same children), then take the brightest child's
+        # data_sub sum — exactly SourceCatalog's segment_flux
+        remap = np.zeros(int(li.max()) + 1, np.int32)
+        remap[present] = np.arange(1, present.size + 1, dtype=np.int32)
+        deb = deblend_sources(conv[i], SegmentationImage(remap[li]),
+                              npixels=n_pixels)
+        # present.size >= 1 and the deblender labels every in-segment
+        # pixel, so fl always has at least one entry
+        fl = ndimage.sum_labels(
+            data_sub[i], deb.data,
+            index=np.arange(1, int(deb.data.max()) + 1))
+        out[i] = float(np.max(fl))
     return out

@@ -135,6 +135,7 @@ class SourceCatalog:
             e2 = np.asarray(self.error, np.float64).ravel()[nz] ** 2
             out['segment_fluxerr'] = np.sqrt(
                 np.bincount(lab, weights=e2, minlength=m)[1:])
+            out['segment_fluxerr'][out['area'] == 0] = np.nan
         else:
             out['segment_fluxerr'] = np.full(n, np.nan)
 

@@ -81,21 +81,34 @@ class RestorationSession:
 
         The defaults cover every bucket the padding policy produces for
         batches of 33..1024 (powers of two up to 256, then multiples of
-        256). Pass ``max_batch`` to instead warm EVERY bucket the padding
-        policy can produce for batches 1..max_batch — the safe choice when
-        the serving batch-size ceiling is known. A request landing in a
+        256; on a mesh, each rounded up to the device count). Pass
+        ``max_batch`` to instead warm EVERY bucket the padding policy can
+        produce for batches 1..max_batch — the safe choice when the
+        serving batch-size ceiling is known. A request landing in a
         non-warmed bucket still works but pays a full solver compile at
         serve time (the session warns when that happens).
 
-        Each bucket is compiled at EXACTLY its own size (the dummy batch
-        bypasses the padding policy): feeding a bucket value back through
-        the policy would double-round it — e.g. a 6-device mesh produces
-        bucket 6 for batches 1..2, but a size-6 dummy would itself pad to
-        12, so bucket 6 would never be warmed."""
+        Requested ``buckets`` values are normalized onto the padding
+        policy's actual bucket grid — each value warms the smallest
+        policy-producible bucket >= it, i.e. the bucket a batch of that
+        size is actually served through. Warming the raw values would
+        compile sizes the policy never routes a request to (wasted
+        compiles) and, on a mesh, sizes not divisible by the device count
+        (the sharded ``device_put`` rejects those outright). Each
+        normalized bucket is then compiled at EXACTLY its own size (the
+        dummy batch bypasses the policy): re-padding a bucket value would
+        double-round it — e.g. a 6-device mesh produces bucket 6 for
+        batches 1..2, but a size-6 dummy would itself pad to 12, so
+        bucket 6 would never be warmed."""
         from .batch import _bucket_target
         if max_batch is not None:
             buckets = sorted({_bucket_target(b, self.mesh)
                               for b in range(1, max_batch + 1)})
+        elif buckets:
+            grid = sorted({_bucket_target(b, self.mesh)
+                           for b in range(1, max(buckets) + 1)})
+            buckets = sorted({next(g for g in grid if g >= b)
+                              for b in buckets})
         h, w = self.stamp_shape
         self._warming = True
         try:
