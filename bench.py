@@ -37,16 +37,22 @@ BETA_BATCH = 6144  # round 3: the 2048 wall was ~70% fixed overhead; 6144
 N_REPEATS = 15  # the tunneled chip is contention-bimodal; min over many repeats
 
 
-def _wait_for_backend(max_wait_s: float = 600.0) -> bool:
+def _wait_for_backend(max_wait_s: float = None) -> bool:
     """The tunneled axon backend has a full-outage mode where client
     creation hangs for minutes and then raises UNAVAILABLE; a failed
     in-process init is cached by jax and unrecoverable. Probe device init
     in SUBPROCESSES (disposable) until one succeeds, so a transient outage
     delays the bench instead of hanging or poisoning it. Costs one ~5 s
-    probe on a healthy rig; returns False when the budget is exhausted."""
+    probe on a healthy rig; returns False when the budget is exhausted.
+
+    The budget defaults to 30 min (outages measured here last hours, so a
+    longer window costs nothing on a healthy rig but can catch a recovery
+    edge); override with TPU_SGP_BENCH_MAX_WAIT_S."""
     import os
     import subprocess
 
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get('TPU_SGP_BENCH_MAX_WAIT_S', 1800))
     deadline = time.monotonic() + max_wait_s
     attempt = 0
     while True:
@@ -227,8 +233,9 @@ def bench_serving_stream(np_stamps, np_psf, np_bkgs, np_fluxes):
 
 def main():
     if not _wait_for_backend():
-        print('# device backend unavailable after 10 min of probes; '
-              'no metrics emitted', file=sys.stderr)
+        print('# device backend unavailable after the probe budget '
+              '(TPU_SGP_BENCH_MAX_WAIT_S, default 30 min); no metrics '
+              'emitted', file=sys.stderr)
         sys.exit(2)
     import jax
     # the tpu_sgp import below auto-enables the persistent compilation
