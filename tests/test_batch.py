@@ -380,6 +380,11 @@ def test_restore_stamps_rejects_missing_flux_and_bad_sat():
     with pytest.raises(ValueError, match='sat_level'):
         restore_stamps(stamps, psf, bkgs, cfg,
                        fluxes=stamps.sum(axis=(1, 2)), sat_level=0.0)
+    # errflag without ground truth: obj would default to zeros and the
+    # err series to all-inf (api.sgp raises the same misuse)
+    with pytest.raises(ValueError, match='errflag'):
+        restore_stamps(stamps, psf, bkgs, cfg.replace(errflag=True),
+                       fluxes=stamps.sum(axis=(1, 2)))
 
 
 @__import__('pytest').mark.filterwarnings(

@@ -74,6 +74,29 @@ def test_distributed_solve_matches_single_device_kl():
     np.testing.assert_allclose(float(dist.fv), float(single.fv), rtol=1e-10)
 
 
+def test_distributed_errflag_without_obj_raises():
+    """errflag=True with no ground truth must raise like api.sgp does
+    (regression: obj defaulted to zeros -> obj_sum 0 -> all-inf err
+    series); and the jitted runner is cached per (cfg, mesh) instead of
+    re-traced per call."""
+    from tpu_sgp.parallel.distributed import (_distributed_run,
+                                              solve_distributed_batch)
+    img, psf = _problem(h=64, w=64, n_stars=4, seed=3)
+    cfg = SGPConfig(max_iter=4, stop_criterion=1, init_recon=2,
+                    dtype='float64', operator='linear', errflag=True)
+    mesh = make_image_mesh(devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match='errflag'):
+        solve_distributed(img, psf, 150.0, cfg, mesh)
+    from tpu_sgp.parallel.distributed import make_batch_image_mesh
+    mesh3 = make_batch_image_mesh(devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match='errflag'):
+        solve_distributed_batch(img[None], psf, 150.0, cfg, mesh3)
+    # runner cache: same (cfg, mesh) -> the SAME jitted callable
+    cfg2 = cfg.replace(errflag=False, operator='halo',
+                       axis_names=tuple(mesh.axis_names))
+    assert _distributed_run(cfg2, mesh) is _distributed_run(cfg2, mesh)
+
+
 def test_distributed_solve_matches_single_device_beta_early_stop():
     img, psf = _problem(h=64, w=64, n_stars=6, seed=7)
     cfg = SGPConfig(max_iter=80, stop_criterion=3, tol_convergence=1e-4,

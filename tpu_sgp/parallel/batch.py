@@ -242,6 +242,12 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
             'would be identically zero. Pass per-stamp fluxes (e.g. the '
             'background-subtracted sums) or use a config with '
             'has_flux=False.')
+    if cfg.errflag and obj is None:
+        # reference parity (sgp.py raises the same misuse): obj would
+        # default to zeros, obj_sum to 0, and the err series to all-inf
+        raise ValueError('cfg.errflag=True but obj=None: the relative-'
+                         'error series needs the ground truth. Pass obj '
+                         'or use a config with errflag=False.')
     if cfg.has_sat_level and np.ndim(sat_level) == 0 \
             and float(sat_level) <= 0:
         raise ValueError(

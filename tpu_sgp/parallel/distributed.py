@@ -17,6 +17,7 @@ mesh and solved as one optimization problem:
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -107,6 +108,34 @@ def pad_to_mesh(gn, bkg, ty: int, tx: int, half: int):
     return gn_pad, bkg_pad, (hp, wp)
 
 
+@functools.lru_cache(maxsize=None)
+def _distributed_run(cfg: SGPConfig, mesh: Mesh):
+    """Jitted shard_map solve, cached per (cfg, mesh). A fresh ``jax.jit``
+    closure per call would re-trace and re-lower the whole while_loop
+    solver on EVERY call (a new PjitFunction starts with an empty cache;
+    the persistent disk cache only skips the XLA executable compile, not
+    tracing/lowering) — same module-level-jit rule as batch.py's
+    ``_batched_solve``."""
+    py, px = cfg.axis_names
+    img_spec = P(py, px)
+    repl = P()
+
+    @jax.jit
+    def run(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat):
+        fn = jax.shard_map(
+            lambda g, p, b, z, f, o, bp, lr, s: solve(g, p, b, z, f, o, bp,
+                                                      lr, s, cfg),
+            mesh=mesh,
+            in_specs=(img_spec, repl, img_spec, img_spec, repl, img_spec,
+                      repl, repl, repl),
+            out_specs=SGPResult(x=img_spec, iters=repl, discr=repl,
+                                err=repl, beta=repl, fv=repl, scaling=repl),
+            check_vma=False)
+        return fn(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)
+
+    return run
+
+
 def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
                       flux=None, x0=None, obj=None, beta0=1.0, lr0=1e-3,
                       sat_level=0.0) -> SGPResult:
@@ -130,6 +159,12 @@ def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
     on awkward shapes, pad the image yourself to mesh-divisible extents and
     crop, or pass an explicit ``flux`` measured on the unpadded frame.
     """
+    if cfg.errflag and obj is None:
+        # same misuse guard as api.sgp / restore_stamps: obj would default
+        # to zeros, obj_sum to 0, and the err series to all-inf
+        raise ValueError('cfg.errflag=True but obj=None: the relative-'
+                         'error series needs the ground truth. Pass obj '
+                         'or use a config with errflag=False.')
     axis_names = tuple(mesh.axis_names)
     cfg = cfg.replace(operator='halo', axis_names=axis_names)
     dt = cfg.jnp_dtype
@@ -159,24 +194,8 @@ def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
     lr0 = jnp.asarray(lr0, dt)
     sat = jnp.asarray(sat_level, dt)
 
-    py, px = axis_names
-    img_spec = P(py, px)
-    repl = P()
-
-    @jax.jit
-    def run(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat):
-        fn = jax.shard_map(
-            lambda g, p, b, z, f, o, bp, lr, s: solve(g, p, b, z, f, o, bp,
-                                                      lr, s, cfg),
-            mesh=mesh,
-            in_specs=(img_spec, repl, img_spec, img_spec, repl, img_spec,
-                      repl, repl, repl),
-            out_specs=SGPResult(x=img_spec, iters=repl, discr=repl,
-                                err=repl, beta=repl, fv=repl, scaling=repl),
-            check_vma=False)
-        return fn(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)
-
-    gn = jax.device_put(gn, NamedSharding(mesh, img_spec))
+    run = _distributed_run(cfg, mesh)
+    gn = jax.device_put(gn, NamedSharding(mesh, P(*axis_names)))
     res = run(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)
     if (hp, wp) != (h, w):
         res = res._replace(x=res.x[:h, :w])
@@ -205,6 +224,12 @@ def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
       beta0: scalar or (B,) initial beta (beta divergence mode).
     Returns: SGPResult with leading batch dimension on every field.
     """
+    if cfg.errflag and objs is None:
+        # same misuse guard as api.sgp / restore_stamps: objs would default
+        # to zeros, obj_sum to 0, and the err series to all-inf
+        raise ValueError('cfg.errflag=True but objs=None: the relative-'
+                         'error series needs the ground truth. Pass objs '
+                         'or use a config with errflag=False.')
     bax, py, px = tuple(mesh.axis_names)
     # sync_axes: images on different batch groups converge at different
     # iteration counts; without lockstep their in-loop collectives deadlock
@@ -263,6 +288,22 @@ def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
     lr0 = jnp.asarray(lr0, dt)
     sat = jnp.asarray(sat_level, dt)
 
+    run = _distributed_batch_run(cfg, mesh)
+
+    gns = jax.device_put(gns, NamedSharding(mesh, P(bax, py, px)))
+    res = run(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat)
+    if (bfull, hp, wp) != (b, h, w):
+        res = SGPResult(*(f[:b] for f in res))._replace(
+            x=res.x[:b, :h, :w])
+    return res
+
+
+@functools.lru_cache(maxsize=None)
+def _distributed_batch_run(cfg: SGPConfig, mesh: Mesh):
+    """Jitted (batch, ty, tx) shard_map solve, cached per (cfg, mesh) —
+    see ``_distributed_run`` for why a per-call jit closure is wrong."""
+    (bax,) = cfg.sync_axes
+    py, px = cfg.axis_names
     img_spec = P(bax, py, px)
     vec_spec = P(bax)
     repl = P()
@@ -287,9 +328,4 @@ def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
             check_vma=False)
         return fn(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat)
 
-    gns = jax.device_put(gns, NamedSharding(mesh, img_spec))
-    res = run(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat)
-    if (bfull, hp, wp) != (b, h, w):
-        res = SGPResult(*(f[:b] for f in res))._replace(
-            x=res.x[:b, :h, :w])
-    return res
+    return run

@@ -58,7 +58,8 @@ class RestorationSession:
         # every elementwise pass pays (see restore_stamps(flatten=...));
         # sessions always hold ONE shared PSF, so only the operator family
         # gates it
-        self.flatten = (self.psf.size <= 4096
+        from ..ops.psf_operator import _MATMUL_MAX_PIXELS
+        self.flatten = (self.psf.size <= _MATMUL_MAX_PIXELS
                         and cfg.operator in ('auto', 'matmul',
                                              'matmul_flat')
                         and self.psf.shape == self.stamp_shape)

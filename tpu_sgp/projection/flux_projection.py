@@ -237,27 +237,34 @@ def bracket_bits(dtype) -> int:
     return 54 if jnp.dtype(dtype) == jnp.float64 else 28
 
 
-def project_df_bisect(b, c, dia, scaling, sat_level=None,
-                      has_sat: bool | None = None,
-                      n_iters: int | None = None, axes=()):
-    """Fixed-iteration bisection on the dual variable — the TPU fast path.
+def _sectioning_machinery(b, c, dia, scaling, sat_level, has_sat, n_iters,
+                          axes):
+    """Shared K-way sectioning machinery for the bisection projections —
+    ONE implementation of the primal recovery, the guaranteed global
+    bracket, and the residual sign-census sweep, so the cold and warm
+    paths (whose trajectories must agree to bracket resolution) cannot
+    drift apart.
 
-    The residual r(lambda) = sum(clip((c+lambda)/dia, 0, cap)) - b is
-    monotone nondecreasing, so bisection from a guaranteed bracket converges
-    unconditionally; 54 halvings shrink the bracket by 2^-54 (< f64 eps
-    relative), matching the reference secant solver to its own 1e-11*b
-    tolerance. Unlike the secant path the trip count is static: under vmap
-    nothing serializes to the slowest lane, and when the image is sharded
-    each iteration is exactly one psum (vs the secant's data-dependent
-    up-to-1000 collectives).
+    K-way sectioning evaluates the residual at K interior points per pass
+    (one fused broadcast + reduction), narrowing the bracket by a factor
+    K+1 per step. The plain 1-point bisection is launch-latency bound on
+    TPU (~40us/step for ~3us of memory traffic), so trading K x the
+    arithmetic for fewer sequential steps wins. Sharded images pay one
+    psum per sweep STEP: K=7 (3 bits/step) keeps the collective rounds at
+    10 instead of K=3's 14; single-device sweeps are arithmetic-bound and
+    take the smaller K (see _K_PTS).
 
-    Bracket: r(min(-c)) = -b < 0 (all pixels inactive); at
-    hi = max(b*dia - c) the maximizing pixel alone contributes >= b. If the
-    saturation capacity is below b, r stays negative and bisection converges
-    to hi, i.e. full saturation — the same limit the reference reaches.
+    The sweep runs on RAVELED pixels: a (K, H, W) block tiles as T(8,128)
+    over the trailing dims (31x31 pads 4.3x and every sweep pays it),
+    while (K, H*W) pads only 961 -> 1024. The multiply by a hoisted 1/dia
+    replaces K divides per pixel per step with one; with saturation the
+    clip happens in the dia-scaled domain, saving a second (K, N) pass:
+    min(cap, z/dia) == min(cap*dia, z)/dia (dia > 0).
+
+    Returns ``(xval, sweep, lo, hi, k_pts, n_steps)`` where
+    ``sweep(lo, width)`` counts the interior points of [lo, lo+width]
+    whose residual is < 0 (the root-segment index).
     """
-    if has_sat is None:
-        has_sat = sat_level is not None
     dtype = jnp.result_type(c)
     if n_iters is None:
         n_iters = bracket_bits(dtype)
@@ -275,46 +282,60 @@ def project_df_bisect(b, c, dia, scaling, sat_level=None,
         def xval(lam):
             return jnp.maximum(0.0, (c + lam) / dia)
 
+    # guaranteed bracket: r(min(-c)) = -b < 0 (all pixels inactive); at
+    # hi = max(b*dia - c) the maximizing pixel alone contributes >= b
     lo = gmin(-c, axes)
     hi = jnp.maximum(gmax(b * dia - c, axes), lo + 1.0)
 
-    # K-way sectioning: evaluate the residual at K interior points per pass
-    # (one fused broadcast + reduction), narrowing the bracket by a factor
-    # K+1 per step. The plain 1-point bisection is launch-latency bound on
-    # TPU (~40us/step for ~3us of memory traffic), so trading 7x the
-    # arithmetic for 3x fewer sequential steps is a clear win.
-    # sharded images pay one psum per sweep STEP: K=7 (3 bits/step) keeps
-    # the collective rounds at 10 instead of K=3's 14; single-device
-    # sweeps are arithmetic-bound and take the smaller K (see _K_PTS)
     k_pts = 7 if axes else _K_PTS
-    bits_per_step = np.log2(k_pts + 1)
-    n_steps = int(np.ceil(n_iters / bits_per_step))
-    fracs = (jnp.arange(1, k_pts + 1, dtype=dtype) / (k_pts + 1))
-    fracs_b = fracs[:, None]
+    n_steps = int(np.ceil(n_iters / np.log2(k_pts + 1)))
+    fracs_b = (jnp.arange(1, k_pts + 1, dtype=dtype) / (k_pts + 1))[:, None]
 
-    # The K-point sweep runs on RAVELED pixels: a (K, H, W) block tiles as
-    # T(8,128) over the trailing dims (31x31 pads 4.3x and every sweep pays
-    # it), while (K, H*W) pads only 961 -> 1024. The multiply by a hoisted
-    # 1/dia replaces K divides per pixel per step with one.
     c_flat = c.reshape(-1)
-    inv_dia = (1.0 / dia) * jnp.ones_like(c)
-    inv_flat = inv_dia.reshape(-1)
+    inv_flat = ((1.0 / dia) * jnp.ones_like(c)).reshape(-1)
     cap_term = ((cap * dia) * jnp.ones_like(c)).reshape(-1) \
         if has_sat else None
 
-    def body(_, carry):
-        lo, hi = carry
-        width = hi - lo
+    def sweep(lo, width):
         mids = lo + width * fracs_b                       # (K, 1)
         xs = jnp.maximum(c_flat[None] + mids, 0.0)        # (K, N): x * dia
         if has_sat:
-            # clip in the dia-scaled domain (dia > 0), saving a second
-            # (K, N) pass: min(cap, z/dia) == min(cap*dia, z)/dia
             xs = jnp.minimum(xs, cap_term[None])
         r = jnp.sum(xs * inv_flat[None], axis=-1)         # (K,)
         if axes:
             r = jax.lax.psum(r, axes)
-        nbelow = jnp.sum((r - b) < 0)                     # root segment index
+        return jnp.sum((r - b) < 0)
+
+    return xval, sweep, lo, hi, k_pts, n_steps
+
+
+def project_df_bisect(b, c, dia, scaling, sat_level=None,
+                      has_sat: bool | None = None,
+                      n_iters: int | None = None, axes=()):
+    """Fixed-iteration bisection on the dual variable — the TPU fast path.
+
+    The residual r(lambda) = sum(clip((c+lambda)/dia, 0, cap)) - b is
+    monotone nondecreasing, so bisection from a guaranteed bracket converges
+    unconditionally; 54 halvings shrink the bracket by 2^-54 (< f64 eps
+    relative), matching the reference secant solver to its own 1e-11*b
+    tolerance. Unlike the secant path the trip count is static: under vmap
+    nothing serializes to the slowest lane, and when the image is sharded
+    each iteration is exactly one psum (vs the secant's data-dependent
+    up-to-1000 collectives).
+
+    If the saturation capacity is below b, r stays negative and bisection
+    converges to hi, i.e. full saturation — the same limit the reference
+    reaches.
+    """
+    if has_sat is None:
+        has_sat = sat_level is not None
+    xval, sweep, lo, hi, k_pts, n_steps = _sectioning_machinery(
+        b, c, dia, scaling, sat_level, has_sat, n_iters, axes)
+
+    def body(_, carry):
+        lo, hi = carry
+        width = hi - lo
+        nbelow = sweep(lo, width)                         # root segment
         seg = width / (k_pts + 1)
         new_lo = lo + nbelow * seg
         return (new_lo, new_lo + seg)
@@ -352,54 +373,13 @@ def project_df_bisect_warm(b, c, dia, scaling, sat_level=None,
     if has_sat is None:
         has_sat = sat_level is not None
     dtype = jnp.result_type(c)
-    if n_iters is None:
-        n_iters = bracket_bits(dtype)
-    c = jnp.asarray(c, dtype)
-    dia = jnp.asarray(dia, dtype)
-    b = jnp.asarray(b, dtype)
     eps = jnp.finfo(dtype).eps
-
-    if has_sat:
-        cap = jnp.asarray(sat_level, dtype) / scaling - eps
-
-        def xval(lam):
-            return jnp.minimum(cap, jnp.maximum(0.0, (c + lam) / dia))
-    else:
-        def xval(lam):
-            return jnp.maximum(0.0, (c + lam) / dia)
-
-    cold_lo = gmin(-c, axes)
-    cold_hi = jnp.maximum(gmax(b * dia - c, axes), cold_lo + 1.0)
+    xval, sweep, cold_lo, cold_hi, k_pts, n_steps = _sectioning_machinery(
+        b, c, dia, scaling, sat_level, has_sat, n_iters, axes)
     width_cold = cold_hi - cold_lo
-
-    # sharded images pay one psum per sweep STEP: K=7 (3 bits/step) keeps
-    # the collective rounds at 10 instead of K=3's 14; single-device
-    # sweeps are arithmetic-bound and take the smaller K (see _K_PTS)
-    k_pts = 7 if axes else _K_PTS
-    n_steps = int(np.ceil(n_iters / np.log2(k_pts + 1)))
     # cold final width; the dtype-resolution floor is applied inside the
     # loop cond at the CURRENT bracket location (see below)
     target = width_cold * (k_pts + 1.0) ** (-n_steps)
-    fracs = (jnp.arange(1, k_pts + 1, dtype=dtype) / (k_pts + 1))
-    fracs_b = fracs[:, None]
-
-    c_flat = c.reshape(-1)
-    inv_dia = (1.0 / dia) * jnp.ones_like(c)
-    inv_flat = inv_dia.reshape(-1)
-    cap_term = ((cap * dia) * jnp.ones_like(c)).reshape(-1) \
-        if has_sat else None
-
-    def sweep(lo, width):
-        """Residual sign census at the K interior points of [lo, lo+width];
-        returns nbelow (#points with r < 0)."""
-        mids = lo + width * fracs_b                       # (K, 1)
-        xs = jnp.maximum(c_flat[None] + mids, 0.0)
-        if has_sat:
-            xs = jnp.minimum(xs, cap_term[None])
-        r = jnp.sum(xs * inv_flat[None], axis=-1)
-        if axes:
-            r = jax.lax.psum(r, axes)
-        return jnp.sum((r - b) < 0)
 
     # ---- probe: section the warm window, fall back to global endpoints ----
     ok = (jnp.isfinite(lam_prev) & jnp.isfinite(dlam_prev)

@@ -10,10 +10,14 @@ multiple of 8) so the kernel block shape meets the TPU (8, 128) tiling rule
 and, crucially, still meets it after ``jax.vmap`` prepends a batch grid
 dimension — the vmapped solver can call this per lane.
 
-Semantics are identical to project_df_bisect (same bracket, same K=7
-sectioning, same saturation handling); agreement is asserted in
-tests/test_projection.py; the solver selects it via
-``projection_method='pallas'``.
+Semantics match project_df_bisect at the POLICY level: same global
+bracket, same ``bracket_bits`` narrowing budget, same saturation handling.
+The sectioning width differs — this kernel uses K=7 (3 bits/step, fewer
+VMEM-resident sweeps) where the XLA path's default is K=3 (arithmetic-
+optimal for fused HBM sweeps; see flux_projection._K_PTS) — so step counts
+differ and the returned lambdas agree to projection resolution, not
+bitwise (tests/test_projection.py asserts exactly that). The solver
+selects it via ``projection_method='pallas'``.
 
 Use it for SINGLE-image solves. Under ``jax.vmap`` the added grid dimension
 serializes stamps over the (single) tensor core — measured 27x slower than

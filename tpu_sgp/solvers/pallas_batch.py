@@ -48,6 +48,7 @@ import numpy as np
 
 from ..config import SGPConfig
 from ..ops.psf_operator import build_circulant_matrix
+from ..projection.flux_projection import bracket_bits
 
 TILE = 64           # stamps per grid step; VMEM budget ~12 MB at 31x31
 _LANES = 128        # scalar-state lane width / pixel-axis padding unit
@@ -129,8 +130,12 @@ def _kernel(gn_ref, bkg_ref, flux_ref, sat_ref, c_ref, x_out, it_out,
                           keepdims=True))
         hi = jnp.maximum(rmax(full(flux) * dia - c_point), lo + 1.0)
 
+        # shared narrowing budget (projection.flux_projection.bracket_bits:
+        # 28 bits f32 / 54 f64) — this kernel bisects 1 bit/step
+        n_proj_steps = bracket_bits(dt)
+
         def p_cond(c):
-            return c[0] < 40
+            return c[0] < n_proj_steps
 
         def p_body(c):
             k, lo, hi = c
@@ -216,9 +221,15 @@ def _kernel(gn_ref, bkg_ref, flux_ref, sat_ref, c_ref, x_out, it_out,
             new_fv = blend(acc > 0.5, fv_t, fv_try)
             return (new_lam, new_fv, done, k + 1)
 
-        lam, fv_new, _, _ = jax.lax.while_loop(
+        lam, fv_new, acc, _ = jax.lax.while_loop(
             bt_cond, bt_body,
             (jnp.ones_like(fv), fv, jnp.zeros_like(fv), jnp.int32(0)))
+        # cap-exit consistency (mirrors solvers/sgp.py): a lane that ran
+        # out of backtracks holds a lam one bt_factor SMALLER than the lam
+        # whose objective fv_new carries — revert to the last evaluated
+        # lam, capped at the initial unit step
+        lam = blend(acc > 0.5, lam,
+                    jnp.minimum(lam / cfg.bt_factor, jnp.ones_like(lam)))
 
         lam_f = full(lam)
         x_new = (x + lam_f * d) * valid
