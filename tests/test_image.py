@@ -7,7 +7,7 @@ import pytest
 
 from tpu_sgp.image import (Cutout2D, Header, WCS, calculate_slice_bboxes,
                            coadd_tiles, create_subdivisions, getdata,
-                           read_fits, write_fits)
+                           getheader, read_fits, write_fits)
 
 
 def test_fits_roundtrip(tmp_path, rng):
@@ -50,6 +50,46 @@ def test_fits_bscale_bzero(tmp_path):
     open(p, 'wb').write(patched)
     back, _ = read_fits(p)
     np.testing.assert_allclose(back, data * 2.0 + 10.0)
+
+
+def test_set_header_card_preserves_file_verbatim(tmp_path):
+    """set_header_card edits ONE card by raw-byte splicing: COMMENT and
+    HISTORY cards (dropped by the in-memory Header), BSCALE/BZERO int16
+    encoding, and the data bytes all survive untouched (regression: the
+    FILTER header fix used a read/write round-trip that stripped comments
+    and re-encoded archival int16 frames as float64)."""
+    from tpu_sgp.image import set_header_card
+
+    data = np.arange(12, dtype=np.int16).reshape(3, 4)
+    p = str(tmp_path / 'frame.fits')
+    write_fits(p, data)
+    raw = open(p, 'rb').read()
+    end_at = raw.index(b'END     ')
+    extra = (f'{"BSCALE":<8}= {2.0:>20}'.ljust(80)
+             + f'{"BZERO":<8}= {10.0:>20}'.ljust(80)
+             + 'COMMENT observatory provenance'.ljust(80)
+             + 'HISTORY reduced 1999-01-01'.ljust(80)).encode()
+    open(p, 'wb').write(raw[:end_at] + extra + raw[end_at:end_at + 80]
+                        + raw[end_at + 4 * 80:])
+    before, _ = read_fits(p)
+    data_bytes = open(p, 'rb').read()[2880:]
+
+    set_header_card(p, 'FILTER', 'V')
+
+    after = open(p, 'rb').read()
+    assert b'COMMENT observatory provenance' in after
+    assert b'HISTORY reduced 1999-01-01' in after
+    assert after[-len(data_bytes):] == data_bytes      # data verbatim
+    hdr = getheader(p)
+    assert hdr['FILTER'] == 'V' and hdr['BITPIX'] == 16
+    back, _ = read_fits(p)
+    np.testing.assert_array_equal(back, before)        # scaling intact
+    # replace path: editing an existing key keeps the size and comments
+    size = os.path.getsize(p)
+    set_header_card(p, 'FILTER', 'I')
+    assert getheader(p)['FILTER'] == 'I'
+    assert os.path.getsize(p) == size
+    assert b'COMMENT observatory provenance' in open(p, 'rb').read()
 
 
 def test_cutout_matches_astropy_arithmetic():

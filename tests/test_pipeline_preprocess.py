@@ -75,6 +75,45 @@ def test_cull_frames_filter_fix_and_no_move(tmp_path, rng):
     assert os.path.exists(os.path.join(d, 'sci_1.fits'))  # nothing moved
 
 
+def test_cull_frames_skips_blank_exptime_card(tmp_path, rng):
+    """A present-but-valueless EXPTIME card parses to None; the frame must
+    be skipped like any unreadable header instead of aborting the whole
+    cull run with a TypeError (regression)."""
+    d = str(tmp_path)
+    write_fits(os.path.join(d, 'bias_0.fits'),
+               rng.normal(100, 5, (16, 16)), Header({'EXPTIME': 0.0}))
+    bad = os.path.join(d, 'weird.fits')
+    write_fits(bad, rng.normal(100, 5, (16, 16)))
+    raw = open(bad, 'rb').read()
+    end_at = raw.index(b'END     ')
+    card = 'EXPTIME ='.ljust(80).encode()
+    open(bad, 'wb').write(raw[:end_at] + card + raw[end_at:end_at + 80]
+                          + raw[end_at + 2 * 80:])
+    rep = cull_frames(d, move=False)
+    assert [os.path.basename(p) for p in rep.biases] == ['bias_0.fits']
+
+
+def test_cull_frames_filter_fix_preserves_comment_cards(tmp_path, rng):
+    """The in-place FILTER fix must not strip COMMENT/HISTORY cards or
+    re-encode the data (it now splices one header card)."""
+    d = str(tmp_path)
+    p = os.path.join(d, 'sci_1.fits')
+    write_fits(p, rng.normal(500, 10, (16, 16)).astype(np.float32),
+               Header({'EXPTIME': 30.0}))
+    raw = open(p, 'rb').read()
+    end_at = raw.index(b'END     ')
+    card = 'HISTORY archival provenance'.ljust(80).encode()
+    open(p, 'wb').write(raw[:end_at] + card + raw[end_at:end_at + 80]
+                        + raw[end_at + 2 * 80:])
+    rep = cull_frames(d, move=False, default_filter='V')
+    assert rep.filter_fixed == {p: 'V'}
+    after = open(p, 'rb').read()
+    assert b'HISTORY archival provenance' in after
+    from tpu_sgp.image import getheader
+    hdr = getheader(p)
+    assert hdr['FILTER'] == 'V' and hdr['BITPIX'] == -32  # f32 untouched
+
+
 def test_write_coo_pads_short_headers(tmp_path):
     """read_coo skips exactly 3 rows; a 1-line custom header must be
     padded, not silently swallow the first two stars."""

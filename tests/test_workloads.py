@@ -116,6 +116,42 @@ def test_cli_whole_image_beta(tmp_path):
     assert out['iters'] >= 1
 
 
+def test_cli_add_bkg_precedes_deconvolved_catalog(tmp_path, monkeypatch):
+    """--add_bkg_to_deconvolved must inject the artificial sky BEFORE the
+    deconvolved catalog is extracted — rescuing the collapsed detection
+    threshold is the flag's purpose (reference sgp.py:1126 adds it ahead
+    of the deconvolved source_info at :1141). Regression: the flag used to
+    run after the catalog, touching only the written FITS."""
+    import tpu_sgp.cli as cli_mod
+    image, psf, _ = synthetic_star_field(96, 96, n_stars=8, seed=14)
+    img_path = str(tmp_path / 'sci.fits')
+    psf_path = str(tmp_path / 'psf.fits')
+    write_fits(img_path, image, Header({'GAIN': 1.0, 'SATURATE': 65000.0}))
+    write_fits(psf_path, psf)
+
+    events = []
+    real_sky = cli_mod.artificial_sky_background
+    real_si = cli_mod.source_info
+
+    def sky(*a, **k):
+        events.append('sky')
+        return real_sky(*a, **k)
+
+    def si(*a, **k):
+        events.append('catalog')
+        return real_si(*a, **k)
+
+    monkeypatch.setattr(cli_mod, 'artificial_sky_background', sky)
+    monkeypatch.setattr(cli_mod, 'source_info', si)
+    out = cli_mod.main(['--data_path_sciimg', img_path, '--data_path_psf',
+                        psf_path, '--dtype', 'float64',
+                        '--add_bkg_to_deconvolved',
+                        '--output_dir', str(tmp_path / 'results')])
+    assert np.isfinite(out['deconvolved']).all()
+    # call order: orig catalog, sky injection, deconvolved catalog
+    assert events == ['catalog', 'sky', 'catalog']
+
+
 def test_cli_scale_psf_and_flip(tmp_path):
     image, psf, _ = synthetic_star_field(96, 96, n_stars=6, seed=15)
     img_path = str(tmp_path / 'sci.fits')

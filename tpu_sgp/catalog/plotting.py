@@ -24,15 +24,20 @@ def plot_positions(data_sub: np.ndarray, objects, scale: float = 6.0):
 
     def col(name, alt):
         try:
-            return np.asarray(objects[name].value)
+            return np.asarray(objects[name].value), name
         except Exception:
-            return np.asarray(objects[alt])
+            return np.asarray(objects[alt]), alt
 
-    xs = col('xcentroid', 'x')
-    ys = col('ycentroid', 'y')
-    aa = col('semimajor_sigma', 'a')
-    bb = col('semiminor_sigma', 'b')
-    th = col('orientation', 'theta')
+    xs, _ = col('xcentroid', 'x')
+    ys, _ = col('ycentroid', 'y')
+    aa, _ = col('semimajor_sigma', 'a')
+    bb, _ = col('semiminor_sigma', 'b')
+    th, th_key = col('orientation', 'theta')
+    if th_key == 'theta':
+        # sep-style theta is in RADIANS; matplotlib Ellipse wants degrees
+        # (the reference converts with * 180/pi, utils.py:304). The Table
+        # path's 'orientation' column is already in degrees.
+        th = np.degrees(th)
 
     for i in range(len(xs)):
         e = Ellipse(xy=(xs[i], ys[i]), width=scale * aa[i],

@@ -190,9 +190,12 @@ def main(argv=None) -> dict:
         # its temp_deconvolved_bkg*/bkgrms* tiles, sgp.py:1089-1091)
         deconvolved_bkg, _ = coadd_tiles(dbkg_tiles, origins, image.shape,
                                          match_background=True)
+        # match_background=True for the RMS tiles too: the reference routes
+        # bkgrms through the same reproject_and_coadd(match_background=True)
+        # helper as the image tiles (utils.py:392-397)
         deconvolved_bkg_rms, _ = coadd_tiles(drms_tiles, origins,
                                              image.shape,
-                                             match_background=False)
+                                             match_background=True)
         iters = int(np.max(np.asarray(res.iters)))
     else:
         scat, bkg = source_info(image,
@@ -214,6 +217,22 @@ def main(argv=None) -> dict:
             image, psf, bkg.background, flux=flux,
             use_original_SGP_Afunction=psf.shape == image.shape,
             **solver_kw, **extra)
+    wall = timer() - t_all
+
+    # the artificial sky goes in BEFORE the deconvolved catalog: rescuing
+    # the collapsed detection threshold on near-zero deconvolved
+    # backgrounds is the flag's purpose (reference sgp.py:1126 adds it
+    # ahead of the deconvolved source_info at :1141)
+    if opt.add_bkg_to_deconvolved:
+        pos = deconvolved[deconvolved > 0]
+        if pos.size:
+            deconvolved = deconvolved + artificial_sky_background(
+                deconvolved, float(pos.min()) * 5, gain=gain)
+        else:
+            print('add_bkg_to_deconvolved skipped: reconstruction has no '
+                  'positive pixels')
+
+    if not opt.use_subdiv:
         dscat, dbkg = source_info(
             deconvolved, box_size=(opt.box_height, opt.box_width),
             n_pixels=1, localbkg_width=5,
@@ -223,16 +242,6 @@ def main(argv=None) -> dict:
         if dscat is not None and len(dscat):
             deconv_frames.append(
                 _catalog_to_frame(dscat.to_table(DEFAULT_COLUMNS), wcs))
-    wall = timer() - t_all
-
-    if opt.add_bkg_to_deconvolved:
-        pos = deconvolved[deconvolved > 0]
-        if pos.size:
-            deconvolved = deconvolved + artificial_sky_background(
-                deconvolved, float(pos.min()) * 5, gain=gain)
-        else:
-            print('add_bkg_to_deconvolved skipped: reconstruction has no '
-                  'positive pixels')
 
     # ---- persist artifacts (reference naming) -----------------------------
     write_fits(os.path.join(opt.output_dir, f'orig_{basename}'), image,

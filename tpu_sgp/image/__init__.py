@@ -1,4 +1,5 @@
-from .fitsio import read_fits, write_fits, writeto, getdata, getheader, Header
+from .fitsio import (read_fits, write_fits, writeto, getdata, getheader,
+                     Header, set_header_card)
 from .wcs import WCS, pixel_to_skycoord
 from .cutout import Cutout2D
 from .tiling import calculate_slice_bboxes, create_subdivisions, tile_origins
@@ -7,6 +8,7 @@ from .mosaic import (coadd_tiles, match_backgrounds,
 
 __all__ = [
     'read_fits', 'write_fits', 'writeto', 'getdata', 'getheader', 'Header',
+    'set_header_card',
     'WCS', 'pixel_to_skycoord', 'Cutout2D',
     'calculate_slice_bboxes', 'create_subdivisions', 'tile_origins',
     'coadd_tiles', 'match_backgrounds', 'reconstruct_full_image_from_patches',

@@ -4,8 +4,10 @@ The reference leans on astropy.io.fits for every artifact (PSF matrices,
 science frames, per-tile temporaries, reconstructions). astropy is not part
 of this stack, so the framework carries its own small, dependency-free FITS
 implementation: primary-HDU 2D images, BITPIX 8/16/32/64/-32/-64,
-BSCALE/BZERO, full header card round-trip. That covers every FITS use in the
-reference workloads (e.g. sgp.py:937-958, psf_calculate.py:179).
+BSCALE/BZERO, keyword/value/comment round-trip (COMMENT and HISTORY cards
+are NOT carried by the in-memory Header — use ``set_header_card`` to edit
+a file's header without disturbing them). That covers every FITS use in
+the reference workloads (e.g. sgp.py:937-958, psf_calculate.py:179).
 """
 from __future__ import annotations
 
@@ -216,3 +218,44 @@ def write_fits(path: str, data: np.ndarray, header: Optional[Header] = None,
 
 
 writeto = write_fits  # astropy-style alias
+
+
+def set_header_card(path: str, key: str, value, comment: str = '') -> None:
+    """Insert or replace ONE card in a file's primary header by raw-byte
+    splicing (the native equivalent of IRAF ``hedit`` /
+    ``fits.setval``).
+
+    Unlike a read_fits/write_fits round-trip this preserves the file
+    verbatim: COMMENT/HISTORY cards (which the in-memory Header drops),
+    BSCALE/BZERO-scaled integer encodings (which write_fits would re-encode
+    as float64), any extensions after the primary HDU, and all padding
+    survive byte-for-byte. Only the one card changes; if the header block
+    is full, one 2880-byte block is added. The write is atomic
+    (temp file + rename)."""
+    key_u = key.upper()[:8]
+    new_card = _format_card(key, value, comment)
+    with open(path, 'rb') as f:
+        raw = f.read()
+    end_off = None
+    key_off = None
+    off = 0
+    while off + CARD <= len(raw):
+        k = raw[off:off + 8].decode('ascii', errors='replace').strip()
+        if k == 'END':
+            end_off = off
+            break
+        if k == key_u and key_off is None:
+            key_off = off
+        off += CARD
+    if end_off is None:
+        raise ValueError(f'{path}: no END card in primary header')
+    if key_off is not None:
+        out = raw[:key_off] + new_card + raw[key_off + CARD:]
+    else:
+        hdr_end = -(-(end_off + CARD) // BLOCK) * BLOCK  # data start
+        cards = raw[:end_off] + new_card + b'END'.ljust(CARD)
+        out = cards + b' ' * (-len(cards) % BLOCK) + raw[hdr_end:]
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(out)
+    os.replace(tmp, path)

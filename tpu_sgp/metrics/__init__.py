@@ -26,11 +26,13 @@ def radial_profile(data: np.ndarray, center: Tuple[float, float]) -> list:
     an x/y swap. For the (near-circular) star stamps this is harmless, and
     workload parity requires reproducing it.
     """
-    x, y = np.indices(data.shape)
-    r = np.sqrt((x - center[0]) ** 2 + (y - center[1]) ** 2).astype(int)
-    tbin = np.bincount(r.ravel(), np.asarray(data, np.float64).ravel())
-    nr = np.bincount(r.ravel())
-    return (tbin / nr).tolist()
+    h, w = data.shape
+    dr2 = (np.arange(h, dtype=np.float64) - center[0]) ** 2
+    dc2 = (np.arange(w, dtype=np.float64) - center[1]) ** 2
+    rbin = np.sqrt(dr2[:, None] + dc2[None, :]).astype(int).ravel()
+    counts = np.bincount(rbin)
+    sums = np.bincount(rbin, np.asarray(data, np.float64).ravel())
+    return (sums / counts).tolist()
 
 
 def _gauss1d(x, amplitude, mean, stddev):

@@ -327,6 +327,18 @@ def _unpad(res: SGPResult, n: int) -> SGPResult:
     return jax.tree.map(lambda a: a[:n], res)
 
 
+BETA_SEEDS = (0, 42, 951, 93, 810)
+
+
+def default_beta_candidates() -> np.ndarray:
+    """The reference's five seeded N(1, 0.05) beta-init draws
+    (application_sgp_star_stamps.py:69-75) — THE candidate grid, defined
+    once and shared by ``beta_init_search`` and the workloads
+    (np.random.seed + normal in the reference equals RandomState here)."""
+    return np.array([np.random.RandomState(s).normal(loc=1.0, scale=0.05)
+                     for s in BETA_SEEDS])
+
+
 def beta_init_search(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
                      beta_candidates=None, lr0=1e-3, sat_level=0.0,
                      mesh: Optional[Mesh] = None, scorer='catalog',
@@ -357,12 +369,7 @@ def beta_init_search(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
     Returns (best_beta (B,), best_x (B,H,W), result for the full grid).
     """
     if beta_candidates is None:
-        # The reference's seeded draws N(1, 0.05) with seeds [0,42,951,93,810]
-        cands = []
-        for seed in (0, 42, 951, 93, 810):
-            rng = np.random.RandomState(seed)
-            cands.append(rng.normal(loc=1.0, scale=0.05))
-        beta_candidates = np.array(cands)
+        beta_candidates = default_beta_candidates()
     # grid construction is pure HOST NumPy: eager jnp.repeat/tile at the
     # novel pre-pad shape would compile-and-load tiny device programs and
     # round-trip the ~B*K-stamp grid through the device before the bucket

@@ -48,7 +48,9 @@ def select_biases(paths: List[str]) -> List[str]:
         try:
             if float(getheader(p).get('EXPTIME', -1)) == 0.0:
                 out.append(p)
-        except (OSError, ValueError):
+        except (OSError, ValueError, TypeError):
+            # TypeError: a present-but-blank EXPTIME card parses to None;
+            # skip the frame like any other unreadable header
             continue
     return out
 
@@ -97,13 +99,13 @@ def cull_frames(directory: str, pattern: str = '*.fits',
         if default_filter and 'FILTER' not in hdr:
             report.filter_fixed[p] = default_filter
             if fix_headers:
-                # write the corrected keyword back (Automation.cl hedits
-                # the frames in place; recording it only in the report
-                # would leave the files unchanged)
-                from .image import write_fits
-                data, full_hdr = read_fits(p)
-                full_hdr['FILTER'] = default_filter
-                write_fits(p, data, header=full_hdr, overwrite=True)
+                # write the corrected keyword back the way Automation.cl
+                # hedits frames in place: a raw-byte header splice, NOT a
+                # read/write round-trip (which would drop COMMENT/HISTORY
+                # cards and re-encode BSCALE/BZERO integer data as f64 —
+                # silently mutating archival calibration frames)
+                from .image import set_header_card
+                set_header_card(p, 'FILTER', default_filter)
 
     if move:
         target = os.path.join(directory, bad_dir)

@@ -1,3 +1,3 @@
-from . import simulation, star_stamps, subdivisions
+from . import simulation, spatial_psf, star_stamps, subdivisions
 
-__all__ = ['simulation', 'star_stamps', 'subdivisions']
+__all__ = ['simulation', 'spatial_psf', 'star_stamps', 'subdivisions']

@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..catalog import source_info
+from ..catalog import source_info_batch
 from ..config import SGPConfig
 from ..image import coadd_tiles, create_subdivisions
 from ..parallel.batch import restore_stamps
@@ -60,9 +60,12 @@ def restore_with_spatial_psf(image: np.ndarray, model: DiaplPSFModel,
                         for s in subdivs])
     psfs = render_tile_psfs(model, centers, psf_size)
 
+    # one threaded catalog pass over all tiles (result-identical to the
+    # serial loop; the natives release the GIL)
+    tile_cats = source_info_batch([s.data for s in subdivs],
+                                  localbkg_width=5)
     tiles, bkg_maps, fluxes = [], [], []
-    for s in subdivs:
-        scat, bkg = source_info(s.data, localbkg_width=5)
+    for s, (scat, bkg) in zip(subdivs, tile_cats):
         tiles.append(np.asarray(s.data, np.float64))
         bkg_maps.append(bkg.background)
         if scat is not None and len(scat):

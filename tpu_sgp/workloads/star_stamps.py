@@ -23,17 +23,17 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..catalog import source_info
+from ..catalog import source_info, source_info_batch
 from ..config import DEFAULT_COLUMNS, DEFAULT_PARAMS, SGPConfig
 from ..image import Cutout2D, getdata
 from ..metrics import (fit_radprof, radial_profile, wasserstein_distance_norm)
-from ..parallel.batch import beta_init_search, restore_stamps
+from ..parallel.batch import (BETA_SEEDS, beta_init_search,
+                              default_beta_candidates, restore_stamps)
 from ..psf import read_coo
 from ..simulate import synthetic_star_stamps
 
 CUTOUT_SIZE = 31
 CCD_SAT_LEVEL = 65000.0
-BETA_SEEDS = (0, 42, 951, 93, 810)
 
 
 @dataclass
@@ -55,14 +55,9 @@ def _brightest(table) -> int:
     return int(np.argmax(np.asarray(table['segment_flux'].value)))
 
 
-def _beta_candidates() -> np.ndarray:
-    """The reference's five seeded N(1, 0.05) beta-init draws
-    (application_sgp_star_stamps.py:69-75)."""
-    out = []
-    for seed in BETA_SEEDS:
-        np.random.seed(seed)
-        out.append(np.random.normal(loc=1.0, scale=0.05))
-    return np.array(out)
+# the candidate grid lives in the library layer (ONE definition shared
+# with beta_init_search); kept importable here for the workloads' callers
+_beta_candidates = default_beta_candidates
 
 
 def gather_real(data_dir: str, n_images: int = 100,
@@ -217,8 +212,13 @@ def run(data_dir: Optional[str] = None, use_beta_div: bool = True,
         'FLUX_FRACTIONAL_DIFFERENCE', 'FWHM_RATIO', 'ELLIPTICITY_RATIO',
         'WD_RADIAL_PROFILE_DISTANCE', 'WD_FIT_OK', 'NUM_ITERS', 'EXEC_TIME',
         'ORIG_FLUX', 'RESTORED_FLUX')}
+    # ONE threaded pass over all restored stamps (GIL-releasing natives;
+    # result-identical to the serial loop) — a per-stamp serial
+    # source_info here was the same host wall the batched candidate
+    # scorer already removed from the search stage
+    restored_cats = source_info_batch(list(restored), localbkg_width=5)
     for i in range(b):
-        scat, rbkg = source_info(restored[i], localbkg_width=5)
+        scat, rbkg = restored_cats[i]
         if scat is None or len(scat) == 0:
             continue
         rt = scat.to_table(DEFAULT_COLUMNS)

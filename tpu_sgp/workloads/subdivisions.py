@@ -32,6 +32,9 @@ def run(image_path: Optional[str] = None, psf_path: Optional[str] = None,
     if save:
         os.makedirs(out_dir, exist_ok=True)
     if image_path:
+        if not psf_path:
+            raise ValueError('image_path requires psf_path (a rendered '
+                             'PSF FITS, e.g. psf*_img.fits)')
         image = getdata(image_path)
         psf = getdata(psf_path)
     else:
