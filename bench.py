@@ -75,10 +75,14 @@ def _wait_for_backend(max_wait_s: float = None) -> bool:
                 timeout=min(90.0, max(10.0, left)))
             if r.returncode == 0 and 'up' in r.stdout:
                 return True
+            # surface the actual failure — a 30-min silent retry loop on a
+            # deterministic misconfiguration (bad platform name, broken
+            # venv) is indistinguishable from an outage otherwise
+            why = (r.stderr or r.stdout).strip().splitlines()[-3:]
         except subprocess.TimeoutExpired:
-            pass
+            why = ['probe timed out (client creation hang — outage mode)']
         print(f'# backend probe {attempt} failed; retrying '
-              f'({left:.0f}s left)', file=sys.stderr)
+              f'({left:.0f}s left): ' + ' | '.join(why), file=sys.stderr)
         time.sleep(min(20.0, max(0.0, deadline - time.monotonic())))
 
 
@@ -89,13 +93,16 @@ def _sync(res):
     return res
 
 
-def _min_wall(fn, repeats=N_REPEATS):
+def _min_wall(fn, repeats=N_REPEATS, verbose=False):
     fn()  # compile + warm
     walls = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         fn()
         walls.append(time.perf_counter() - t0)
+    if verbose:
+        print(f'# walls(ms): {[round(w * 1e3, 1) for w in walls]}',
+              file=sys.stderr)
     return min(walls)
 
 
@@ -152,13 +159,18 @@ def bench_whole_frame(jnp, jax, SGPConfig):
     bkg = jnp.full(img.shape, 150.0, dt)
     z = jnp.zeros(img.shape, dt)
 
+    last = {}
+
     def run(cfg):
         res = solve(gn, psf_d, bkg, z, 0.0, z, 1.0, 1e-3, 0.0, cfg)
         np.asarray(res.iters)
+        last['res'] = res
         return res
 
-    iters_c = int(np.asarray(run(cfg_c).iters))
+    # iters_c comes from the timing runs themselves (a standalone read
+    # would cost one redundant full whole-frame solve)
     wall_c = _min_wall(lambda: run(cfg_c))
+    iters_c = int(np.asarray(last['res'].iters))
     wall_t = _min_wall(lambda: run(cfg_t))
     # same-key series (r02-comparable): converged crit-3 wall over its own
     # iteration count — includes this rig's fixed dispatch floor and the
@@ -308,16 +320,14 @@ def main():
                                         phase1_iters=31, tail_bucket=512,
                                         flatten=True, mesh=mesh))
 
-    res = run()
+    last = {}
+
+    def timed():
+        last['res'] = run()
+
+    wall = _min_wall(timed, verbose=True)
+    res = last['res']
     iters = np.asarray(res.iters)
-    walls = []
-    for _ in range(N_REPEATS):
-        t0 = time.perf_counter()
-        res = run()
-        walls.append(time.perf_counter() - t0)
-    print(f'# walls(ms): {[round(w * 1e3, 1) for w in walls]}',
-          file=sys.stderr)
-    wall = min(walls)
     stamps_per_s = BATCH / wall
     print(f'# batch={BATCH} wall={wall * 1e3:.1f}ms '
           f'iters median={int(np.median(iters))} max={int(iters.max())} '

@@ -96,7 +96,7 @@ class SGPConfig:
     has_flux: bool = True          # whether a precomputed flux is supplied
     has_sat_level: bool = False    # whether a CCD saturation ceiling is enforced in the projection
     dtype: str = 'float32'         # compute dtype ('float64' for parity mode on CPU)
-    operator: str = 'auto'         # 'auto' | 'otf' | 'matmul' | 'linear' | 'halo'
+    operator: str = 'auto'         # 'auto' | 'otf' | 'matmul' | 'matmul_flat' | 'linear' | 'halo'
     # Mesh axis names when the solve runs inside shard_map over a 2-D image
     # grid ('halo' operator): reductions become psum/pmax/pmin collectives.
     axis_names: tuple = ()

@@ -170,15 +170,10 @@ def _dpow_kernel(t: jnp.ndarray, v: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndar
     well-conditioned above it).
     """
     s = t * delta
-    small = jnp.abs(s) < 0.25
+    em = jnp.expm1(s)                     # shared by e1 AND E2's closed form
     safe_s = jnp.where(s == 0, 1.0, s)
-    e1 = jnp.where(s == 0, 1.0, jnp.expm1(s) / safe_s)
-    closed_s = jnp.where(small, 1.0, s)
-    e2_closed = (closed_s * jnp.exp(closed_s) - jnp.expm1(closed_s)) / (closed_s * closed_s)
-    e2_series = jnp.zeros_like(s) + _E2_COEFFS[-1]
-    for c in _E2_COEFFS[-2::-1]:
-        e2_series = e2_series * s + c
-    e2 = jnp.where(small, e2_series, e2_closed)
+    e1 = jnp.where(s == 0, 1.0, em / safe_s)
+    e2 = _e2_from_expm1(s, em)            # ONE series/switch implementation
     return jnp.exp(t * v) * delta * (v * e1 + delta * e2)
 
 

@@ -36,7 +36,12 @@ def richardson_lucy(gn, psf, bkg, n_iters: int = 30,
     eps = jnp.finfo(gn.dtype).tiny
 
     at_one = AT(jnp.ones(shape, gn.dtype))
-    x0 = jnp.full(shape, jnp.maximum(jnp.mean(gn - bkg), eps), gn.dtype)
+    # floor the flat init at the DATA scale, not float tiny: with an
+    # over-subtracted background mean(gn - bkg) <= 0, and 30 multiplicative
+    # O(1) updates cannot grow ~1e-38 into a physical flux (the result
+    # would be silently ~zero everywhere)
+    floor = jnp.maximum(jnp.finfo(gn.dtype).eps * jnp.max(jnp.abs(gn)), eps)
+    x0 = jnp.full(shape, jnp.maximum(jnp.mean(gn - bkg), floor), gn.dtype)
 
     def body(_, x):
         den = A(x) + bkg
