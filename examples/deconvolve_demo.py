@@ -57,9 +57,8 @@ def main():
     t0 = time.perf_counter()
     res = restore_stamps(stamps, spsf, bkgs, cfg, fluxes=fluxes,
                          sat_level=65000.0)
-    iters_sync = np.asarray(res.iters)  # real device sync
+    iters = np.asarray(res.iters)  # real device sync inside the timed window
     wall = time.perf_counter() - t0
-    iters = np.asarray(res.iters)
     print(f'batched stamps: 128 restorations in {wall * 1e3:.0f}ms '
           f'(median {int(np.median(iters))} iters) incl. compile')
 

@@ -221,6 +221,10 @@ def oracle_forensics():
             t = cat.to_table().to_pandas()
             tx = t['xcentroid'].to_numpy()
             ty = t['ycentroid'].to_numpy()
+            if len(t) == 0:
+                print(f'  inject dbkg={dbkg:+.1f} rms*{srms:.2f}: '
+                      f'n=0 (paper {len(paper)})')
+                continue
             d2 = (tx[:, None] - px) ** 2 + (ty[:, None] - py) ** 2
             fr = (np.sqrt(d2.min(axis=0)) < 2.0).mean()
             print(f'  inject dbkg={dbkg:+.1f} rms*{srms:.2f}: '

@@ -75,14 +75,17 @@ def test_beta_init_search_selects_argmin():
 
 def test_default_beta_candidates_match_reference_seeds():
     """Reference seeds [0,42,951,93,810] with N(1,0.05) draws
-    (application_sgp_star_stamps.py:69-75)."""
+    (application_sgp_star_stamps.py:69-75) — the LIBRARY grid must equal
+    the draws the reference's global-seed idiom produces."""
+    from tpu_sgp.parallel.batch import BETA_SEEDS, default_beta_candidates
+    assert BETA_SEEDS == (0, 42, 951, 93, 810)
+    got = default_beta_candidates()
     want = []
-    for seed in (0, 42, 951, 93, 810):
-        rs = np.random.RandomState(seed)
-        want.append(rs.normal(1.0, 0.05))
-    # np.random.seed + normal in the reference equals RandomState here
-    np.random.seed(0)
-    assert np.isclose(np.random.normal(1.0, 0.05), want[0])
+    for seed in BETA_SEEDS:
+        # the reference's np.random.seed + normal equals RandomState
+        np.random.seed(seed)
+        want.append(np.random.normal(loc=1.0, scale=0.05))
+    np.testing.assert_array_equal(got, np.array(want))
 
 
 def test_bucketed_batch_matches_unbucketed():
@@ -99,7 +102,7 @@ def test_bucketed_batch_matches_unbucketed():
     from tpu_sgp.parallel.batch import _bucket_size
     assert _bucket_size(5) == 8
     assert _bucket_size(256) == 256
-    assert _bucket_size(300) == 512 or _bucket_size(300) == 512
+    assert _bucket_size(300) == 512
     assert _bucket_size(2525) == 2560
 
 

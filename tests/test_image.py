@@ -38,7 +38,6 @@ def test_fits_bscale_bzero(tmp_path):
     # write raw int16 with BSCALE/BZERO by hand-editing the header
     data = np.arange(12, dtype=np.int16).reshape(3, 4)
     p = str(tmp_path / 'scaled.fits')
-    hdr = Header({'BSCALE': 2.0, 'BZERO': 10.0})
     # our writer strips BSCALE/BZERO (reserved); emulate a foreign file
     write_fits(p, data)
     raw = open(p, 'rb').read()
@@ -69,9 +68,13 @@ def test_set_header_card_preserves_file_verbatim(tmp_path):
              + f'{"BZERO":<8}= {10.0:>20}'.ljust(80)
              + 'COMMENT observatory provenance'.ljust(80)
              + 'HISTORY reduced 1999-01-01'.ljust(80)).encode()
+    # splice in 4 cards + END, then drop exactly len(extra) bytes of the
+    # header-block padding so the file stays 2880-aligned
     open(p, 'wb').write(raw[:end_at] + extra + raw[end_at:end_at + 80]
-                        + raw[end_at + 4 * 80:])
+                        + raw[end_at + 80 + len(extra):])
+    assert len(open(p, 'rb').read()) % 2880 == 0
     before, _ = read_fits(p)
+    np.testing.assert_allclose(before, data * 2.0 + 10.0)  # fixture sane
     data_bytes = open(p, 'rb').read()[2880:]
 
     set_header_card(p, 'FILTER', 'V')

@@ -99,9 +99,15 @@ def test_matrix_even_size_exact_shape():
     """matrix(size) must return exactly (size, size) for EVEN sizes too
     (regression: arange(-h, h+1) returned size+1 points, and the C++ twin
     overran its output buffer — heap corruption)."""
+    _need_reference()
     m = DiaplPSFModel.from_txt(REF_TXT)
     for size in (30, 32, 16, 31):
         a = m.matrix(size)
         assert a.shape == (size, size)
-    # odd rendering unchanged: symmetric [-h, h] grid
-    np.testing.assert_array_equal(m.matrix(31), m.matrix(31))
+    # odd rendering unchanged: equals an independently evaluated
+    # symmetric [-15, 15] grid (matrix[i+h, j+h] = psf(x=j, y=i))
+    off = np.arange(-15, 16)
+    yy, xx = np.meshgrid(off, off, indexing='ij')
+    np.testing.assert_array_equal(m.matrix(31), m.evaluate(xx, yy))
+    # even rendering is the odd grid's [-h, h-1] sub-block
+    np.testing.assert_array_equal(m.matrix(30), m.matrix(31)[:30, :30])
