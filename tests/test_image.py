@@ -95,6 +95,41 @@ def test_set_header_card_preserves_file_verbatim(tmp_path):
     assert b'COMMENT observatory provenance' in open(p, 'rb').read()
 
 
+def test_set_header_card_grows_full_header_block(tmp_path):
+    """Inserting into a header whose last block is completely full must add
+    one 2880-byte block (not clobber the data); replacing never grows."""
+    from tpu_sgp.image import set_header_card
+
+    data = np.arange(6, dtype=np.float32).reshape(2, 3)
+    p = str(tmp_path / 'full.fits')
+    write_fits(p, data)
+    raw = open(p, 'rb').read()
+    end_at = raw.index(b'END     ')
+    # fill the block completely: pad with KEYnnn cards so END lands on the
+    # last card slot of the 2880-byte block
+    free = (2880 - end_at) // 80 - 1
+    filler = b''.join(f'KEY{i:<5}= {i:>20}'.ljust(80).encode()
+                      for i in range(free))
+    full = raw[:end_at] + filler + raw[end_at:end_at + 80] + raw[2880:]
+    assert len(full) % 2880 == 0 and full.index(b'END     ') == 2800
+    open(p, 'wb').write(full)
+    before, _ = read_fits(p)
+
+    set_header_card(p, 'FILTER', 'V')
+    assert os.path.getsize(p) == len(full) + 2880   # one block added
+    hdr = getheader(p)
+    assert hdr['FILTER'] == 'V' and hdr['KEY0'] == 0
+    back, _ = read_fits(p)
+    np.testing.assert_array_equal(back, before)
+
+    # replace path on the now-padded header: size stays put
+    set_header_card(p, 'KEY3', 99)
+    assert os.path.getsize(p) == len(full) + 2880
+    assert getheader(p)['KEY3'] == 99
+    back2, _ = read_fits(p)
+    np.testing.assert_array_equal(back2, before)
+
+
 def test_cutout_matches_astropy_arithmetic():
     img = np.arange(100 * 100, dtype=float).reshape(100, 100)
     c = Cutout2D(img, (50, 50), 31)
