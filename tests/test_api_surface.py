@@ -350,3 +350,33 @@ def test_bench_backend_probe_fails_cleanly_on_bad_platform():
             os.environ.pop('JAX_PLATFORMS', None)
         else:
             os.environ['JAX_PLATFORMS'] = old
+
+
+def test_bench_cpu_fallback_relabels_and_shrinks():
+    """When the probe budget is exhausted bench.py must NOT silently skip:
+    it drops to a reduced-size CPU run whose metric keys say so. The helper
+    must force the cpu platform (env var, pre-jax-import), relabel the
+    metric suffix, disable the TPU-sized compaction, and shrink every
+    batch/repeat knob (a TPU-sized batch would run for hours on one host
+    core)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        'benchmod_fb', os.path.join('/root/repo', 'bench.py'))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    old = os.environ.get('JAX_PLATFORMS')
+    try:
+        m._enter_cpu_fallback()
+        assert os.environ['JAX_PLATFORMS'] == 'cpu'
+        assert m.SUFFIX == 'cpu_fallback'
+        assert m.COMPACT is False
+        assert m.BATCH < 1024 and m.BETA_BATCH <= m.BATCH
+        assert m.N_REPEATS <= 5
+        assert m.SERVE_CALLS < 25 and m.STREAM_REQ < 16
+    finally:
+        if old is None:
+            os.environ.pop('JAX_PLATFORMS', None)
+        else:
+            os.environ['JAX_PLATFORMS'] = old
