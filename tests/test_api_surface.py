@@ -380,3 +380,32 @@ def test_bench_cpu_fallback_relabels_and_shrinks():
             os.environ.pop('JAX_PLATFORMS', None)
         else:
             os.environ['JAX_PLATFORMS'] = old
+
+
+def test_sgpconfig_rejects_invalid_fields():
+    """__post_init__ validation: every enum-like field names its legal
+    values instead of failing later inside a jitted trace."""
+    import pytest
+
+    from tpu_sgp import SGPConfig
+
+    for kw in (dict(divergence='poisson'), dict(operator='conv'),
+               dict(projection_method='newton'), dict(stop_criterion=5),
+               dict(init_recon=4), dict(proj_type=2), dict(max_iter=0)):
+        with pytest.raises(ValueError):
+            SGPConfig(**kw)
+
+
+def test_beta_div_special_rejects_generic_beta():
+    """beta_div_special implements only the exact beta in {0,1} reference
+    branches (sgp.py:452-455); any other beta must be refused, not
+    silently approximated."""
+    import numpy as np
+    import pytest
+
+    from tpu_sgp.ops.divergence import beta_div_special
+
+    den = np.full((4, 4), 2.0)
+    gn = np.full((4, 4), 3.0)
+    with pytest.raises(ValueError):
+        beta_div_special(den, gn, 0.5)

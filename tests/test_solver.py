@@ -324,3 +324,51 @@ def test_fuzz_differential_random_problems(rng):
             # where JAX-vs-pocketfft roundoff accumulates to ~1e-7 abs
             # over tens of iterations (still ~11 significant digits)
             _agree(x, xo, rtol=1e-6, atol=1e-5)
+
+
+def test_projection_method_dispatch_equivalence(rng):
+    """The solver's projection_method config dispatches to three
+    interchangeable duals (bisect default, exact breakpoint sort, reference
+    secant) — all must produce the same flux-conserving solve in f64
+    (reference flux_conserve_proj.py is the common oracle; the solver-side
+    wiring is what this covers)."""
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    flux = float(img.sum() - img.size * bkg)
+    results = {}
+    for method in ('bisect', 'sort', 'secant'):
+        cfg = SGPConfig(max_iter=15, stop_criterion=1, init_recon=2,
+                        proj_type=1, has_flux=True, dtype='float64',
+                        projection_method=method)
+        res = solve(jnp.asarray(img, jnp.float64), jnp.asarray(psf),
+                    jnp.full(img.shape, float(bkg)), jnp.zeros(img.shape),
+                    flux, jnp.zeros(img.shape), 1.0, 1e-3, 0.0, cfg)
+        x = np.asarray(res.x)
+        assert np.isfinite(x).all(), method
+        # flux conservation is each method's defining property
+        np.testing.assert_allclose(x.sum(), flux, rtol=1e-8)
+        results[method] = x
+    np.testing.assert_allclose(results['sort'], results['bisect'],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(results['secant'], results['bisect'],
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_save_dumps_per_iteration_fits(rng, tmp_path, monkeypatch):
+    """save=True writes orig.fits plus per-iteration rec_k/res_k FITS into
+    SGP_reconstructed_images/ under the cwd (reference sgp.py:222-231,
+    416-422)."""
+    from tpu_sgp.image import getdata
+
+    monkeypatch.chdir(tmp_path)
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    x, iters, *_ = sgp(img, psf, bkg, init_recon=2, stop_criterion=1,
+                       MAXIT=3, save=True)
+    d = tmp_path / 'SGP_reconstructed_images'
+    assert (d / 'orig.fits').exists()
+    recs = sorted(d.glob('rec_*.fits'))
+    ress = sorted(d.glob('res_*.fits'))
+    assert len(recs) == len(ress) == int(iters) == 3
+    # the dump is in working (scaled) units of the accepted iterate
+    rec_last = getdata(str(d / f'rec_{int(iters) - 1}.fits'))
+    assert rec_last.shape == img.shape
+    assert np.isfinite(rec_last).all()

@@ -40,6 +40,28 @@ def test_subdivisions_synthetic(tmp_path):
     assert os.path.exists(tmp_path / 'subdiv_restored.fits')
 
 
+def test_subdivisions_synthetic_beta_candidate_search(tmp_path):
+    """The beta path of the subdivision workload (reference
+    application_sgp_subdivisions.py:85-112): select the beta init by
+    catalog-flux FFD over the five seeded candidates, re-run at the
+    winner, and persist the *_BETA artifacts + BEST_BETA_INIT.npy."""
+    out = subdivisions.run(use_beta_div=True, crowded=False,
+                           out_dir=str(tmp_path), dtype='float64',
+                           maxit=12, warm=False)
+    assert out['iters'] >= 1
+    assert out['best_beta'] is not None
+    # the winner must come from the reference's seeded candidate grid
+    from tpu_sgp.workloads.star_stamps import _beta_candidates
+    assert any(abs(out['best_beta'] - float(c)) < 1e-12
+               for c in _beta_candidates())
+    assert out['n_restored_detections'] > 0
+    best = np.load(tmp_path / 'SUBDIV_BEST_BETA_INIT.npy')
+    assert best.shape == (1,) and best[0] == out['best_beta']
+    assert os.path.exists(tmp_path / 'SUBDIV_NUM_ITERS_BETA.npy')
+    assert os.path.exists(tmp_path / 'SUBDIV_RESTORED_FLUX_BETA.npy')
+    assert os.path.exists(tmp_path / 'subdiv_restored_BETA.fits')
+
+
 @pytest.mark.slow
 def test_cli_subdiv_end_to_end(tmp_path):
     image, psf, _ = synthetic_star_field(200, 200, n_stars=30, seed=11)
