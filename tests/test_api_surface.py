@@ -409,3 +409,31 @@ def test_beta_div_special_rejects_generic_beta():
     gn = np.full((4, 4), 3.0)
     with pytest.raises(ValueError):
         beta_div_special(den, gn, 0.5)
+
+
+def test_sgp_errflag_requires_ground_truth():
+    """Reference parity: err tracking needs obj (the reference would
+    silently emit an all-inf err series; here it's an explicit error)."""
+    import pytest
+
+    from tpu_sgp import sgp
+
+    gn = np.full((8, 8), 10.0)
+    psf = np.full((8, 8), 1.0 / 64.0)
+    with pytest.raises(ValueError, match='errflag'):
+        sgp(gn, psf, 1.0, errflag=True, MAXIT=2)
+
+
+def test_cli_comparison_plot(tmp_path, monkeypatch):
+    """--plot writes the reference's side-by-side comparison figure
+    (sgp.py:1216-1234 analog) as sgp_comparison.png in the cwd."""
+    import os
+
+    from tpu_sgp.cli import _comparison_plot
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(10.0, 100.0, (32, 32))
+    _comparison_plot(img, img * 0.5)
+    assert os.path.exists(tmp_path / 'sgp_comparison.png')
+    assert os.path.getsize(tmp_path / 'sgp_comparison.png') > 1000

@@ -297,3 +297,26 @@ def test_autopad_deviation_from_unpadded_bounded():
     rel = np.abs(dx - sx).max() / np.abs(sx).max()
     assert rel < 1e-2, rel
     assert abs(int(dres.iters) - int(sres.iters)) <= 15
+
+
+def test_gmean_under_shard_map_matches_global_mean():
+    """gmean with a mesh axis: psum(total)/psum(count) over the shards must
+    equal the unsharded mean (the solver's discrepancy rule divides by the
+    GLOBAL pixel count)."""
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from tpu_sgp.ops.reduce import gmean
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), axis_names=('i',))
+    x = np.arange(64.0).reshape(8, 8) + 0.25
+
+    @partial(shard_map, mesh=mesh, in_specs=P('i', None), out_specs=P())
+    def f(lx):
+        return gmean(lx, axes=('i',))[None]
+
+    got = float(np.asarray(f(jnp.asarray(x)))[0])
+    assert got == pytest.approx(x.mean(), rel=1e-12)

@@ -291,3 +291,78 @@ def test_wcs_to_header_roundtrip():
     for xy in [(0, 0), (123.4, 56.7)]:
         np.testing.assert_allclose(w.pixel_to_world(*xy),
                                    w2.pixel_to_world(*xy), rtol=1e-12)
+
+
+def test_write_fits_long_string_truncates_with_warning(tmp_path):
+    """A string value longer than one card is truncated with a warning
+    (this minimal writer has no CONTINUE cards) — and never cut in the
+    middle of a doubled-quote escape, which would end the reparsed string
+    early and corrupt every later card."""
+    import warnings
+
+    from tpu_sgp.image.fitsio import getheader, write_fits
+
+    p = str(tmp_path / 'long.fits')
+    # escaped value = 66*'a' + "''" = 68 chars -> cut at 67 leaves an ODD
+    # trailing quote run which must be dropped too
+    val = 'a' * 66 + "'"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        write_fits(p, np.zeros((2, 2)), {'LONGVAL': val, 'AFTER': 7})
+    assert any('exceeds one card' in str(x.message) for x in w)
+    h = getheader(p)
+    assert h['LONGVAL'] == 'a' * 66      # truncated, quote run removed
+    assert int(h['AFTER']) == 7          # later cards still parse
+
+
+def test_read_fits_truncated_header_raises(tmp_path):
+    from tpu_sgp.image.fitsio import read_fits
+
+    p = tmp_path / 'trunc.fits'
+    p.write_bytes(b'SIMPLE  =                    T' + b' ' * 100)
+    with pytest.raises(ValueError, match='truncated'):
+        read_fits(str(p))
+
+
+def test_read_fits_naxis0_returns_empty(tmp_path):
+    from tpu_sgp.image.fitsio import read_fits
+
+    cards = [b'SIMPLE  =                    T',
+             b'BITPIX  =                    8',
+             b'NAXIS   =                    0',
+             b'END']
+    raw = b''.join(c.ljust(80) for c in cards).ljust(2880)
+    p = tmp_path / 'empty.fits'
+    p.write_bytes(raw)
+    data, hdr = read_fits(str(p))
+    assert data.size == 0
+    assert int(hdr['NAXIS']) == 0
+
+
+def test_write_fits_overwrite_false_raises(tmp_path):
+    from tpu_sgp.image.fitsio import write_fits
+
+    p = str(tmp_path / 'x.fits')
+    write_fits(p, np.zeros((2, 2)))
+    with pytest.raises(OSError, match='overwrite'):
+        write_fits(p, np.ones((2, 2)), overwrite=False)
+
+
+def test_write_fits_unsupported_dtype_promotes_to_f64(tmp_path):
+    from tpu_sgp.image.fitsio import read_fits, write_fits
+
+    p = str(tmp_path / 'b.fits')
+    write_fits(p, np.array([[True, False], [False, True]]))
+    data, hdr = read_fits(p)
+    assert data.dtype == np.float64
+    np.testing.assert_array_equal(data, [[1.0, 0.0], [0.0, 1.0]])
+    assert int(hdr['BITPIX']) == -64
+
+
+def test_set_header_card_missing_end_raises(tmp_path):
+    from tpu_sgp.image.fitsio import set_header_card
+
+    p = tmp_path / 'noend.fits'
+    p.write_bytes(b' ' * 2880)
+    with pytest.raises(ValueError, match='END'):
+        set_header_card(str(p), 'GAIN', 1.22)

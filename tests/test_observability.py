@@ -44,3 +44,29 @@ def test_profiled_writes_trace(tmp_path):
     except Exception as exc:  # profiler availability varies per backend
         pytest.skip(f'profiler unavailable: {exc}')
     assert os.path.isdir(d) and len(list(os.walk(d))) > 0
+
+
+def test_nan_guard_disabled_is_passthrough():
+    """nan_guard(enable=False) must neither trap NaNs nor touch the debug
+    config — the solver wraps hot paths in it unconditionally and relies
+    on the disabled path being free."""
+    with obs.nan_guard(enable=False):
+        v = jnp.log(jnp.asarray(-1.0)) * 1.0   # NaN, silently
+        assert not jax.config.jax_debug_nans
+    assert np.isnan(float(v))
+
+
+def test_log_convergence_series_other_criteria(tmp_path):
+    """Criterion-specific line formats (reference sgp.py:398-411): fixed
+    iterations log plain discr, relative rules log discr vs tol."""
+    logfile = str(tmp_path / 'sgp2.log')
+    logger = obs.setup_sgp_logging(logfile)
+    discr = np.array([1.0, 0.5, 0.25])
+    obs.log_convergence_series(discr, iters=2, stop_criterion=1, tol=None,
+                               logger=logger)
+    obs.log_convergence_series(discr, iters=2, stop_criterion=3, tol=1e-4,
+                               logger=logger)
+    logging.shutdown()
+    text = open(logfile).read()
+    assert 'of run' in text          # criterion 0/1 format
+    assert 'tol 0.0001' in text      # criterion 2/3 format

@@ -127,3 +127,25 @@ def test_write_coo_pads_short_headers(tmp_path):
     p = str(tmp_path / 't.coo')
     write_coo(p, stars, header_lines=['# one line only'])
     assert len(read_coo(p)) == 2
+
+
+def test_preprocess_main_cli(tmp_path, rng, capsys):
+    """python -m tpu_sgp.preprocess <dir>: argparse facade over
+    cull_frames (Automation.cl equivalent), prints the report."""
+    from tpu_sgp.preprocess import main
+
+    d = str(tmp_path)
+    for i, scale in enumerate([1.0, 1.1, 3.5]):
+        write_fits(os.path.join(d, f'bias_{i}.fits'),
+                   rng.normal(100, 5 * scale, (16, 16)),
+                   Header({'EXPTIME': 0.0}))
+    write_fits(os.path.join(d, 'sci.fits'),
+               rng.normal(500, 10, (16, 16)),
+               Header({'EXPTIME': 30.0}))
+    rep = main([d, '--no-move', '--default-filter', 'V'])
+    out = capsys.readouterr().out
+    assert 'biases: 3 (rejected 1)' in out
+    assert [os.path.basename(p) for p in rep.bad_biases] == ['bias_2.fits']
+    # --no-move: nothing relocated
+    assert os.path.exists(os.path.join(d, 'bias_2.fits'))
+    assert rep.filter_fixed  # sci frame had no FILTER card

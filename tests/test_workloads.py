@@ -192,3 +192,15 @@ def test_cli_scale_psf_and_flip(tmp_path):
     # scaled PSF and flipped image must change the result
     assert not np.allclose(out1['deconvolved'], out2['deconvolved'])
     assert not np.allclose(out1['deconvolved'], out3['deconvolved'])
+
+
+def test_star_stamps_main_cli(tmp_path, capsys):
+    """python -m tpu_sgp.workloads.star_stamps: argparse facade over run()
+    with the summary print (reference application_sgp_star_stamps.py is a
+    bare script; the facade adds flags but keeps the artifacts)."""
+    m = star_stamps.main(['--n_synthetic', '8', '--out_dir', str(tmp_path),
+                          '--seed', '7'])
+    out = capsys.readouterr().out
+    assert 'NUM_ITERS: median=' in out
+    assert len(m['NUM_ITERS']) >= 6
+    assert os.path.exists(tmp_path / 'NUM_ITERS.npy')
