@@ -183,6 +183,14 @@ def test_restoration_session_serves_buckets():
     assert len(outs) == 2
     np.testing.assert_allclose(np.asarray(outs[0].x),
                                np.asarray(res.x)[:4], rtol=1e-9, atol=1e-9)
+    # more batches than lookahead: the backpressure drain must preserve
+    # request order and results (lookahead=1 forces mid-stream yields)
+    reqs = [(stamps[i:i + 2], bkgs[i:i + 2], fluxes[i:i + 2])
+            for i in range(0, 10, 2)]
+    outs = list(sess.restore_stream(iter(reqs), lookahead=1))
+    assert len(outs) == 5
+    got = np.concatenate([np.asarray(o.x) for o in outs])
+    np.testing.assert_allclose(got, np.asarray(res.x), rtol=1e-9, atol=1e-9)
     # shape mismatch is rejected
     import pytest
     with pytest.raises(ValueError):

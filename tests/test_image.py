@@ -366,3 +366,13 @@ def test_set_header_card_missing_end_raises(tmp_path):
     p.write_bytes(b' ' * 2880)
     with pytest.raises(ValueError, match='END'):
         set_header_card(str(p), 'GAIN', 1.22)
+
+
+def test_cutout_error_branches():
+    from tpu_sgp.image.cutout import Cutout2D
+
+    data = np.arange(64.0).reshape(8, 8)
+    with pytest.raises(ValueError, match='overlap'):
+        Cutout2D(data, position=(30.0, 30.0), size=(4, 4))
+    with pytest.raises(ValueError, match='mode'):
+        Cutout2D(data, position=(4.0, 4.0), size=(4, 4), mode='strict')
