@@ -437,3 +437,40 @@ def test_cli_comparison_plot(tmp_path, monkeypatch):
     _comparison_plot(img, img * 0.5)
     assert os.path.exists(tmp_path / 'sgp_comparison.png')
     assert os.path.getsize(tmp_path / 'sgp_comparison.png') > 1000
+
+
+def test_plot_positions_sep_style_dict():
+    """The reference passed sep's output (keys x/y/a/b/theta, theta in
+    RADIANS, utils.py:293-310); the fallback column path must convert the
+    angle to the degrees matplotlib Ellipse expects."""
+    import matplotlib.pyplot as plt
+
+    from tpu_sgp.catalog.plotting import plot_positions
+
+    rng = np.random.default_rng(1)
+    img = rng.normal(0.0, 1.0, (32, 32))
+    objs = {'x': np.array([10.0, 20.0]), 'y': np.array([12.0, 8.0]),
+            'a': np.array([2.0, 1.5]), 'b': np.array([1.0, 1.2]),
+            'theta': np.array([np.pi / 4, 0.0])}
+    fig = plot_positions(img, objs)
+    ellipses = [a for a in fig.axes[0].get_children()
+                if type(a).__name__ == 'Ellipse']
+    assert len(ellipses) == 2
+    assert ellipses[0].angle == pytest.approx(45.0)
+    plt.close(fig)
+
+
+def test_wcs_linear_ctype_round_trip():
+    """Non-TAN CTYPEs fall back to linear world coordinates — pixel and
+    world offsets then relate through the CD matrix alone."""
+    from tpu_sgp.image.wcs import WCS
+
+    w = WCS({'CRPIX1': 3.0, 'CRPIX2': 4.0, 'CRVAL1': 100.0,
+             'CRVAL2': 5.0, 'CDELT1': 0.5, 'CDELT2': 0.25,
+             'CTYPE1': 'LINEAR', 'CTYPE2': 'LINEAR'})
+    ra, dec = w.pixel_to_world(6.0, 8.0)
+    assert float(ra) == pytest.approx(100.0 + 0.5 * (6.0 - 2.0))
+    assert float(dec) == pytest.approx(5.0 + 0.25 * (8.0 - 3.0))
+    x, y = w.world_to_pixel(ra, dec)
+    assert float(x) == pytest.approx(6.0, abs=1e-9)
+    assert float(y) == pytest.approx(8.0, abs=1e-9)

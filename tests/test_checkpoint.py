@@ -2,6 +2,7 @@
 reproduces the uninterrupted solve exactly."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_sgp import SGPConfig
 from tpu_sgp.solvers.checkpoint import load_state, save_state
@@ -108,3 +109,40 @@ def test_load_pre_round3_checkpoint_defaults_new_fields(tmp_path):
     st = load_state_npz(p)
     assert np.isnan(np.asarray(st.lam_dual)).all()
     assert np.isposinf(np.asarray(st.dlam_dual)).all()
+
+
+def test_resume_max_iter_below_checkpoint_buffers_raises(rng):
+    """Shrinking max_iter below a checkpoint's tracked-series length would
+    have to drop recorded history — refuse instead of truncating."""
+    img, psf, bkg, _ = synthetic_stamp(rng, size=24)
+    cfg10 = SGPConfig(max_iter=10, stop_criterion=1, init_recon=2,
+                      dtype='float64', has_flux=False)
+    _, state = solve_with_state(*_args(img, psf, bkg, cfg10), cfg10)
+    cfg5 = SGPConfig(max_iter=5, stop_criterion=1, init_recon=2,
+                     dtype='float64', has_flux=False)
+    with pytest.raises(ValueError, match='max_iter smaller'):
+        resume_from_state(*_args(img, psf, bkg, cfg5), state, cfg5)
+
+
+def test_checkpoint_unknown_backend_and_missing_field(tmp_path):
+    import numpy as np
+
+    from tpu_sgp.solvers.checkpoint import (_FIELDS, load_state,
+                                            load_state_npz, save_state,
+                                            save_state_npz)
+    from tpu_sgp.solvers.sgp import SGPState
+
+    state = SGPState(*[np.zeros(2) for _ in _FIELDS])
+    with pytest.raises(ValueError, match='backend'):
+        save_state(str(tmp_path / 'x'), state, backend='pickle')
+    with pytest.raises(ValueError, match='backend'):
+        load_state(str(tmp_path / 'x'), backend='pickle')
+    # a missing CORE field (no default) must be a loud KeyError, not a
+    # silently zero-filled state
+    p = str(tmp_path / 'broken.npz')
+    save_state_npz(p, state)
+    with np.load(p) as z:
+        partial = {k: z[k] for k in z.files if k != 'fv'}
+    np.savez(p, **partial)
+    with pytest.raises(KeyError, match='fv'):
+        load_state_npz(p)

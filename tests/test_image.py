@@ -376,3 +376,28 @@ def test_cutout_error_branches():
         Cutout2D(data, position=(30.0, 30.0), size=(4, 4))
     with pytest.raises(ValueError, match='mode'):
         Cutout2D(data, position=(4.0, 4.0), size=(4, 4), mode='strict')
+
+
+def test_match_backgrounds_disjoint_tiles_zero_offsets():
+    """Tiles with no pairwise overlap give the solver no equations — the
+    offsets must come back all-zero, not crash in lstsq."""
+    from tpu_sgp.image.mosaic import match_backgrounds
+
+    t1 = np.full((4, 4), 10.0)
+    t2 = np.full((4, 4), 50.0)
+    off = match_backgrounds([t1, t2], [(0, 0), (100, 100)])
+    np.testing.assert_array_equal(off, [0.0, 0.0])
+
+
+def test_coadd_tiles_without_background_matching():
+    """match_background=False blends raw tile values; offset seams stay."""
+    from tpu_sgp.image.mosaic import coadd_tiles
+
+    t1 = np.full((4, 6), 10.0)
+    t2 = np.full((4, 6), 14.0)   # overlaps t1 by 2 columns, +4 offset
+    mosaic, w = coadd_tiles([t1, t2], [(0, 0), (4, 0)], (4, 10),
+                            match_background=False)
+    np.testing.assert_array_equal(mosaic[:, :4], 10.0)
+    np.testing.assert_array_equal(mosaic[:, 4:6], 12.0)  # plain average
+    np.testing.assert_array_equal(mosaic[:, 6:], 14.0)
+    assert w.max() == 2.0
