@@ -320,3 +320,90 @@ def test_gmean_under_shard_map_matches_global_mean():
 
     got = float(np.asarray(f(jnp.asarray(x)))[0])
     assert got == pytest.approx(x.mean(), rel=1e-12)
+
+
+def test_distributed_batch_optional_inputs_through_autopad():
+    """x0 warm start, errflag ground truths, per-image 1-D backgrounds and
+    an odd B and H/W all at once: every host-side pad branch must carry the
+    optional arrays consistently with the data lanes. Exactness holds vs
+    the single-device solve of the SAME padded problem (x0/objs padded with
+    zeros, gn/bkg via pad_to_mesh — the entry point's own rules); the
+    unpadded solve differs by the documented autopad deviation and is
+    pinned separately (test_autopad_deviation_from_unpadded_bounded)."""
+    from tpu_sgp.parallel.distributed import (make_batch_image_mesh,
+                                              pad_to_mesh,
+                                              solve_distributed_batch)
+    imgs, objs = [], []
+    for seed in (5, 9, 11):
+        img, psf, truth = synthetic_star_field(63, 63, n_stars=6,
+                                               psf_size=15, fwhm=2.2,
+                                               seed=seed)
+        imgs.append(img)
+        objs.append(truth)
+    imgs, objs = np.stack(imgs), np.stack(objs)
+    bkgs = np.array([150.0, 140.0, 160.0])
+    x0 = np.maximum(imgs - bkgs[:, None, None], 0.0)
+    cfg = SGPConfig(max_iter=12, stop_criterion=1, init_recon=0,
+                    proj_type=0, has_flux=False, has_sat_level=False,
+                    dtype='float64', operator='linear', errflag=True)
+    mesh = make_batch_image_mesh(batch=2, devices=jax.devices()[:8])
+    dist = solve_distributed_batch(imgs, psf, bkgs, cfg, mesh, x0=x0,
+                                   objs=objs)
+    assert np.asarray(dist.x).shape == imgs.shape
+    err = np.asarray(dist.err)
+    assert err.shape[0] == 3 and np.isfinite(err[:, 1:13]).all()
+
+    bkgs3 = np.broadcast_to(bkgs[:, None, None], imgs.shape)
+    gp, bp, (hp, wp) = pad_to_mesh(imgs, bkgs3, 2, 2, max(psf.shape) // 2)
+    assert (hp, wp) != (63, 63)   # the spatial pad branch really ran
+    pad3 = ((0, 0), (0, hp - 63), (0, wp - 63))
+    x0p, objp = np.pad(x0, pad3), np.pad(objs, pad3)
+    for i in range(3):
+        single = solve(jnp.asarray(gp[i]), jnp.asarray(psf),
+                       jnp.asarray(bp[i]), jnp.asarray(x0p[i]), 0.0,
+                       jnp.asarray(objp[i]), 1.0, 1e-3, 0.0, cfg)
+        np.testing.assert_allclose(np.asarray(dist.x)[i],
+                                   np.asarray(single.x)[:63, :63],
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(err[i, 1:13],
+                                   np.asarray(single.err)[1:13], rtol=1e-9)
+
+
+def test_distributed_batch_rejects_non_3d():
+    from tpu_sgp.parallel.distributed import (make_batch_image_mesh,
+                                              solve_distributed_batch)
+    mesh = make_batch_image_mesh(batch=2, devices=jax.devices()[:8])
+    cfg = SGPConfig(max_iter=3, dtype='float64')
+    with pytest.raises(ValueError, match='B, H, W'):
+        solve_distributed_batch(np.zeros((16, 16)), np.ones((5, 5)) / 25.0,
+                                150.0, cfg, mesh)
+
+
+def test_distributed_single_image_warm_start_and_err(rng=None):
+    """solve_distributed with x0/obj: the padded optional inputs must give
+    the same trajectory as the single-device solve with the same inputs."""
+    from tpu_sgp.parallel.distributed import (make_image_mesh,
+                                              solve_distributed)
+    img, psf, truth = synthetic_star_field(60, 60, n_stars=6, psf_size=15,
+                                           fwhm=2.2, seed=3)
+    x0 = np.maximum(img - 150.0, 0.0)
+    cfg = SGPConfig(max_iter=10, stop_criterion=1, init_recon=0,
+                    proj_type=0, has_flux=False, has_sat_level=False,
+                    dtype='float64', errflag=True)
+    mesh = make_image_mesh(devices=jax.devices()[:8])
+    dres = solve_distributed(img, psf, 150.0, cfg, mesh, x0=x0, obj=truth)
+    z = jnp.zeros(img.shape)
+    sres = solve(jnp.asarray(img), jnp.asarray(psf),
+                 jnp.full(img.shape, 150.0), jnp.asarray(x0), 0.0,
+                 jnp.asarray(truth), 1.0, 1e-3, 0.0,
+                 cfg.replace(operator='linear'))
+    np.testing.assert_allclose(np.asarray(dres.x), np.asarray(sres.x),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dres.err)[1:11],
+                               np.asarray(sres.err)[1:11], rtol=1e-8)
+
+
+def test_make_image_mesh_prime_device_count():
+    mesh7 = make_image_mesh(devices=jax.devices()[:7])
+    assert mesh7.shape['ty'] * mesh7.shape['tx'] == 7
+    assert mesh7.shape['ty'] == 1   # prime: falls through to a 1 x n grid
