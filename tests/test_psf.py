@@ -111,3 +111,23 @@ def test_matrix_even_size_exact_shape():
     np.testing.assert_array_equal(m.matrix(31), m.evaluate(xx, yy))
     # even rendering is the odd grid's [-h, h-1] sub-block
     np.testing.assert_array_equal(m.matrix(30), m.matrix(31)[:30, :30])
+
+
+def test_psf_shim_full_reference_surface():
+    """The reference-API shim (psf_calculate.PSF, psf_calculate.py:9-166)
+    beyond normalize_psf_mat: get_psf_mat, calc_psf_pix, check_symmetric."""
+    _need_reference()
+    p = PSF(REF_TXT)
+    mat = p.get_psf_mat()
+    assert mat.shape == (31, 31)
+    np.testing.assert_array_equal(mat, p.psf_mat)       # cached attribute
+    np.testing.assert_array_equal(mat, p.model.matrix(31))
+    # single-pixel evaluation agrees with the rendered matrix layout
+    # (matrix[i+15, j+15] = psf(x=j, y=i))
+    local = p.model.local_coeffs(p.x_orig, p.y_orig)
+    for (i, j) in [(0, 0), (3, -7), (-15, 14)]:
+        want = p.model.evaluate(np.float64(j), np.float64(i), local)
+        assert np.isclose(p.calc_psf_pix(local, j, i), float(want),
+                          rtol=1e-14)
+    assert PSF.check_symmetric(np.eye(3))
+    assert not PSF.check_symmetric(np.triu(np.ones((3, 3))))

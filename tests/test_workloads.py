@@ -204,3 +204,34 @@ def test_star_stamps_main_cli(tmp_path, capsys):
     assert 'NUM_ITERS: median=' in out
     assert len(m['NUM_ITERS']) >= 6
     assert os.path.exists(tmp_path / 'NUM_ITERS.npy')
+
+
+def test_simulation_run_all_and_cli(tmp_path, capsys):
+    """run_all / the tpu-sgp-simulate CLI over a fixture directory: tiny
+    synthetic .mat files in the SGP-dec layout (gn, psf, bg, obj), all four
+    fixture/divergence combinations produce finite rel_err."""
+    from scipy.io import savemat
+    from tpu_sgp.workloads import simulation
+
+    rng = np.random.default_rng(7)
+    n = 16
+    yy, xx = np.mgrid[:n, :n] - n // 2
+    psf = np.exp(-(xx ** 2 + yy ** 2) / (2 * 1.5 ** 2))
+    psf /= psf.sum()
+    obj = np.zeros((n, n))
+    obj[5, 6] = 900.0
+    obj[11, 9] = 600.0
+    bg = 10.0
+    gn = np.real(np.fft.ifft2(np.fft.fft2(obj)
+                              * np.fft.fft2(np.fft.ifftshift(psf)))) + bg
+    gn = rng.poisson(np.maximum(gn, 0.0)).astype(np.float64)
+    for name in ('NGC7027_255.mat', 'satellite_25500.mat'):
+        savemat(str(tmp_path / name), {'gn': gn, 'psf': psf,
+                                       'bg': np.array([[bg]]), 'obj': obj})
+
+    results = simulation.main(['--data_dir', str(tmp_path)])
+    assert set(results) == {'ngc_kl', 'sat_kl', 'ngc_beta', 'sat_beta'}
+    for k, v in results.items():
+        assert np.isfinite(v) and 0.0 < v < 1.0, (k, v)
+    out = capsys.readouterr().out
+    assert 'ngc_kl: rel_err' in out
