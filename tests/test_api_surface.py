@@ -474,3 +474,30 @@ def test_wcs_linear_ctype_round_trip():
     x, y = w.world_to_pixel(ra, dec)
     assert float(x) == pytest.approx(6.0, abs=1e-9)
     assert float(y) == pytest.approx(8.0, abs=1e-9)
+
+
+def test_api_doc_symbols_resolve():
+    """Every dotted tpu_sgp.* reference in docs/API.md resolves to a real
+    module or attribute — the API doc cannot drift from the package."""
+    import importlib
+    import os
+    import re
+
+    doc = os.path.join(os.path.dirname(__file__), '..', 'docs', 'API.md')
+    with open(doc) as f:
+        names = set(re.findall(r'\btpu_sgp(?:\.[A-Za-z_][A-Za-z0-9_]*)+',
+                               f.read()))
+    assert len(names) >= 15
+    for name in sorted(names):
+        parts = name.split('.')
+        obj = importlib.import_module(parts[0])
+        for i, attr in enumerate(parts[1:], start=1):
+            try:
+                obj = getattr(obj, attr)
+            except AttributeError:
+                try:
+                    obj = importlib.import_module('.'.join(parts[:i + 1]))
+                except ImportError:
+                    raise AssertionError(
+                        f'docs/API.md references {name}, but '
+                        f'{".".join(parts[:i + 1])} does not resolve')
