@@ -372,3 +372,51 @@ def test_save_dumps_per_iteration_fits(rng, tmp_path, monkeypatch):
     rec_last = getdata(str(d / f'rec_{int(iters) - 1}.fits'))
     assert rec_last.shape == img.shape
     assert np.isfinite(rec_last).all()
+
+
+@pytest.mark.parametrize('case', range(12))
+def test_random_config_cross_product_matches_oracle(case):
+    """Seeded fuzz over the hyperparameter CROSS PRODUCT: the directed
+    tests above vary one axis at a time; interactions (e.g. nonmonotone
+    memory x flux projection x criterion 4, or beta-adaptation x
+    scale_data=False) are drawn at random here and must still track the
+    independent NumPy oracle trajectory-exactly in f64."""
+    r = np.random.default_rng(1000 + case)
+    img, psf, bkg, _ = synthetic_stamp(
+        np.random.default_rng(2000 + case),
+        size=int(r.choice([24, 31])),
+        fwhm=float(r.uniform(2.0, 3.5)),
+        flux=float(r.uniform(3000.0, 12000.0)))
+    kw = dict(init_recon=int(r.choice([0, 2, 3])),
+              proj_type=int(r.choice([0, 1])),
+              stop_criterion=int(r.choice([1, 2, 3, 4])),
+              MAXIT=int(r.integers(8, 40)),
+              M=int(r.choice([1, 3])),
+              tau=float(r.choice([0.5, 0.7])),
+              alpha=float(r.choice([1.3, 10.0])),
+              scale_data=bool(r.choice([True, False])),
+              tol_convergence=1e-4)
+    okw = dict(init_recon=kw['init_recon'], proj_type=kw['proj_type'],
+               stop_criterion=kw['stop_criterion'], maxit=kw['MAXIT'],
+               M=kw['M'], tau=kw['tau'], alpha=kw['alpha'],
+               scale_data=kw['scale_data'], tol=1e-4)
+    if kw['proj_type'] == 1:
+        flux = float(np.sum(img - bkg))
+        kw.update(flux=flux, ccd_sat_level=65000.0)
+        okw.update(flux=flux, sat=65000.0)
+    if r.random() < 0.5:
+        x, iters, _, _, _ = sgp(img, psf, bkg, **kw)
+        xo, ito, _, _ = oracle_solve(img, psf, bkg, **okw)
+    else:
+        bkw = dict(betaParam=float(r.normal(1.0, 0.02)),
+                   adapt_beta=bool(r.choice([True, False])),
+                   schedule_lr=bool(r.choice([True, False])), lr=1e-3,
+                   lr_exp_param=0.1)
+        x, iters, _, _, _ = sgp_beta_div(img, psf, bkg, **kw, **bkw)
+        xo, ito, _, _ = oracle_solve(
+            img, psf, bkg, divergence='beta',
+            beta_param=bkw['betaParam'], adapt_beta=bkw['adapt_beta'],
+            schedule_lr=bkw['schedule_lr'], lr=1e-3, lr_exp_param=0.1,
+            **okw)
+    assert iters == ito, (kw, iters, ito)
+    _agree(x, xo, rtol=1e-7, atol=1e-7)
