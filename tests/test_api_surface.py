@@ -501,3 +501,23 @@ def test_api_doc_symbols_resolve():
                     raise AssertionError(
                         f'docs/API.md references {name}, but '
                         f'{".".join(parts[:i + 1])} does not resolve')
+
+
+def test_console_script_entry_points_resolve():
+    """Every [project.scripts] target in pyproject.toml imports and is
+    callable (the installed console scripts cannot drift from the code)."""
+    import importlib
+    import re
+
+    pyproject = os.path.join(os.path.dirname(__file__), '..',
+                             'pyproject.toml')
+    with open(pyproject) as f:
+        text = f.read()
+    block = re.search(r'\[project\.scripts\]\n(.*?)(?:\n\[|\Z)', text,
+                      re.DOTALL).group(1)
+    entries = re.findall(r'^([\w-]+)\s*=\s*"([\w.]+):(\w+)"', block,
+                         re.MULTILINE)
+    assert len(entries) == 6
+    for script, module, attr in entries:
+        fn = getattr(importlib.import_module(module), attr)
+        assert callable(fn), script
