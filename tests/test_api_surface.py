@@ -507,6 +507,7 @@ def test_console_script_entry_points_resolve():
     """Every [project.scripts] target in pyproject.toml imports and is
     callable (the installed console scripts cannot drift from the code)."""
     import importlib
+    import os
     import re
 
     pyproject = os.path.join(os.path.dirname(__file__), '..',
