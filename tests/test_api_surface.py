@@ -522,3 +522,42 @@ def test_console_script_entry_points_resolve():
     for script, module, attr in entries:
         fn = getattr(importlib.import_module(module), attr)
         assert callable(fn), script
+
+
+def test_degenerate_solver_inputs_raise_loudly():
+    """api.sgp rejects inputs the compiled core would turn into silent
+    NaNs (the reference dies on the same inputs with a cryptic zero-size
+    reduction from inside projectDF / the null-pixel floor)."""
+    from tpu_sgp import sgp
+    yy, xx = np.mgrid[:16, :16] - 8.0
+    psf = np.exp(-(xx ** 2 + yy ** 2) / 6.0)
+    psf /= psf.sum()
+    img = 100.0 + 40.0 * psf * psf.size
+
+    bad = img.copy()
+    bad[3, 4] = np.nan
+    with pytest.raises(ValueError, match='non-finite pixels'):
+        sgp(bad, psf, 100.0, MAXIT=3)
+    bad[3, 4] = np.inf
+    with pytest.raises(ValueError, match='non-finite pixels'):
+        sgp(bad, psf, 100.0, MAXIT=3)
+    with pytest.raises(ValueError, match='identically zero'):
+        sgp(np.zeros_like(img), psf, 0.0, MAXIT=3)
+    with pytest.raises(ValueError, match='non-finite values'):
+        sgp(img, psf, np.nan, MAXIT=3)
+    for f in (0.0, -100.0):
+        with pytest.raises(ValueError, match='positive total flux'):
+            sgp(img, psf, 100.0, proj_type=1, flux=f, MAXIT=3,
+                ccd_sat_level=65000.0)
+    # flux=None resolves to sum(gn - bkg): negative here -> same rejection
+    with pytest.raises(ValueError, match='sum\\(gn - bkg\\)'):
+        sgp(img, psf, 1e6, proj_type=1, MAXIT=3, ccd_sat_level=65000.0)
+    # a NaN PSF must not slide through the normalization check
+    nan_psf = psf.copy()
+    nan_psf[0, 0] = np.nan
+    with pytest.raises(ValueError, match='not normalized'):
+        sgp(img, nan_psf, 100.0, MAXIT=3)
+    # beta wrapper shares the validation
+    from tpu_sgp import sgp_beta_div
+    with pytest.raises(ValueError, match='non-finite pixels'):
+        sgp_beta_div(bad, psf, 100.0, MAXIT=3)

@@ -35,7 +35,11 @@ def check_psf_normalized(psf: np.ndarray) -> None:
                    else np.float64).eps
     check = abs(float(np.sum(psf, dtype=np.float64)) - 1.0)
     tol = PSF_NORM_TOL_FACTOR * eps
-    if check > tol:
+    # `check > tol` would be False for a NaN sum: a PSF with non-finite
+    # entries must fail this check loudly, not slide through a NaN
+    # comparison (the reference's `if check > tol` form, sgp.py:99, lets a
+    # NaN PSF pass silently — a deliberate deviation).
+    if not (check <= tol):
         raise ValueError(
             f'PSF is not normalized! Provide a normalized PSF! '
             f'\n\tsum(psf) - 1. = {check}, tolerance = {tol}')
@@ -45,10 +49,36 @@ def _default_dtype() -> str:
     return 'float64' if jax.config.jax_enable_x64 else 'float32'
 
 
+def _validate_inputs(gn, bkg, flux, proj_type) -> None:
+    """Loudly reject degenerate inputs the compiled solver would turn into
+    silent NaNs. The reference fails on the same inputs, but with a cryptic
+    zero-size-reduction ValueError from deep inside its null-pixel floor /
+    projectDF (sgp.py:201-204, flux_conserve_proj.py:20-26); non-finite
+    pixels it propagates silently. Host-side and O(pixels): negligible next
+    to the solve."""
+    if not np.isfinite(gn).all():
+        raise ValueError('gn contains non-finite pixels; mask or repair '
+                         'them before deconvolution.')
+    bkg = np.asarray(bkg, np.float64)
+    if not np.isfinite(bkg).all():
+        raise ValueError('bkg contains non-finite values.')
+    if not gn.any():
+        raise ValueError('gn is identically zero — nothing to restore.')
+    if proj_type == 1:
+        resolved = (float(np.sum(gn - np.broadcast_to(bkg, gn.shape)))
+                    if flux is None else float(flux))
+        if not resolved > 0.0:
+            hint = ' (computed as sum(gn - bkg))' if flux is None else ''
+            raise ValueError(
+                'flux-conserving projection (proj_type=1) needs a positive '
+                f'total flux, got {resolved!r}{hint}.')
+
+
 def _run(gn, psf, bkg, cfg: SGPConfig, flux, obj, beta0, lr0, sat_level):
     gn = np.asarray(gn)
     psf = np.asarray(psf)
     check_psf_normalized(psf)
+    _validate_inputs(gn, bkg, flux, cfg.proj_type)
     if cfg.save:
         import os
 
