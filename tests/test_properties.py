@@ -167,3 +167,87 @@ def test_cutout_positions_round_trip(h, w, cy, cx, size):
     assert np.array_equal(cut.data,
                           data[oy:oy + cut.data.shape[0],
                                ox:ox + cut.data.shape[1]])
+
+
+# ------------------------------------------------------------------- FITS
+
+_header_value = st.one_of(
+    st.booleans(),
+    st.integers(-10**15, 10**15),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=40),
+)
+
+
+_RESERVED = ({'SIMPLE', 'BITPIX', 'NAXIS', 'END', 'BSCALE', 'BZERO',
+              'EXTEND', 'COMMENT', 'HISTORY'}
+             | {f'NAXIS{i}' for i in range(1, 10)})
+
+
+@FAST
+@given(vals=st.dictionaries(
+    st.text(st.sampled_from('ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_'),
+            min_size=1, max_size=8).filter(lambda k: k not in _RESERVED),
+    _header_value, min_size=1, max_size=12))
+def test_fits_header_values_round_trip_exactly(vals, tmp_path_factory):
+    """write_fits -> getheader preserves every bool/int/float/short-string
+    header value EXACTLY — floats included (shortest-round-trip repr, not
+    a truncating %G)."""
+    from tpu_sgp.image import Header, getheader, write_fits
+    path = str(tmp_path_factory.mktemp('fits') / 'h.fits')
+    write_fits(path, np.zeros((2, 2)), Header(vals))
+    back = getheader(path)
+    for k, v in vals.items():
+        got = back[k.upper()]
+        if isinstance(v, str):
+            # FITS pads string values to >= 8 chars and strips trailing
+            # blanks on read — the one standard-mandated lossy case
+            assert got == v.rstrip() or got == v.rstrip().ljust(0)
+        else:
+            assert got == v and type(got) is type(v), (k, v, got)
+
+
+@SLOW
+@given(dtype=st.sampled_from(['uint8', 'int16', 'int32', 'int64',
+                              'float32', 'float64']),
+       seed=st.integers(0, 2**31 - 1))
+def test_fits_data_round_trips_every_supported_dtype(dtype, seed,
+                                                     tmp_path_factory):
+    from tpu_sgp.image import read_fits, write_fits
+    rng = np.random.default_rng(seed)
+    if dtype.startswith('float'):
+        data = rng.normal(0, 1e6, (5, 7)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        data = rng.integers(info.min, info.max, (5, 7),
+                            dtype=dtype, endpoint=True)
+    path = str(tmp_path_factory.mktemp('fits') / 'd.fits')
+    write_fits(path, data)
+    back, _ = read_fits(path)
+    assert back.dtype == data.dtype
+    np.testing.assert_array_equal(back, data)
+
+
+# -------------------------------------------------------------------- WCS
+
+@FAST
+@given(crval1=st.floats(0.5, 359.5), crval2=st.floats(-75.0, 75.0),
+       crpix1=st.floats(-100, 100), crpix2=st.floats(-100, 100),
+       scale=st.floats(1e-5, 1e-3), rot=st.floats(0, 2 * np.pi),
+       x=st.floats(0, 400), y=st.floats(0, 400))
+def test_wcs_tan_round_trip(crval1, crval2, crpix1, crpix2, scale, rot,
+                            x, y):
+    """world_to_pixel(pixel_to_world(p)) == p for any well-conditioned TAN
+    WCS (rotated CD matrix, |dec| < 75 deg, arcsec-to-arcmin scales)."""
+    from tpu_sgp.image import WCS
+    cd = scale * np.array([[np.cos(rot), -np.sin(rot)],
+                           [np.sin(rot), np.cos(rot)]])
+    w = WCS({'CRVAL1': crval1, 'CRVAL2': crval2,
+             'CRPIX1': crpix1, 'CRPIX2': crpix2,
+             'CD1_1': cd[0, 0], 'CD1_2': cd[0, 1],
+             'CD2_1': cd[1, 0], 'CD2_2': cd[1, 1]})
+    ra, dec = w.pixel_to_world(x, y)
+    xb, yb = w.world_to_pixel(ra, dec)
+    assert float(xb) == pytest.approx(x, abs=1e-6)
+    assert float(yb) == pytest.approx(y, abs=1e-6)

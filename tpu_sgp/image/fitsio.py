@@ -76,7 +76,13 @@ def _format_card(key: str, value, comment: str = '') -> bytes:
         elif isinstance(value, (int, np.integer)):
             body = f'= {int(value):>20}'
         elif isinstance(value, (float, np.floating)):
-            body = f'= {float(value):>20.13G}'
+            # repr is the SHORTEST exact round-trip decimal for a float64;
+            # a fixed %.13G silently lost the last ~4 significant digits of
+            # WCS-grade values (CD matrices, CRVAL) on every write/read
+            # cycle. FITS fixed format right-justifies to column 30 when it
+            # fits; longer exact values use free format (standard-legal).
+            sval = repr(float(value)).upper()
+            body = f'= {sval:>20}' if len(sval) <= 20 else f'= {sval}'
         elif value is None:
             body = '=' + ' ' * 21
         else:
