@@ -251,3 +251,34 @@ def test_wcs_tan_round_trip(crval1, crval2, crpix1, crpix2, scale, rot,
     xb, yb = w.world_to_pixel(ra, dec)
     assert float(xb) == pytest.approx(x, abs=1e-6)
     assert float(yb) == pytest.approx(y, abs=1e-6)
+
+
+# ----------------------------------------------------------------- solver
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), fwhm=st.floats(1.8, 4.0),
+       flux_scale=st.floats(0.3, 1.5), bkg=st.floats(5.0, 500.0),
+       sat=st.one_of(st.none(), st.just(65000.0)))
+def test_solver_conserves_flux_and_nonnegativity(seed, fwhm, flux_scale,
+                                                 bkg, sat):
+    """End-to-end invariant for ANY stamp: under the flux-conserving
+    projection the restored image is nonnegative, respects the saturation
+    ceiling, and sums exactly to the requested flux (the projection's
+    defining constraints survive the full solver loop)."""
+    from conftest import synthetic_stamp
+    from tpu_sgp import sgp
+
+    img, psf, b, _ = synthetic_stamp(np.random.default_rng(seed), size=24,
+                                     fwhm=fwhm, flux=8000.0, bkg=bkg)
+    flux = float(np.sum(img - b)) * flux_scale
+    if not flux > 0:
+        return
+    x, iters, *_ = sgp(img, psf, b, init_recon=2, proj_type=1,
+                       stop_criterion=1, MAXIT=15, flux=flux,
+                       ccd_sat_level=sat)
+    x = np.asarray(x)
+    assert (x >= 0).all()
+    if sat is not None:
+        assert x.max() <= sat
+    assert np.sum(x) == pytest.approx(flux, rel=1e-8)
