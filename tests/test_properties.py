@@ -282,3 +282,53 @@ def test_solver_conserves_flux_and_nonnegativity(seed, fwhm, flux_scale,
     if sat is not None:
         assert x.max() <= sat
     assert np.sum(x) == pytest.approx(flux, rel=1e-8)
+
+
+# ------------------------------------------------------------- checkpoint
+
+# max_examples is deliberately small: every distinct cut point k compiles
+# a fresh jit program (max_iter is jit-static), ~15 s/example on CPU
+@settings(deadline=None, max_examples=4,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(k=st.integers(1, 19), seed=st.integers(0, 2**31 - 1),
+       beta_mode=st.booleans())
+def test_resume_at_any_cut_point_matches_uninterrupted(k, seed, beta_mode,
+                                                       tmp_path_factory):
+    """Checkpoint/resume is exact at EVERY cut point, not just the midway
+    one the directed test uses — buffer seams (discr/err series), the
+    beta-adaptation carry, and the BB memory all survive a save/load at an
+    arbitrary iteration."""
+    from conftest import synthetic_stamp
+    from tpu_sgp import SGPConfig
+    from tpu_sgp.solvers.checkpoint import load_state, save_state
+    from tpu_sgp.solvers.sgp import resume_from_state, solve_with_state
+
+    img, psf, bkg, _ = synthetic_stamp(np.random.default_rng(seed), size=24)
+    base = dict(stop_criterion=1, init_recon=2, proj_type=1, has_flux=False,
+                has_sat_level=False, dtype='float64',
+                divergence='beta' if beta_mode else 'kl',
+                adapt_beta=beta_mode, schedule_lr=beta_mode)
+
+    def args(cfg):
+        z = jnp.zeros(img.shape, cfg.jnp_dtype)
+        return (jnp.asarray(img, cfg.jnp_dtype),
+                jnp.asarray(psf, cfg.jnp_dtype),
+                jnp.full(img.shape, bkg, cfg.jnp_dtype), z, 0.0, z, 1.01,
+                1e-3, 0.0)
+
+    full_cfg = SGPConfig(max_iter=20, **base)
+    full, _ = solve_with_state(*args(full_cfg), full_cfg)
+    part_cfg = SGPConfig(max_iter=k, **base)
+    _, state = solve_with_state(*args(part_cfg), part_cfg)
+    path = str(tmp_path_factory.mktemp('ck') / 'ckpt')
+    save_state(path, state)
+    resumed, _ = resume_from_state(*args(full_cfg), load_state(path),
+                                   full_cfg)
+    assert int(resumed.iters) == int(full.iters) == 20
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(resumed.discr)[:k + 1],
+                               np.asarray(full.discr)[:k + 1], rtol=1e-12)
+    if beta_mode:
+        assert float(resumed.beta) == pytest.approx(float(full.beta),
+                                                    rel=1e-13)
