@@ -548,3 +548,34 @@ def test_session_warmup_exact_buckets_and_batch_axis():
         r = sess.restore(stamps, bkgs, fluxes=fluxes)
     assert r.x.shape == stamps.shape
     assert np.isfinite(r.x).all()
+
+
+def test_restore_stream_propagates_request_errors_and_recovers():
+    """A malformed request inside the stream surfaces as the original
+    ValueError (raised from the worker thread, not a deadlock or a silent
+    skip), results already in flight are yielded first, and the session
+    stays usable afterwards."""
+    from tpu_sgp.parallel.session import RestorationSession
+    from tpu_sgp.simulate import synthetic_star_stamps
+
+    stamps, psf, bkgs, _ = synthetic_star_stamps(32, size=31, seed=1)
+    cfg = SGPConfig(max_iter=10, stop_criterion=1, init_recon=2,
+                    proj_type=0, has_flux=False, has_sat_level=False,
+                    dtype='float64')
+    sess = RestorationSession(psf, cfg)
+
+    def reqs():
+        yield (stamps[:16], bkgs[:16], None)
+        yield (stamps[:16, :7, :9], bkgs[:16], None)   # wrong stamp shape
+        yield (stamps[16:], bkgs[16:], None)
+
+    import pytest
+
+    got = []
+    with pytest.raises(ValueError, match=r'\(7, 9\)'):
+        for r in sess.restore_stream(reqs()):
+            got.append(r)
+    assert len(got) >= 1          # the good request before the bad one
+    assert np.asarray(got[0].x).shape == (16, 31, 31)
+    out = sess.restore(stamps[:8], bkgs[:8])
+    assert np.isfinite(np.asarray(out.x)).all()
