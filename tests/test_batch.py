@@ -579,3 +579,66 @@ def test_restore_stream_propagates_request_errors_and_recovers():
     assert np.asarray(got[0].x).shape == (16, 31, 31)
     out = sess.restore(stamps[:8], bkgs[:8])
     assert np.isfinite(np.asarray(out.x)).all()
+
+
+@__import__('pytest').mark.filterwarnings('ignore:RestorationSession')
+def test_restore_stream_coalesce_matches_per_request():
+    """Dynamic batching: coalesce=2 folds consecutive requests into one
+    device call; results re-split per request, in order, equal to the
+    sequential restore() answers (lanes are independent, so coalescing is
+    exact up to solver roundoff)."""
+    from tpu_sgp.parallel.session import RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(10, size=16, seed=12)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=5, dtype='float64')
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    sess.warmup(buckets=(4, 8))
+    ref = sess.restore(stamps, bkgs, fluxes=fluxes)
+    # 5 requests of 2 stamps; coalesce=2 -> groups of (4, 4, 2); the odd
+    # tail group exercises the partial-group flush
+    reqs = [(stamps[i:i + 2], bkgs[i:i + 2], fluxes[i:i + 2])
+            for i in range(0, 10, 2)]
+    outs = list(sess.restore_stream(iter(reqs), lookahead=1, coalesce=2))
+    assert len(outs) == 5
+    for i, o in enumerate(outs):
+        assert np.asarray(o.x).shape == (2, 16, 16)
+        np.testing.assert_allclose(np.asarray(o.x),
+                                   np.asarray(ref.x)[2 * i:2 * i + 2],
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(o.iters),
+                                      np.asarray(ref.iters)[2 * i:2 * i + 2])
+    # scalar-background requests broadcast into the coalesced batch
+    outs2 = list(sess.restore_stream(
+        [(stamps[:2], float(bkgs[0]), fluxes[:2]),
+         (stamps[2:4], float(bkgs[2]), fluxes[2:4])], coalesce=2))
+    assert len(outs2) == 2
+    exp0 = sess.restore(stamps[:2], np.full(2, float(bkgs[0])),
+                        fluxes=fluxes[:2])
+    np.testing.assert_allclose(np.asarray(outs2[0].x), np.asarray(exp0.x),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_restore_stream_coalesce_rejects_mixed_and_bad_groups():
+    import pytest
+    from tpu_sgp.parallel.session import RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(4, size=16, seed=12)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=3, dtype='float64')
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    sess.warmup(buckets=(4,))
+    # mixed with/without fluxes in one group
+    with pytest.raises(ValueError, match='coalesce'):
+        list(sess.restore_stream(
+            [(stamps[:2], bkgs[:2], fluxes[:2]),
+             (stamps[2:], bkgs[2:], None)], coalesce=2))
+    # per-pixel background maps cannot be coalesced
+    maps = np.broadcast_to(bkgs[:2, None, None], (2, 16, 16))
+    with pytest.raises(ValueError, match='coalesce=1'):
+        list(sess.restore_stream(
+            [(stamps[:2], maps, fluxes[:2]),
+             (stamps[2:], bkgs[2:], fluxes[2:])], coalesce=2))
+    # a wrong stamp shape in a coalesced group surfaces the session error
+    with pytest.raises(ValueError, match=r'\(7, 9\)'):
+        list(sess.restore_stream(
+            [(stamps[:2], bkgs[:2], fluxes[:2]),
+             (stamps[2:, :7, :9], bkgs[2:], fluxes[2:])], coalesce=2))

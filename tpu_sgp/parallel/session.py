@@ -254,10 +254,43 @@ class RestorationSession:
                                                  fluxes=fluxes,
                                                  beta0=beta0))
 
-    def restore_stream(self, batches: Iterable,
-                       lookahead: int = 2) -> Iterable[SGPResult]:
+    def _coalesce_group(self, group):
+        """Concatenate a list of (stamps, bkgs, fluxes) requests into one
+        batch. Exact by construction: every lane of a batched solve is
+        independent (the per-stamp bkg/flux columns travel with the lane),
+        so K requests solved as one bucket produce the same per-request
+        results as K separate solves. Returns (sizes, stamps, bkgs,
+        fluxes) with sizes the per-request batch lengths for re-splitting."""
+        sizes, all_s, all_b, all_f = [], [], [], []
+        for stamps, bkgs, fluxes in group:
+            stamps = np.asarray(stamps)
+            if stamps.shape[1:] != self.stamp_shape:
+                raise ValueError(f'stamps {stamps.shape[1:]} != session '
+                                 f'{self.stamp_shape}')
+            n = stamps.shape[0]
+            bkgs = np.asarray(bkgs)
+            if bkgs.ndim > 1:
+                raise ValueError('per-pixel background maps cannot be '
+                                 'coalesced across requests; use coalesce=1')
+            sizes.append(n)
+            all_s.append(stamps)
+            all_b.append(np.broadcast_to(bkgs, (n,)))
+            all_f.append(fluxes if fluxes is None
+                         else np.broadcast_to(np.asarray(fluxes), (n,)))
+        has_f = [f is not None for f in all_f]
+        if any(has_f) != all(has_f):
+            raise ValueError('cannot coalesce requests with and without '
+                             'fluxes in one group; use coalesce=1')
+        fluxes = np.concatenate(all_f) if all(has_f) else None
+        return (sizes, np.concatenate(all_s), np.concatenate(all_b), fluxes)
+
+    def restore_stream(self, batches: Iterable, lookahead: int = 2,
+                       coalesce: int = 1) -> Iterable[SGPResult]:
         """Generator over (stamps, bkgs, fluxes) tuples — pipelines up to
-        ``lookahead`` requests ahead of the one being consumed.
+        ``lookahead`` device calls ahead of the one being consumed, and
+        optionally coalesces ``coalesce`` consecutive requests into one
+        device call (results are re-split, one SGPResult per input request,
+        in order).
 
         The upload+dispatch stage runs on a worker thread: a request's
         host->device transfer BLOCKS the dispatching thread on tunneled
@@ -266,19 +299,51 @@ class RestorationSession:
         With the stage on its own thread the link runs full duplex —
         request N+1 uploads while request N's result downloads — and the
         throughput approaches the slowest single stage instead of their
-        sum."""
+        sum.
+
+        ``coalesce`` is the dynamic-batching lever: every device call pays
+        a fixed per-program dispatch floor (tens of ms on tunneled rigs,
+        see NOTES.md) regardless of batch size, so folding K small
+        requests into one call divides that floor by K. Lanes are
+        independent, so coalescing never changes per-request results —
+        only latency shape (the first request of a group waits for its
+        group to fill and solve). Warm the coalesced bucket sizes
+        (e.g. ``warmup(buckets=[coalesce * request_size])``) or the first
+        group pays a compile."""
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        def dispatch(item):
-            stamps, bkgs, fluxes = item
-            return self._restore_padded(stamps, bkgs, fluxes=fluxes)
+        coalesce = max(1, int(coalesce))
 
-        from collections import deque
+        def dispatch(group):
+            if len(group) == 1:
+                stamps, bkgs, fluxes = group[0]
+                sizes = [np.asarray(stamps).shape[0]]
+                return sizes, self._restore_padded(stamps, bkgs,
+                                                   fluxes=fluxes)
+            sizes, stamps, bkgs, fluxes = self._coalesce_group(group)
+            return sizes, self._restore_padded(stamps, bkgs, fluxes=fluxes)
+
+        def finish_split(fut):
+            sizes, pending = fut.result()
+            res = self._finish(pending)
+            off = 0
+            for n in sizes:
+                yield SGPResult(*(f[off:off + n] for f in res))
+                off += n
+
         inflight: deque = deque()
+        group: list = []
         with ThreadPoolExecutor(max_workers=1) as pool:
             for item in batches:
-                inflight.append(pool.submit(dispatch, item))
+                group.append(item)
+                if len(group) < coalesce:
+                    continue
+                inflight.append(pool.submit(dispatch, group))
+                group = []
                 while len(inflight) > max(1, int(lookahead)):
-                    yield self._finish(inflight.popleft().result())
+                    yield from finish_split(inflight.popleft())
+            if group:
+                inflight.append(pool.submit(dispatch, group))
             while inflight:
-                yield self._finish(inflight.popleft().result())
+                yield from finish_split(inflight.popleft())
