@@ -31,9 +31,12 @@ import numpy as np
 BASELINE_STAMP_SECONDS = 0.0133       # reference median per-stamp wall (KL)
 BASELINE_BETA_STAMP_SECONDS = 0.0200  # reference median per-stamp wall (beta)
 BASELINE_FRAME_MS_PER_ITER = 128.0    # reference 410x410 sparse subframe
-BATCH = 8192  # round 3: fused-call scan 6144/8192/12288 -> 66.6/71.2/53.5k
-BETA_BATCH = 6144  # round 3: the 2048 wall was ~70% fixed overhead; 6144
-                   # with compaction measured 48.7k vs 28.8k stamps/s
+BATCH = 12288   # round 3 rescan with right-sized tail buckets: the earlier
+                # "12288 collapse" (53.5k) was tail OVERFLOW (1440-1523
+                # unconverged at p1=28 vs bucket 1024 -> full-width catch-up
+                # phase); with tail 2048 the same window measured 8192 ->
+                # 59.8k vs 12288 -> 70.8k (16384 flat at 70.3k)
+BETA_BATCH = 12288  # same rescan: 49.8k @6144/1024 vs 58.0k @12288/2048
 N_REPEATS = 30  # the tunneled chip is contention-bimodal (same build measured
                 # 107-136 ms walls across windows); min over many repeats —
                 # each extra repeat costs ~0.1 s, catching one uncontended
@@ -130,8 +133,9 @@ def bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
                     init_recon=2, proj_type=1, has_flux=True,
                     has_sat_level=True, dtype='float32', divergence='beta',
                     adapt_beta=True, schedule_lr=True, track_discr=False)
-    # p1/tail retuned in round 3: (32,512)->49.1k, (28,1024)->53.1k
-    compact = dict(phase1_iters=28, tail_bucket=1024) if COMPACT else {}
+    # p1/tail retuned in round 3: (32,512)->49.1k, (28,1024)->53.1k at
+    # B=6144; B=12288 needs tail 2048 (~1650 beta lanes unconverged at 28)
+    compact = dict(phase1_iters=28, tail_bucket=2048) if COMPACT else {}
     fused = jax.jit(lambda s_, p_, b_, f_: restore_stamps(
         s_, p_, b_, cfg, fluxes=f_, beta0=1.005, lr0=1e-3,
         sat_level=65000.0, flatten=True, **compact))
@@ -342,9 +346,15 @@ def main():
     # floor (~10 ms net; a 1-iteration batched solve still costs ~59 ms
     # of fixed overhead on this rig — see NOTES.md round 3).
     if mesh is None:
-        # p1/tail retuned at B=8192: (31,512)->72.3k, (28,1024)->76.2k,
-        # (26,1024) collapses (tail overflows, catch-up phase runs)
-        compact = dict(phase1_iters=28, tail_bucket=1024) if COMPACT else {}
+        # p1=28 is the stable phase-1 cap (26 overflows any reasonable
+        # tail; 30 gains nothing); the tail bucket MUST clear the
+        # unconverged count with compile-roundoff margin — (8192, 1024)
+        # was knife-edge (1029 unconverged on one compile -> 5 lanes
+        # spill into the full-width catch-up phase, 67.8k -> 59.8k).
+        # At B=12288, ~1440-1523 lanes are unconverged at 28: tail 2048
+        # leaves ~25% headroom. Same-window scan: 12288/2048 -> 70.8k
+        # vs 8192/1024 -> 59.8k vs 16384/2048 -> 70.3k.
+        compact = dict(phase1_iters=28, tail_bucket=2048) if COMPACT else {}
         fused = jax.jit(lambda s, p, b, f: restore_stamps(
             s, p, b, cfg, fluxes=f, sat_level=65000.0, flatten=True,
             **compact))
