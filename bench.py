@@ -134,7 +134,9 @@ def bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
                     has_sat_level=True, dtype='float32', divergence='beta',
                     adapt_beta=True, schedule_lr=True, track_discr=False)
     # p1/tail retuned in round 3: (32,512)->49.1k, (28,1024)->53.1k at
-    # B=6144; B=12288 needs tail 2048 (~1650 beta lanes unconverged at 28)
+    # B=6144; B=12288 needs tail 2048 (~1650 beta lanes unconverged at
+    # 28). With the two-round tail, p1=26 measured 57.0k vs 57.8k at 28
+    # — beta keeps 28 (its iteration tail is heavier than KL's).
     compact = dict(phase1_iters=28, tail_bucket=2048) if COMPACT else {}
     fused = jax.jit(lambda s_, p_, b_, f_: restore_stamps(
         s_, p_, b_, cfg, fluxes=f_, beta0=1.005, lr0=1e-3,
@@ -346,15 +348,13 @@ def main():
     # floor (~10 ms net; a 1-iteration batched solve still costs ~59 ms
     # of fixed overhead on this rig — see NOTES.md round 3).
     if mesh is None:
-        # p1=28 is the stable phase-1 cap (26 overflows any reasonable
-        # tail; 30 gains nothing); the tail bucket MUST clear the
-        # unconverged count with compile-roundoff margin — (8192, 1024)
-        # was knife-edge (1029 unconverged on one compile -> 5 lanes
-        # spill into the full-width catch-up phase, 67.8k -> 59.8k).
-        # At B=12288, ~1440-1523 lanes are unconverged at 28: tail 2048
-        # leaves ~25% headroom. Same-window scan: 12288/2048 -> 70.8k
-        # vs 8192/1024 -> 59.8k vs 16384/2048 -> 70.3k.
-        compact = dict(phase1_iters=28, tail_bucket=2048) if COMPACT else {}
+        # The two tail rounds must cover the unconverged-at-p1 count with
+        # compile-roundoff margin (a spill into the full-width catch-up
+        # phase cost -13% before the second round existed). p1=26 leaves
+        # ~2968 of 12288 lanes unconverged — round 1 takes 2048, round 2
+        # the rest (capacity 4096). Same-window scan with two rounds:
+        # p1=26 -> 72.4k, 27 -> 70.7k, 28 -> 71.0k.
+        compact = dict(phase1_iters=26, tail_bucket=2048) if COMPACT else {}
         fused = jax.jit(lambda s, p, b, f: restore_stamps(
             s, p, b, cfg, fluxes=f, sat_level=65000.0, flatten=True,
             **compact))

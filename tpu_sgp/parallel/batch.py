@@ -59,10 +59,18 @@ def _batched_solve_two_phase(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
       2. gather the lanes that hit the cap (device-side argsort of the
          converged flags — no host round-trip) into a ``tail_bucket``-size
          batch and resume them to cfg.max_iter via the exact
-         checkpoint/resume path, then scatter the state back;
+         checkpoint/resume path, then scatter the state back. TWO rounds:
+         the unconverged count swings with compile-to-compile f32
+         roundoff (~±1% of lanes), so a tail estimate that is right on
+         one compile can spill a few lanes on the next — a second
+         gather/resume absorbs up to another tail_bucket of spill at
+         tail width (measured −13% on the stamps bench when a 5-lane
+         spill instead hit the full-width catch-up; a no-spill second
+         round costs one gather/scatter plus an immediately-exiting
+         while_loop);
       3. resume the FULL batch once more: normally every lane has now
          stopped and the while_loop exits after one predicate check, but if
-         more than tail_bucket lanes were unconverged (adversarial data)
+         more than 2×tail_bucket lanes were unconverged (adversarial data)
          the leftovers finish here — correctness never depends on the
          tail estimate.
 
@@ -95,22 +103,24 @@ def _batched_solve_two_phase(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
     if cfg.errflag:
         st = st._replace(err=jnp.pad(st.err, ((0, 0), (0, pad))))
 
-    # unconverged lanes first (False sorts before True; stable ties)
-    idx = jnp.argsort(st.converged)[:tail_bucket]
-    take = lambda a: jnp.take(a, idx, axis=0)
-    st_tail = jax.tree.map(take, st)
-    args_tail = [take(a) for a in (stamps, bkgs, x0, fluxes, obj, beta0,
-                                   lr0, sat)]
-    psf_tail = take(psf) if per_stamp_psf else psf
-
     resume_ax = in_ax + (0,)
-    _, st_tail = jax.vmap(
-        lambda g, p, bk, z, f, o, bp, lr, s, rs:
-            resume_from_state(g, p, bk, z, f, o, bp, lr, s, rs, cfg),
-        in_axes=resume_ax,
-    )(args_tail[0], psf_tail, *args_tail[1:], st_tail)
+    for _ in range(2):
+        # unconverged lanes first (False sorts before True; stable ties)
+        idx = jnp.argsort(st.converged)[:tail_bucket]
+        take = lambda a: jnp.take(a, idx, axis=0)
+        st_tail = jax.tree.map(take, st)
+        args_tail = [take(a) for a in (stamps, bkgs, x0, fluxes, obj, beta0,
+                                       lr0, sat)]
+        psf_tail = take(psf) if per_stamp_psf else psf
 
-    st = jax.tree.map(lambda full, part: full.at[idx].set(part), st, st_tail)
+        _, st_tail = jax.vmap(
+            lambda g, p, bk, z, f, o, bp, lr, s, rs:
+                resume_from_state(g, p, bk, z, f, o, bp, lr, s, rs, cfg),
+            in_axes=resume_ax,
+        )(args_tail[0], psf_tail, *args_tail[1:], st_tail)
+
+        st = jax.tree.map(lambda full, part: full.at[idx].set(part),
+                          st, st_tail)
 
     res, _ = jax.vmap(
         lambda g, p, bk, z, f, o, bp, lr, s, rs:
