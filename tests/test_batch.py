@@ -642,3 +642,126 @@ def test_restore_stream_coalesce_rejects_mixed_and_bad_groups():
         list(sess.restore_stream(
             [(stamps[:2], bkgs[:2], fluxes[:2]),
              (stamps[2:, :7, :9], bkgs[2:], fluxes[2:])], coalesce=2))
+
+
+@__import__('pytest').mark.filterwarnings('ignore:RestorationSession')
+def test_micro_batch_server_coalesces_and_matches():
+    """Concurrent single requests through MicroBatchServer coalesce into
+    shared device calls and return exactly the per-request restore()
+    results (validated by slicing equality); a request bigger than
+    max_batch still serves (solo)."""
+    from tpu_sgp.parallel.session import MicroBatchServer, RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(12, size=16, seed=12)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=5, dtype='float64')
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    sess.warmup(buckets=(4, 8, 16))
+    ref = sess.restore(stamps, bkgs, fluxes=fluxes)
+
+    with MicroBatchServer(sess, max_batch=8, max_delay_s=0.5) as srv:
+        # four 2-stamp requests submitted back-to-back: the 0.5 s window
+        # lets the worker coalesce them into (at most) two 8-stamp calls
+        futs = [srv.submit(stamps[i:i + 2], bkgs[i:i + 2],
+                           fluxes=fluxes[i:i + 2])
+                for i in range(0, 8, 2)]
+        outs = [f.result(timeout=120) for f in futs]
+        for i, o in enumerate(outs):
+            np.testing.assert_allclose(np.asarray(o.x),
+                                       np.asarray(ref.x)[2 * i:2 * i + 2],
+                                       rtol=1e-9, atol=1e-9)
+            np.testing.assert_array_equal(
+                np.asarray(o.iters), np.asarray(ref.iters)[2 * i:2 * i + 2])
+        assert srv.batches_served < len(futs)  # coalescing really happened
+        assert srv.requests_served == len(futs)
+        # oversized request (12 > max_batch=8) serves solo
+        big = srv.restore(stamps, bkgs, fluxes=fluxes)
+        np.testing.assert_allclose(np.asarray(big.x), np.asarray(ref.x),
+                                   rtol=1e-9, atol=1e-9)
+    # closed server refuses new work
+    import pytest
+    with pytest.raises(RuntimeError, match='closed'):
+        srv.submit(stamps[:2], bkgs[:2], fluxes=fluxes[:2])
+    srv.close()   # idempotent
+
+
+def test_micro_batch_server_validates_on_caller_thread():
+    """Malformed requests raise at submit() — they never reach the worker
+    or poison other clients' batches."""
+    import pytest
+    from tpu_sgp.parallel.session import MicroBatchServer, RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(4, size=16, seed=12)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=3, dtype='float64')
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    sess.warmup(buckets=(4,))
+    with MicroBatchServer(sess, max_batch=8, max_delay_s=0.05) as srv:
+        with pytest.raises(ValueError, match='stamps'):
+            srv.submit(stamps[:, :7, :9], bkgs)
+        with pytest.raises(ValueError, match='has_flux'):
+            srv.submit(stamps, bkgs)               # fluxes required by cfg
+        with pytest.raises(ValueError, match='micro-batched'):
+            srv.submit(stamps,
+                       np.broadcast_to(bkgs[:, None, None], (4, 16, 16)),
+                       fluxes=fluxes)
+        # a good request still works after the rejected ones
+        ok = srv.restore(stamps, bkgs, fluxes=fluxes)
+        assert np.isfinite(np.asarray(ok.x)).all()
+
+
+@__import__('pytest').mark.filterwarnings('ignore:RestorationSession')
+def test_micro_batch_server_threaded_clients():
+    """8 client threads x 3 requests each, all racing the same server;
+    every client gets exactly its own stamps back."""
+    from concurrent.futures import ThreadPoolExecutor
+    from tpu_sgp.parallel.session import MicroBatchServer, RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(24, size=16, seed=5)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=5, dtype='float64')
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    sess.warmup(max_batch=24)
+    ref = sess.restore(stamps, bkgs, fluxes=fluxes)
+
+    def client(i):
+        out = []
+        for j in range(3):
+            k = (i * 3 + j) % 24
+            r = srv.restore(stamps[k:k + 1], bkgs[k:k + 1],
+                            fluxes=fluxes[k:k + 1])
+            out.append((k, r))
+        return out
+
+    with MicroBatchServer(sess, max_batch=16, max_delay_s=0.02) as srv:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = [r for f in [pool.submit(client, i) for i in range(8)]
+                       for r in f.result(timeout=300)]
+    for k, r in results:
+        np.testing.assert_allclose(np.asarray(r.x), np.asarray(ref.x)[k:k + 1],
+                                   rtol=1e-9, atol=1e-9)
+    assert srv.requests_served == 24
+    assert srv.batches_served < 24     # some coalescing under contention
+
+
+@__import__('pytest').mark.filterwarnings('ignore:RestorationSession')
+def test_restore_stream_per_request_beta0():
+    """4-tuple stream requests carry their own beta0 (per-stamp beta
+    columns make it exact under coalescing too)."""
+    from tpu_sgp.parallel.session import RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(4, size=16, seed=12)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=6, dtype='float64', divergence='beta')
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    sess.warmup(buckets=(2, 4))
+    b0, b1 = 0.9, 1.1
+    exp0 = sess.restore(stamps[:2], bkgs[:2], fluxes=fluxes[:2], beta0=b0)
+    exp1 = sess.restore(stamps[2:], bkgs[2:], fluxes=fluxes[2:], beta0=b1)
+    assert not np.allclose(np.asarray(exp0.beta), np.asarray(exp1.beta))
+    for coalesce in (1, 2):
+        outs = list(sess.restore_stream(
+            [(stamps[:2], bkgs[:2], fluxes[:2], b0),
+             (stamps[2:], bkgs[2:], fluxes[2:], b1)], coalesce=coalesce))
+        np.testing.assert_allclose(np.asarray(outs[0].x), np.asarray(exp0.x),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(outs[1].x), np.asarray(exp1.x),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(outs[1].beta),
+                                   np.asarray(exp1.beta), rtol=1e-12)

@@ -254,15 +254,26 @@ class RestorationSession:
                                                  fluxes=fluxes,
                                                  beta0=beta0))
 
+    @staticmethod
+    def _unpack_request(item):
+        """A stream request is (stamps, bkgs, fluxes) or
+        (stamps, bkgs, fluxes, beta0)."""
+        if len(item) == 3:
+            return item[0], item[1], item[2], None
+        stamps, bkgs, fluxes, beta0 = item
+        return stamps, bkgs, fluxes, beta0
+
     def _coalesce_group(self, group):
-        """Concatenate a list of (stamps, bkgs, fluxes) requests into one
-        batch. Exact by construction: every lane of a batched solve is
-        independent (the per-stamp bkg/flux columns travel with the lane),
-        so K requests solved as one bucket produce the same per-request
+        """Concatenate a list of request tuples into one batch. Exact by
+        construction: every lane of a batched solve is independent (the
+        per-stamp bkg/flux/beta columns travel with the lane), so K
+        requests solved as one bucket produce the same per-request
         results as K separate solves. Returns (sizes, stamps, bkgs,
-        fluxes) with sizes the per-request batch lengths for re-splitting."""
-        sizes, all_s, all_b, all_f = [], [], [], []
-        for stamps, bkgs, fluxes in group:
+        fluxes, beta0) with sizes the per-request batch lengths for
+        re-splitting."""
+        sizes, all_s, all_b, all_f, all_bt = [], [], [], [], []
+        for item in group:
+            stamps, bkgs, fluxes, beta0 = self._unpack_request(item)
             stamps = np.asarray(stamps)
             if stamps.shape[1:] != self.stamp_shape:
                 raise ValueError(f'stamps {stamps.shape[1:]} != session '
@@ -277,20 +288,26 @@ class RestorationSession:
             all_b.append(np.broadcast_to(bkgs, (n,)))
             all_f.append(fluxes if fluxes is None
                          else np.broadcast_to(np.asarray(fluxes), (n,)))
+            all_bt.append(np.broadcast_to(np.asarray(
+                self.beta0 if beta0 is None else beta0,
+                self.cfg.dtype), (n,)))
         has_f = [f is not None for f in all_f]
         if any(has_f) != all(has_f):
             raise ValueError('cannot coalesce requests with and without '
                              'fluxes in one group; use coalesce=1')
         fluxes = np.concatenate(all_f) if all(has_f) else None
-        return (sizes, np.concatenate(all_s), np.concatenate(all_b), fluxes)
+        return (sizes, np.concatenate(all_s), np.concatenate(all_b), fluxes,
+                np.concatenate(all_bt))
 
     def restore_stream(self, batches: Iterable, lookahead: int = 2,
                        coalesce: int = 1) -> Iterable[SGPResult]:
-        """Generator over (stamps, bkgs, fluxes) tuples — pipelines up to
-        ``lookahead`` device calls ahead of the one being consumed, and
-        optionally coalesces ``coalesce`` consecutive requests into one
-        device call (results are re-split, one SGPResult per input request,
-        in order).
+        """Generator over (stamps, bkgs, fluxes) or (stamps, bkgs, fluxes,
+        beta0) tuples — pipelines up to ``lookahead`` device calls ahead of
+        the one being consumed, and optionally coalesces ``coalesce``
+        consecutive requests into one device call (results are re-split,
+        one SGPResult per input request, in order). ``beta0`` is the
+        per-request divergence parameter (scalar or per-stamp; defaults to
+        the session's).
 
         The upload+dispatch stage runs on a worker thread: a request's
         host->device transfer BLOCKS the dispatching thread on tunneled
@@ -317,12 +334,14 @@ class RestorationSession:
 
         def dispatch(group):
             if len(group) == 1:
-                stamps, bkgs, fluxes = group[0]
+                stamps, bkgs, fluxes, beta0 = self._unpack_request(group[0])
                 sizes = [np.asarray(stamps).shape[0]]
                 return sizes, self._restore_padded(stamps, bkgs,
-                                                   fluxes=fluxes)
-            sizes, stamps, bkgs, fluxes = self._coalesce_group(group)
-            return sizes, self._restore_padded(stamps, bkgs, fluxes=fluxes)
+                                                   fluxes=fluxes,
+                                                   beta0=beta0)
+            sizes, stamps, bkgs, fluxes, beta0 = self._coalesce_group(group)
+            return sizes, self._restore_padded(stamps, bkgs, fluxes=fluxes,
+                                               beta0=beta0)
 
         def finish_split(fut):
             sizes, pending = fut.result()
@@ -347,3 +366,156 @@ class RestorationSession:
                 inflight.append(pool.submit(dispatch, group))
             while inflight:
                 yield from finish_split(inflight.popleft())
+
+
+class MicroBatchServer:
+    """Thread-safe micro-batching front-end over a ``RestorationSession``.
+
+    Production serving rarely sees one well-sized batch per call: many
+    concurrent clients each hold a handful of cutouts, and every device
+    call pays a fixed dispatch floor regardless of batch size. This server
+    lets any number of threads ``submit()`` independent requests; a single
+    background worker drains the queue, coalesces up to ``max_batch``
+    stamps into ONE device call (waiting at most ``max_delay_s`` after the
+    first queued request for stragglers), and fulfils each caller's Future
+    with its own slice of the result. Lanes of a batched solve are
+    independent, so coalescing never changes per-request results — only
+    the latency/throughput trade (``max_delay_s=0`` serves each drain of
+    the queue immediately; larger values fill bigger batches).
+
+    Request validation (stamp shape, flux presence, background kind)
+    happens in ``submit`` on the CALLER's thread, so a malformed request
+    raises immediately at the call site and can never poison a batch that
+    other clients are riding in. A solver failure is broadcast to every
+    future of its batch.
+
+    Warm the session for the buckets the server will produce
+    (``session.warmup(buckets=[...])`` covering up to ``max_batch``), or
+    the first batch of a novel size pays a compile.
+    """
+
+    def __init__(self, session: RestorationSession, max_batch: int = 1024,
+                 max_delay_s: float = 0.002):
+        import threading
+
+        if max_batch < 1:
+            raise ValueError(f'max_batch={max_batch} must be >= 1')
+        self.session = session
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_s)
+        self._lock = threading.Condition()
+        self._queue: list = []          # [(future, request_tuple, n), ...]
+        self._closed = False
+        self.batches_served = 0         # observability: device calls made
+        self.requests_served = 0
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name='tpu-sgp-microbatch')
+        self._worker.start()
+
+    # -- client side -------------------------------------------------------
+    def submit(self, stamps, bkgs, fluxes=None, beta0=None):
+        """Enqueue one request; returns a ``concurrent.futures.Future``
+        resolving to its SGPResult. Validation errors raise HERE, on the
+        caller's thread."""
+        from concurrent.futures import Future
+
+        stamps = np.asarray(stamps)
+        if stamps.ndim != 3 or stamps.shape[1:] != self.session.stamp_shape:
+            raise ValueError(f'stamps {stamps.shape} != (N,) + session '
+                             f'{self.session.stamp_shape}')
+        if np.ndim(bkgs) > 1:
+            raise ValueError('per-pixel background maps cannot be '
+                             'micro-batched; use session.restore directly')
+        if self.session.cfg.has_flux and fluxes is None:
+            raise ValueError('cfg.has_flux=True but fluxes=None: every '
+                             'reconstruction would be identically zero')
+        if not self.session.cfg.has_flux:
+            fluxes = None               # uniform group: solver ignores them
+        fut = Future()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError('MicroBatchServer is closed')
+            self._queue.append((fut, (stamps, bkgs, fluxes, beta0),
+                                stamps.shape[0]))
+            self._lock.notify()
+        return fut
+
+    def restore(self, stamps, bkgs, fluxes=None, beta0=None) -> SGPResult:
+        """Blocking convenience wrapper: submit + wait."""
+        return self.submit(stamps, bkgs, fluxes=fluxes,
+                           beta0=beta0).result()
+
+    # -- worker side -------------------------------------------------------
+    def _take_batch(self):
+        """Block for the first request, then keep draining until the batch
+        is full or ``max_delay_s`` has passed since the first item."""
+        import time as _time
+
+        with self._lock:
+            while not self._queue and not self._closed:
+                self._lock.wait()
+            if not self._queue:
+                return None             # closed and drained
+            # the first request is always taken, even when it alone
+            # exceeds max_batch (an oversized request serves solo — the
+            # bucket padding policy handles any size)
+            item = self._queue.pop(0)
+            batch, total = [item], item[2]
+            deadline = _time.monotonic() + self.max_delay_s
+            while total < self.max_batch:
+                if self._queue:
+                    if total + self._queue[0][2] > self.max_batch:
+                        break           # next request would overflow
+                    item = self._queue.pop(0)
+                    batch.append(item)
+                    total += item[2]
+                    continue
+                if self._closed:
+                    break
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    break
+                self._lock.wait(timeout=left)
+                if not self._queue:
+                    break               # timed out (or spurious) and empty
+            return batch
+
+    def _run(self):
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            futs = [f for f, _, _ in batch]
+            try:
+                group = [req for _, req, _ in batch]
+                sizes, stamps, bkgs, fluxes, beta0 = \
+                    self.session._coalesce_group(group)
+                res = self.session._finish(self.session._restore_padded(
+                    stamps, bkgs, fluxes=fluxes, beta0=beta0))
+                off = 0
+                for fut, n in zip(futs, sizes):
+                    fut.set_result(
+                        SGPResult(*(f[off:off + n] for f in res)))
+                    off += n
+                self.batches_served += 1
+                self.requests_served += len(batch)
+            except BaseException as exc:  # noqa: BLE001 — broadcast to batch
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(exc)
+
+    # -- lifecycle ---------------------------------------------------------
+    def close(self, timeout: float = 60.0) -> None:
+        """Stop accepting requests, serve everything already queued, join
+        the worker. Idempotent."""
+        with self._lock:
+            self._closed = True
+            self._lock.notify_all()
+        self._worker.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
