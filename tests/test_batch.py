@@ -765,3 +765,36 @@ def test_restore_stream_per_request_beta0():
                                    rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(np.asarray(outs[1].beta),
                                    np.asarray(exp1.beta), rtol=1e-12)
+
+
+@__import__('pytest').mark.filterwarnings('ignore:RestorationSession')
+def test_micro_batch_server_cancelled_future_does_not_poison_batch():
+    """A Future cancelled while queued is dropped at batch-take time; the
+    other requests of its batch still resolve normally."""
+    from tpu_sgp.parallel.session import MicroBatchServer, RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(6, size=16, seed=5)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=4, dtype='float64')
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    sess.warmup(max_batch=6)
+    ref = sess.restore(stamps, bkgs, fluxes=fluxes)
+    import threading
+    from tpu_sgp.parallel import session as _m
+    # hold the worker inside _take_batch's first wait so submits queue up
+    srv = MicroBatchServer(sess, max_batch=6, max_delay_s=0.3)
+    f1 = srv.submit(stamps[:2], bkgs[:2], fluxes=fluxes[:2])
+    f2 = srv.submit(stamps[2:4], bkgs[2:4], fluxes=fluxes[2:4])
+    f3 = srv.submit(stamps[4:], bkgs[4:], fluxes=fluxes[4:])
+    cancelled = f2.cancel()   # may race the worker; only assert when it won
+    r1, r3 = f1.result(timeout=120), f3.result(timeout=120)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(ref.x)[:2],
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r3.x), np.asarray(ref.x)[4:],
+                               rtol=1e-9, atol=1e-9)
+    if cancelled:
+        assert f2.cancelled()
+    else:
+        np.testing.assert_allclose(np.asarray(f2.result().x),
+                                   np.asarray(ref.x)[2:4],
+                                   rtol=1e-9, atol=1e-9)
+    srv.close()

@@ -485,6 +485,14 @@ class MicroBatchServer:
             batch = self._take_batch()
             if batch is None:
                 return
+            # a future cancelled while queued must be dropped here (the
+            # standard transition: False = already cancelled); otherwise
+            # set_result on it would raise InvalidStateError and poison
+            # the whole batch's other clients
+            batch = [item for item in batch
+                     if item[0].set_running_or_notify_cancel()]
+            if not batch:
+                continue
             futs = [f for f, _, _ in batch]
             try:
                 group = [req for _, req, _ in batch]
