@@ -778,9 +778,9 @@ def test_micro_batch_server_cancelled_future_does_not_poison_batch():
     sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
     sess.warmup(max_batch=6)
     ref = sess.restore(stamps, bkgs, fluxes=fluxes)
-    import threading
-    from tpu_sgp.parallel import session as _m
-    # hold the worker inside _take_batch's first wait so submits queue up
+    # the 0.3 s window keeps the batch open long enough that the cancel
+    # usually races ahead of the worker taking the batch; the assertion
+    # branches on which side won, so the test is race-tolerant
     srv = MicroBatchServer(sess, max_batch=6, max_delay_s=0.3)
     f1 = srv.submit(stamps[:2], bkgs[:2], fluxes=fluxes[:2])
     f2 = srv.submit(stamps[2:4], bkgs[2:4], fluxes=fluxes[2:4])
@@ -798,3 +798,53 @@ def test_micro_batch_server_cancelled_future_does_not_poison_batch():
                                    np.asarray(ref.x)[2:4],
                                    rtol=1e-9, atol=1e-9)
     srv.close()
+
+
+def test_micro_batch_server_rejects_length_mismatch_at_submit():
+    """bkgs/fluxes/beta0 whose lengths don't broadcast to the stamp count
+    fail on the caller's thread, never on a shared batch."""
+    import pytest
+    from tpu_sgp.parallel.session import MicroBatchServer, RestorationSession
+    stamps, psf, bkgs, _ = synthetic_star_stamps(4, size=16, seed=12)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=3, dtype='float64')
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    sess.warmup(buckets=(4,))
+    with MicroBatchServer(sess, max_batch=8, max_delay_s=0.02) as srv:
+        with pytest.raises(ValueError, match='bkgs'):
+            srv.submit(stamps[:2], bkgs, fluxes=fluxes[:2])     # bkgs (4,)
+        with pytest.raises(ValueError, match='fluxes'):
+            srv.submit(stamps[:2], bkgs[:2], fluxes=fluxes[:3])
+        with pytest.raises(ValueError, match='beta0'):
+            srv.submit(stamps[:2], bkgs[:2], fluxes=fluxes[:2],
+                       beta0=np.ones(3))
+        ok = srv.restore(stamps, bkgs, fluxes=fluxes)
+        assert np.isfinite(np.asarray(ok.x)).all()
+
+
+def test_two_phase_compaction_with_maxiter_exhausted_lanes():
+    """Lanes that run to cfg.max_iter without meeting tolerance keep
+    converged=False; the tail rounds must not re-gather them at the
+    expense of workable spilled lanes (and results must still equal the
+    single-phase solve when spill exceeds both rounds)."""
+    stamps, psf, bkgs, _ = synthetic_star_stamps(24, size=16, seed=3)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    # at max_iter=60 these lanes converge in 25..41 iterations; capping at
+    # 27 exhausts the >27 majority (converged stays False, iters caps at
+    # 27) while the 25-27 lanes genuinely converge
+    cfg = _cfg(max_iter=27, stop_criterion=3, tol_convergence=1e-4,
+               dtype='float64')
+    single = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                            sat_level=65000.0)
+    it_single = np.asarray(single.iters)
+    assert (it_single >= cfg.max_iter).any()      # capped/exhausted lanes
+    assert (it_single < cfg.max_iter).any()       # early-converged lanes
+    cap = 10   # every lane spills phase 1
+    for tail in (8, 2):   # 2 => spill exceeds both rounds, catch-up works
+        two = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                             sat_level=65000.0, phase1_iters=cap,
+                             tail_bucket=tail)
+        np.testing.assert_array_equal(np.asarray(two.iters), it_single)
+        np.testing.assert_allclose(np.asarray(two.x), np.asarray(single.x),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f'tail={tail}')

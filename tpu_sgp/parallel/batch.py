@@ -105,8 +105,13 @@ def _batched_solve_two_phase(stamps, psf, bkgs, x0, fluxes, obj, beta0, lr0,
 
     resume_ax = in_ax + (0,)
     for _ in range(2):
-        # unconverged lanes first (False sorts before True; stable ties)
-        idx = jnp.argsort(st.converged)[:tail_bucket]
+        # workable lanes first (False sorts before True; stable ties).
+        # NOT just ~converged: a lane that ran to cfg.max_iter without
+        # meeting tolerance keeps converged=False forever (sgp.py:79), so
+        # after round 1 it would crowd spilled-but-workable lanes out of
+        # round 2's bucket and send them to the full-width catch-up.
+        done = st.converged | (st.it > cfg.max_iter)
+        idx = jnp.argsort(done)[:tail_bucket]
         take = lambda a: jnp.take(a, idx, axis=0)
         st_tail = jax.tree.map(take, st)
         args_tail = [take(a) for a in (stamps, bkgs, x0, fluxes, obj, beta0,

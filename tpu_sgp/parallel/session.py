@@ -19,6 +19,17 @@ from ..solvers.sgp import SGPResult
 from .batch import _pad_args_to_bucket, restore_stamps
 
 
+def _split_result(res: SGPResult, sizes) -> list:
+    """Slice a coalesced host-side SGPResult back into per-request results
+    (shared by restore_stream and MicroBatchServer so the re-split rule
+    cannot drift between them)."""
+    out, off = [], 0
+    for n in sizes:
+        out.append(SGPResult(*(f[off:off + n] for f in res)))
+        off += n
+    return out
+
+
 class RestorationSession:
     def __init__(self, psf: np.ndarray, cfg: Optional[SGPConfig] = None,
                  stamp_shape: Tuple[int, int] = (31, 31),
@@ -345,11 +356,7 @@ class RestorationSession:
 
         def finish_split(fut):
             sizes, pending = fut.result()
-            res = self._finish(pending)
-            off = 0
-            for n in sizes:
-                yield SGPResult(*(f[off:off + n] for f in res))
-                off += n
+            yield from _split_result(self._finish(pending), sizes)
 
         inflight: deque = deque()
         group: list = []
@@ -403,8 +410,9 @@ class MicroBatchServer:
         self.session = session
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_s)
+        from collections import deque
         self._lock = threading.Condition()
-        self._queue: list = []          # [(future, request_tuple, n), ...]
+        self._queue: deque = deque()    # [(future, request_tuple, n), ...]
         self._closed = False
         self.batches_served = 0         # observability: device calls made
         self.requests_served = 0
@@ -431,6 +439,19 @@ class MicroBatchServer:
                              'reconstruction would be identically zero')
         if not self.session.cfg.has_flux:
             fluxes = None               # uniform group: solver ignores them
+        # length mismatches must also fail HERE — on the worker they would
+        # surface inside _coalesce_group and be broadcast to every
+        # co-batched client's Future
+        n = stamps.shape[0]
+        for name, a in (('bkgs', bkgs), ('fluxes', fluxes),
+                        ('beta0', beta0)):
+            if a is None:
+                continue
+            try:
+                np.broadcast_to(np.asarray(a), (n,))
+            except ValueError:
+                raise ValueError(f'{name} shape {np.shape(a)} does not '
+                                 f'broadcast to the {n}-stamp request')
         fut = Future()
         with self._lock:
             if self._closed:
@@ -459,14 +480,14 @@ class MicroBatchServer:
             # the first request is always taken, even when it alone
             # exceeds max_batch (an oversized request serves solo — the
             # bucket padding policy handles any size)
-            item = self._queue.pop(0)
+            item = self._queue.popleft()
             batch, total = [item], item[2]
             deadline = _time.monotonic() + self.max_delay_s
             while total < self.max_batch:
                 if self._queue:
                     if total + self._queue[0][2] > self.max_batch:
                         break           # next request would overflow
-                    item = self._queue.pop(0)
+                    item = self._queue.popleft()
                     batch.append(item)
                     total += item[2]
                     continue
@@ -500,13 +521,13 @@ class MicroBatchServer:
                     self.session._coalesce_group(group)
                 res = self.session._finish(self.session._restore_padded(
                     stamps, bkgs, fluxes=fluxes, beta0=beta0))
-                off = 0
-                for fut, n in zip(futs, sizes):
-                    fut.set_result(
-                        SGPResult(*(f[off:off + n] for f in res)))
-                    off += n
+                parts = _split_result(res, sizes)
+                # counters BEFORE resolving: a client woken by its result
+                # must observe them already updated
                 self.batches_served += 1
                 self.requests_served += len(batch)
+                for fut, part in zip(futs, parts):
+                    fut.set_result(part)
             except BaseException as exc:  # noqa: BLE001 — broadcast to batch
                 for fut in futs:
                     if not fut.done():
