@@ -848,3 +848,44 @@ def test_two_phase_compaction_with_maxiter_exhausted_lanes():
         np.testing.assert_allclose(np.asarray(two.x), np.asarray(single.x),
                                    rtol=1e-6, atol=1e-6,
                                    err_msg=f'tail={tail}')
+
+
+def test_suggest_compaction_headroom_and_integration():
+    """suggest_compaction picks (p1, tail) whose two rounds clear the
+    unconverged count with margin; the suggested config reproduces the
+    single-phase solve exactly, and the bench-scale distribution recovers
+    the hand-tuned neighborhood."""
+    import pytest
+    from tpu_sgp.parallel.batch import suggest_compaction
+    stamps, psf, bkgs, _ = synthetic_star_stamps(24, size=16, seed=3)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=60, stop_criterion=3, tol_convergence=1e-4,
+               dtype='float64')
+    single = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                            sat_level=65000.0)
+    it = np.asarray(single.iters)
+    sug = suggest_compaction(it)
+    p1, tb = sug['phase1_iters'], sug['tail_bucket']
+    assert p1 is not None and it.min() <= p1 <= it.max()
+    # safety rule: two rounds clear the unconverged count with margin
+    assert 2 * tb >= np.ceil((it > p1).sum() * 1.25)
+    two = restore_stamps(stamps, psf, bkgs, cfg, fluxes=fluxes,
+                         sat_level=65000.0, **sug)
+    np.testing.assert_array_equal(np.asarray(two.iters), it)
+    np.testing.assert_allclose(np.asarray(two.x), np.asarray(single.x),
+                               rtol=1e-6, atol=1e-6)
+    # bench-scale synthetic distribution (median 25, max ~44): the
+    # suggestion must land near the hand-tuned (26, 2048) optimum and
+    # never violate the headroom rule at B=12288
+    rng = np.random.default_rng(0)
+    pilot = np.clip(rng.normal(26, 4, size=2048).round(), 18, 44)
+    sug_b = suggest_compaction(pilot, batch_size=12288)
+    p1b, tbb = sug_b['phase1_iters'], sug_b['tail_bucket']
+    unconv = int(np.ceil((pilot > p1b).sum() * (12288 / 2048) * 1.25))
+    assert 2 * tbb >= unconv
+    assert 20 <= p1b <= 32 and tbb <= 4096
+    # degenerate inputs
+    with pytest.raises(ValueError, match='pilot'):
+        suggest_compaction(np.array([]))
+    flat = suggest_compaction(np.full(64, 7))   # everything converges at 7
+    assert flat['phase1_iters'] in (None, 7)

@@ -161,6 +161,56 @@ def _prep(stamps, psf, bkgs, fluxes, x0, obj, beta0, lr0, sat_level, dtype):
     return stamps, psf, per_stamp_psf, bkgs, fluxes, x0, obj, beta0, lr0, sat
 
 
+def suggest_compaction(iters, batch_size: Optional[int] = None,
+                       margin: float = 1.25) -> dict:
+    """Pick convergence-compaction parameters from a pilot run.
+
+    ``iters`` is the per-lane iteration array of a representative solve
+    (``result.iters`` — run a pilot batch once without compaction).
+    Returns ``{'phase1_iters': p1, 'tail_bucket': tb}`` ready to splat
+    into ``restore_stamps``/``RestorationSession``, chosen to minimize
+    modeled lane-iterations B*p1 + tails, under the hard-learned safety
+    rule: the two tail rounds (capacity ``2*tail_bucket``) must clear the
+    unconverged-at-p1 count with ``margin`` headroom, because that count
+    swings with compile-to-compile f32 roundoff and a spill past both
+    rounds runs the full-width catch-up phase (measured -13% on the
+    stamps bench when 1029 unconverged lanes met a 1024 bucket).
+
+    ``batch_size`` scales the unconverged counts when production batches
+    differ from the pilot (distribution assumed comparable). The model is
+    deliberately simple — compaction is a throughput knob whose worst
+    case is time, never correctness.
+    """
+    iters = np.asarray(iters)
+    if iters.size == 0:
+        raise ValueError('iters is empty — run a pilot solve first')
+    n = iters.size
+    b = n if batch_size is None else int(batch_size)
+    scale = b / n
+    max_it = int(iters.max())
+    best = None
+    for p1 in range(int(iters.min()), max_it + 1):
+        u1 = int(np.ceil((iters > p1).sum() * scale * margin))
+        if u1 == 0:
+            break                      # p1 covers everything: no compaction
+        # smallest power-of-two tail whose two rounds clear u1
+        tb = 1
+        while 2 * tb < u1:
+            tb *= 2
+        if tb >= b:
+            continue                   # tail as big as the batch: pointless
+        # modeled lane-iterations: full batch to p1, then ceil(u1/tb)
+        # tail rounds each running to the distribution max
+        rounds = int(np.ceil(u1 / tb))
+        cost = b * p1 + rounds * tb * (max_it - p1)
+        if best is None or cost < best[0]:
+            best = (cost, p1, tb)
+    if best is None:
+        return {'phase1_iters': None, 'tail_bucket': 1024}
+    _, p1, tb = best
+    return {'phase1_iters': p1, 'tail_bucket': tb}
+
+
 def _bucket_size(b: int) -> int:
     """Round a batch size up to a compile-cache-friendly bucket: powers of
     two up to 256, then multiples of 256. Workload batch sizes vary with
