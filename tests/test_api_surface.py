@@ -391,9 +391,16 @@ def test_sgpconfig_rejects_invalid_fields():
 
     for kw in (dict(divergence='poisson'), dict(operator='conv'),
                dict(projection_method='newton'), dict(stop_criterion=5),
-               dict(init_recon=4), dict(proj_type=2), dict(max_iter=0)):
+               dict(init_recon=4), dict(proj_type=2), dict(max_iter=0),
+               dict(bt_factor=1.0), dict(bt_factor=0.0),
+               # cap binds before the 1e-12 rescue floor: a capped exit
+               # would adopt a step that failed the Armijo test
+               dict(bt_factor=0.9)):
         with pytest.raises(ValueError):
             SGPConfig(**kw)
+    # a cap deep enough to reach the floor is fine; 0 = line search off
+    SGPConfig(bt_factor=0.9, max_backtracks=300)
+    SGPConfig(max_backtracks=0)
 
 
 def test_beta_div_special_rejects_generic_beta():

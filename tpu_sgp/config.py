@@ -129,6 +129,25 @@ class SGPConfig:
             raise ValueError('proj_type must be 0 or 1')
         if self.max_iter < 1:
             raise ValueError('max_iter must be >= 1')
+        if not 0.0 < self.bt_factor < 1.0:
+            raise ValueError(f'bt_factor={self.bt_factor} must be in (0, 1) '
+                             f'(backtracking must shrink the steplength)')
+        if (self.max_backtracks > 0
+                and self.bt_factor ** self.max_backtracks > 1e-12):
+            # The line search accepts on Armijo OR on the lam < 1e-12
+            # rescue floor (reference sgp.py:336). If the trip cap binds
+            # BEFORE the floor is reachable, a capped exit would silently
+            # adopt a step that failed the Armijo test — an
+            # objective-increasing step the reference never takes.
+            import math
+            need = math.ceil(-12.0 / math.log10(self.bt_factor))
+            raise ValueError(
+                f'max_backtracks={self.max_backtracks} with '
+                f'bt_factor={self.bt_factor} caps the line search at '
+                f'steplength {self.bt_factor ** self.max_backtracks:.2e} > '
+                f'1e-12, so a capped exit would adopt a non-Armijo step. '
+                f'Use max_backtracks >= {need}, or 0 to disable the line '
+                f'search explicitly.')
 
     @property
     def jnp_dtype(self):

@@ -69,10 +69,18 @@ def beta_div(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
     d = jnp.log(den / gn_safe)            # == log(den) where gn == 0
     lg = jnp.log(gn_safe) if log_gn is None else log_gn
     gn_b = jnp.exp(beta * lg)
-    safe_e = jnp.where(e == 0, 1.0, e)
-    r1 = jnp.where(e == 0, d, jnp.expm1(e * d) / safe_e)
-    safe_b = jnp.where(beta == 0, 1.0, beta)
-    r2 = jnp.where(beta == 0, d, jnp.expm1(beta * d) / safe_b)
+    # The singular-point switches fire on |t| below the smallest NORMAL,
+    # not t == 0: XLA flushes subnormal products to zero (t*d -> 0.0 while
+    # t itself still compares != 0), so a subnormal beta slipping past an
+    # exact-equality switch yields expm1(0)/tiny-or-flushed = 0/0 = NaN.
+    # The limit value d is exact to O(t*d) there anyway.
+    tiny = jnp.finfo(jnp.result_type(den)).tiny
+    e_sing = jnp.abs(e) < tiny
+    safe_e = jnp.where(e_sing, 1.0, e)
+    r1 = jnp.where(e_sing, d, jnp.expm1(e * d) / safe_e)
+    b_sing = jnp.abs(beta) < tiny
+    safe_b = jnp.where(b_sing, 1.0, beta)
+    r2 = jnp.where(b_sing, d, jnp.expm1(beta * d) / safe_b)
     # gn == 0: D contributes den^b / b = (expm1(b*log den) + 1)/b = r2 + 1/b
     elem = jnp.where(pos, gn_b * (r2 - r1), r2 + 1.0 / safe_b)
     return gsum(elem, axes)
@@ -121,12 +129,17 @@ def beta_div_with_dbeta(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
     e = beta - 1.0
     d = jnp.log(den / gn)
     gn_b = jnp.exp(beta * log_gn)
-    safe_e = jnp.where(e == 0, 1.0, e)
+    # |t| < tiny (not t == 0) switches: see beta_div — XLA flushes
+    # subnormal t*d products to zero while t compares != 0
+    tiny = jnp.finfo(jnp.result_type(den)).tiny
+    e_sing = jnp.abs(e) < tiny
+    safe_e = jnp.where(e_sing, 1.0, e)
     em_e = jnp.expm1(e * d)
-    r1 = jnp.where(e == 0, d, em_e / safe_e)
-    safe_b = jnp.where(beta == 0, 1.0, beta)
+    r1 = jnp.where(e_sing, d, em_e / safe_e)
+    b_sing = jnp.abs(beta) < tiny
+    safe_b = jnp.where(b_sing, 1.0, beta)
     em_b = jnp.expm1(beta * d)
-    r2 = jnp.where(beta == 0, d, em_b / safe_b)
+    r2 = jnp.where(b_sing, d, em_b / safe_b)
     diff = r2 - r1
     fv = gsum(gn_b * diff, axes)
     e2b = _e2_from_expm1(beta * d, em_b)
@@ -171,8 +184,12 @@ def _dpow_kernel(t: jnp.ndarray, v: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndar
     """
     s = t * delta
     em = jnp.expm1(s)                     # shared by e1 AND E2's closed form
-    safe_s = jnp.where(s == 0, 1.0, s)
-    e1 = jnp.where(s == 0, 1.0, em / safe_s)
+    # |s| < tiny, not s == 0: a subnormal s can flush to zero inside
+    # expm1 while comparing != 0 (see beta_div), giving em/s = 0/s with
+    # inconsistent flushing; the limit e1 = 1 is exact to O(s) there
+    s_sing = jnp.abs(s) < jnp.finfo(jnp.result_type(s)).tiny
+    safe_s = jnp.where(s_sing, 1.0, s)
+    e1 = jnp.where(s_sing, 1.0, em / safe_s)
     e2 = _e2_from_expm1(s, em)            # ONE series/switch implementation
     return jnp.exp(t * v) * delta * (v * e1 + delta * e2)
 

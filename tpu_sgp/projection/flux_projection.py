@@ -86,135 +86,150 @@ def project_df(b, c, dia, scaling, sat_level=None, max_projs: int = 1000,
     done0 = jnp.abs(r0) < tol_r
 
     # ---- bracketing phase -------------------------------------------------
-    def bracket_up(_):
-        # r0 < 0: grow lambda until r >= 0.
-        lam = one
-        carry = (jnp.int32(0), zero, r0, lam, one, rval(lam))
+    # The whole bracket+secant machinery lives under a cond on done0: the
+    # reference returns immediately when r(0) is already within tolerance
+    # (flux_conserve_proj.py:27-28), and the bracket carries + secant prep
+    # each cost a full-image reduction (a psum per mesh axis when sharded)
+    # that a converged call would otherwise pay for nothing. Under vmap the
+    # cond lowers to a select (both branches run) — exactly the previous
+    # behavior; unbatched callers skip 2+ wasted collectives.
+    def _lam_trivial(_):
+        return zero
 
-        def cond(s5):
-            biter, _, _, _, dlam, r = s5
-            return (r < 0) & (biter < max_projs) & jnp.isfinite(dlam) & ~done0
+    def _lam_full(_):
+        return _bracket_and_secant()
 
-        def body(s5):
-            biter, lambdal, rl, lam, dlam, r = s5
-            s = jnp.maximum(rl / r - 1.0, 0.1)
-            dlam = dlam + dlam / s
-            new_lam = lam + dlam
-            return (biter + 1, lam, r, new_lam, dlam, rval(new_lam))
+    def _bracket_and_secant():
+        def bracket_up(_):
+            # r0 < 0: grow lambda until r >= 0.
+            lam = one
+            carry = (jnp.int32(0), zero, r0, lam, one, rval(lam))
 
-        biter, lambdal, rl, lam, dlam, r = jax.lax.while_loop(cond, body, carry)
-        return lambdal, rl, lam, r, dlam, biter
+            def cond(s5):
+                biter, _, _, _, dlam, r = s5
+                return (r < 0) & (biter < max_projs) & jnp.isfinite(dlam) & ~done0
 
-    def bracket_down(_):
-        # r0 >= 0: shrink lambda until r <= 0. Mirrors the reference's
-        # overflow break: if dlam overflows the loop exits with
-        # lambdal == lambdau == current lambda.
-        lam = -one
-        carry = (jnp.int32(0), zero, r0, lam, one, rval(lam), jnp.bool_(False))
+            def body(s5):
+                biter, lambdal, rl, lam, dlam, r = s5
+                s = jnp.maximum(rl / r - 1.0, 0.1)
+                dlam = dlam + dlam / s
+                new_lam = lam + dlam
+                return (biter + 1, lam, r, new_lam, dlam, rval(new_lam))
 
-        def cond(s7):
-            biter, _, _, _, _, r, broke = s7
-            return (r > 0) & (biter < max_projs) & ~broke & ~done0
+            biter, lambdal, rl, lam, dlam, r = jax.lax.while_loop(cond, body, carry)
+            return lambdal, rl, lam, r, dlam, biter
 
-        def body(s7):
-            biter, lambdau, ru, lam, dlam, r, _ = s7
-            s = jnp.maximum(ru / r - 1.0, 0.1)
-            dlam_new = dlam + dlam / s
-            ok = jnp.isfinite(dlam_new)
-            new_lam = jnp.where(ok, lam - dlam_new, lam)
-            new_ru = jnp.where(ok, r, ru)
-            new_r = jnp.where(ok, rval(new_lam), r)
-            return (biter + 1, lam, new_ru, new_lam,
-                    jnp.where(ok, dlam_new, dlam), new_r, ~ok)
+        def bracket_down(_):
+            # r0 >= 0: shrink lambda until r <= 0. Mirrors the reference's
+            # overflow break: if dlam overflows the loop exits with
+            # lambdal == lambdau == current lambda.
+            lam = -one
+            carry = (jnp.int32(0), zero, r0, lam, one, rval(lam), jnp.bool_(False))
 
-        biter, lambdau, ru, lam, dlam, r, _ = jax.lax.while_loop(
-            cond, body, carry)
-        # exit state: lambdal = lam, rl = r
-        return lam, r, lambdau, ru, dlam, biter
+            def cond(s7):
+                biter, _, _, _, _, r, broke = s7
+                return (r > 0) & (biter < max_projs) & ~broke & ~done0
 
-    lambdal, rl, lambdau, ru, dlam, biter = jax.lax.cond(
-        r0 < 0, bracket_up, bracket_down, operand=None)
+            def body(s7):
+                biter, lambdau, ru, lam, dlam, r, _ = s7
+                s = jnp.maximum(ru / r - 1.0, 0.1)
+                dlam_new = dlam + dlam / s
+                ok = jnp.isfinite(dlam_new)
+                new_lam = jnp.where(ok, lam - dlam_new, lam)
+                new_ru = jnp.where(ok, r, ru)
+                new_r = jnp.where(ok, rval(new_lam), r)
+                return (biter + 1, lam, new_ru, new_lam,
+                        jnp.where(ok, dlam_new, dlam), new_r, ~ok)
 
-    doneu = jnp.abs(ru) < tol_r
-    donel = jnp.abs(rl) < tol_r
-    early = done0 | doneu | donel
+            biter, lambdau, ru, lam, dlam, r, _ = jax.lax.while_loop(
+                cond, body, carry)
+            # exit state: lambdal = lam, rl = r
+            return lam, r, lambdau, ru, dlam, biter
 
-    # ---- secant phase -----------------------------------------------------
-    s = 1.0 - rl / ru
-    dlam = dlam / s
-    lam = lambdau - dlam
-    r = rval(lam)
-    maxit_s = max_projs - biter
+        lambdal, rl, lambdau, ru, dlam, biter = jax.lax.cond(
+            r0 < 0, bracket_up, bracket_down, operand=None)
 
-    def scond(st):
-        lambdal, lambdau, rl, ru, lam, dlam, r, s, siter = st
-        return ((jnp.abs(r) > tol_r)
-                & (dlam > tol_lam * (1.0 + jnp.abs(lam)))
-                & (siter < maxit_s) & ~early)
+        doneu = jnp.abs(ru) < tol_r
+        donel = jnp.abs(rl) < tol_r
+        early = done0 | doneu | donel
 
-    def sbody(st):
-        lambdal, lambdau, rl, ru, lam, dlam, r, s, siter = st
+        # ---- secant phase -----------------------------------------------------
+        s = 1.0 - rl / ru
+        dlam = dlam / s
+        lam = lambdau - dlam
+        r = rval(lam)
+        maxit_s = max_projs - biter
 
-        # r > 0, s <= 2: plain secant through the upper bracket.
-        u1_lambdau, u1_ru = lam, r
-        u1_s = 1.0 - rl / u1_ru
-        u1_dlam = (u1_lambdau - lambdal) / u1_s
-        u1_lam = u1_lambdau - u1_dlam
-        # r > 0, s > 2: safeguarded step (reference keeps s = max(ru/r-1, .1)).
-        u2_s = jnp.maximum(ru / r - 1.0, 0.1)
-        u2_dlam = (lambdau - lam) / u2_s
-        u2_lam = jnp.maximum(lam - u2_dlam, 0.75 * lambdal + 0.25 * lam)
-        u2_lambdau, u2_ru = lam, r
+        def scond(st):
+            lambdal, lambdau, rl, ru, lam, dlam, r, s, siter = st
+            return ((jnp.abs(r) > tol_r)
+                    & (dlam > tol_lam * (1.0 + jnp.abs(lam)))
+                    & (siter < maxit_s) & ~early)
 
-        pos_hi = s <= 2.0
-        p_lambdal, p_rl = lambdal, rl
-        p_lambdau = jnp.where(pos_hi, u1_lambdau, u2_lambdau)
-        p_ru = jnp.where(pos_hi, u1_ru, u2_ru)
-        p_s = jnp.where(pos_hi, u1_s, u2_s)
-        p_dlam = jnp.where(pos_hi, u1_dlam, u2_dlam)
-        p_lam = jnp.where(pos_hi, u1_lam, u2_lam)
+        def sbody(st):
+            lambdal, lambdau, rl, ru, lam, dlam, r, s, siter = st
 
-        # r <= 0, s >= 2: plain secant through the lower bracket.
-        l1_lambdal, l1_rl = lam, r
-        l1_s = 1.0 - l1_rl / ru
-        l1_dlam = (lambdau - l1_lambdal) / l1_s
-        l1_lam = lambdau - l1_dlam
-        # r <= 0, s < 2: safeguarded step; here the reference DOES refresh s.
-        l2_s0 = jnp.maximum(rl / r - 1.0, 0.1)
-        l2_dlam = (lam - lambdal) / l2_s0
-        l2_lam = jnp.minimum(lam + l2_dlam, 0.75 * lambdau + 0.25 * lam)
-        l2_lambdal, l2_rl = lam, r
-        l2_s = (lambdau - l2_lambdal) / (lambdau - l2_lam)
+            # r > 0, s <= 2: plain secant through the upper bracket.
+            u1_lambdau, u1_ru = lam, r
+            u1_s = 1.0 - rl / u1_ru
+            u1_dlam = (u1_lambdau - lambdal) / u1_s
+            u1_lam = u1_lambdau - u1_dlam
+            # r > 0, s > 2: safeguarded step (reference keeps s = max(ru/r-1, .1)).
+            u2_s = jnp.maximum(ru / r - 1.0, 0.1)
+            u2_dlam = (lambdau - lam) / u2_s
+            u2_lam = jnp.maximum(lam - u2_dlam, 0.75 * lambdal + 0.25 * lam)
+            u2_lambdau, u2_ru = lam, r
 
-        neg_hi = s >= 2.0
-        n_lambdau, n_ru = lambdau, ru
-        n_lambdal = jnp.where(neg_hi, l1_lambdal, l2_lambdal)
-        n_rl = jnp.where(neg_hi, l1_rl, l2_rl)
-        n_s = jnp.where(neg_hi, l1_s, l2_s)
-        n_dlam = jnp.where(neg_hi, l1_dlam, l2_dlam)
-        n_lam = jnp.where(neg_hi, l1_lam, l2_lam)
+            pos_hi = s <= 2.0
+            p_lambdal, p_rl = lambdal, rl
+            p_lambdau = jnp.where(pos_hi, u1_lambdau, u2_lambdau)
+            p_ru = jnp.where(pos_hi, u1_ru, u2_ru)
+            p_s = jnp.where(pos_hi, u1_s, u2_s)
+            p_dlam = jnp.where(pos_hi, u1_dlam, u2_dlam)
+            p_lam = jnp.where(pos_hi, u1_lam, u2_lam)
 
-        pos = r > 0
-        lambdal = jnp.where(pos, p_lambdal, n_lambdal)
-        lambdau = jnp.where(pos, p_lambdau, n_lambdau)
-        rl = jnp.where(pos, p_rl, n_rl)
-        ru = jnp.where(pos, p_ru, n_ru)
-        s = jnp.where(pos, p_s, n_s)
-        dlam = jnp.where(pos, p_dlam, n_dlam)
-        lam = jnp.where(pos, p_lam, n_lam)
+            # r <= 0, s >= 2: plain secant through the lower bracket.
+            l1_lambdal, l1_rl = lam, r
+            l1_s = 1.0 - l1_rl / ru
+            l1_dlam = (lambdau - l1_lambdal) / l1_s
+            l1_lam = lambdau - l1_dlam
+            # r <= 0, s < 2: safeguarded step; here the reference DOES refresh s.
+            l2_s0 = jnp.maximum(rl / r - 1.0, 0.1)
+            l2_dlam = (lam - lambdal) / l2_s0
+            l2_lam = jnp.minimum(lam + l2_dlam, 0.75 * lambdau + 0.25 * lam)
+            l2_lambdal, l2_rl = lam, r
+            l2_s = (lambdau - l2_lambdal) / (lambdau - l2_lam)
 
-        return (lambdal, lambdau, rl, ru, lam, dlam, rval(lam), s, siter + 1)
+            neg_hi = s >= 2.0
+            n_lambdau, n_ru = lambdau, ru
+            n_lambdal = jnp.where(neg_hi, l1_lambdal, l2_lambdal)
+            n_rl = jnp.where(neg_hi, l1_rl, l2_rl)
+            n_s = jnp.where(neg_hi, l1_s, l2_s)
+            n_dlam = jnp.where(neg_hi, l1_dlam, l2_dlam)
+            n_lam = jnp.where(neg_hi, l1_lam, l2_lam)
 
-    st = (lambdal, lambdau, rl, ru, lam, dlam, r, s, jnp.int32(0))
-    lambdal, lambdau, rl, ru, lam, dlam, r, s, _ = jax.lax.while_loop(
-        scond, sbody, st)
+            pos = r > 0
+            lambdal = jnp.where(pos, p_lambdal, n_lambdal)
+            lambdau = jnp.where(pos, p_lambdau, n_lambdau)
+            rl = jnp.where(pos, p_rl, n_rl)
+            ru = jnp.where(pos, p_ru, n_ru)
+            s = jnp.where(pos, p_s, n_s)
+            dlam = jnp.where(pos, p_dlam, n_dlam)
+            lam = jnp.where(pos, p_lam, n_lam)
 
-    # ---- result selection (reference's early-return order) ---------------
-    lam_sel = jnp.where(done0, zero,
-                        jnp.where(doneu, lambdau,
-                                  jnp.where(donel, lambdal, lam)))
+            return (lambdal, lambdau, rl, ru, lam, dlam, rval(lam), s, siter + 1)
+
+        st = (lambdal, lambdau, rl, ru, lam, dlam, r, s, jnp.int32(0))
+        lambdal, lambdau, rl, ru, lam, dlam, r, s, _ = jax.lax.while_loop(
+            scond, sbody, st)
+
+
+        # reference's early-return order among the bracket exits
+        return jnp.where(doneu, lambdau,
+                         jnp.where(donel, lambdal, lam))
+
+    lam_sel = jax.lax.cond(done0, _lam_trivial, _lam_full, operand=None)
     return xval(lam_sel).astype(in_dtype)
-
 
 # Interior points per sectioning step of project_df_bisect. K=3 narrows
 # the bracket 2 bits/step at one (K, N) sweep per step. Round 3 re-measured

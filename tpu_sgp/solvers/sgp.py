@@ -31,6 +31,15 @@ Deliberate deviations (documented, not silent):
   * the reference writes err[iter_] after incrementing iter_, skipping
     err[1] and overflowing its buffer at iter == MAXIT (sgp.py:394-396);
     here err[k] is the error after k updates.
+  * the save=True residual dump floors x at 0 inside the sqrt and
+    nan_to_num's the result (``_dump_iteration``): the reference's
+    (x-gn)/sqrt(x) writes inf/nan pixels into res_k.fits wherever x <= 0
+    (sgp.py:419-421); here those pixels are 0 so the FITS stays finite.
+  * a line search that exhausts ``max_backtracks`` without meeting Armijo
+    is a config error rejected up front (SGPConfig refuses bt_factor /
+    max_backtracks pairs whose smallest trial steplength exceeds the
+    reference's 1e-12 rescue floor, sgp.py:336) — the reference has no
+    trip cap at all and would loop to the floor.
 """
 from __future__ import annotations
 
@@ -191,16 +200,22 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
 
     sat = jnp.asarray(sat_level, dt)
 
+    # Effective projection method after device/lockstep remaps — computed
+    # ONCE so the warm-start gate below sees the same answer proj() acts on
+    # (testing the raw cfg value used to silently drop warm_projection for
+    # e.g. a sharded 'pallas' config that remaps to bisect).
+    method_eff = cfg.projection_method
+    if method_eff in ('sort', 'pallas') and ax:
+        method_eff = 'bisect'  # these need the whole vector on one device
+    if cfg.sync_axes and method_eff == 'secant':
+        # secant trip counts are data-dependent; its per-evaluation psum
+        # would desynchronize device groups — bisect is trip-static
+        method_eff = 'bisect'
+
     def proj(point, dia):
         if cfg.proj_type == 0:
             return jnp.maximum(point, 0.0)
-        method = cfg.projection_method
-        if method in ('sort', 'pallas') and ax:
-            method = 'bisect'  # these need the whole vector on one device
-        if cfg.sync_axes and method == 'secant':
-            # secant trip counts are data-dependent; its per-evaluation psum
-            # would desynchronize device groups — bisect is trip-static
-            method = 'bisect'
+        method = method_eff
         if method == 'pallas':
             from ..projection.pallas_projection import project_df_pallas
             return project_df_pallas(flux, point, dia, scaling,
@@ -299,7 +314,7 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
     # to the single-device-group bisect path: under sync_axes the sweep
     # count must stay lockstep across device groups, and other methods
     # have no bracket to warm.
-    use_warm = (cfg.proj_type != 0 and cfg.projection_method == 'bisect'
+    use_warm = (cfg.proj_type != 0 and method_eff == 'bisect'
                 and cfg.warm_projection and not cfg.sync_axes)
 
     def body(state):
