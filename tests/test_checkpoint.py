@@ -146,3 +146,50 @@ def test_checkpoint_unknown_backend_and_missing_field(tmp_path):
     np.savez(p, **partial)
     with pytest.raises(KeyError, match='fv'):
         load_state_npz(p)
+
+
+def test_pre_round3_batched_checkpoint_resumes_under_vmap(rng, tmp_path):
+    """The backfilled warm-projection fields must inherit the checkpoint's
+    batch shape: a BATCHED checkpoint (vmapped solve, (B,)-leading leaves)
+    saved before lam_dual/dlam_dual existed would otherwise reload with
+    0-d scalars in those slots and break the vmapped resume."""
+    import jax
+
+    from tpu_sgp.solvers.checkpoint import load_state_npz, save_state_npz
+
+    B = 3
+    imgs, psfs, bkgs = [], [], []
+    for _ in range(B):
+        img, psf, bkg, _ = synthetic_stamp(rng, size=24)
+        imgs.append(img); psfs.append(psf); bkgs.append(np.full(img.shape,
+                                                                bkg))
+    base = dict(stop_criterion=1, init_recon=2, has_flux=False,
+                dtype='float64')
+    dt = jnp.float64
+    z = jnp.zeros((B,) + imgs[0].shape, dt)
+    args = (jnp.asarray(np.stack(imgs), dt), jnp.asarray(np.stack(psfs), dt),
+            jnp.asarray(np.stack(bkgs), dt), z, jnp.zeros(B, dt), z,
+            jnp.full(B, 1.01, dt), jnp.full(B, 1e-3, dt), jnp.zeros(B, dt))
+
+    full_cfg = SGPConfig(max_iter=14, **base)
+    vsolve = jax.vmap(solve_with_state, in_axes=(0,) * 9 + (None,))
+    full, _ = vsolve(*args, full_cfg)
+
+    half_cfg = SGPConfig(max_iter=7, **base)
+    vhalf = jax.vmap(solve_with_state, in_axes=(0,) * 9 + (None,))
+    _, state = vhalf(*args, half_cfg)
+
+    p = str(tmp_path / 'batched.npz')
+    save_state_npz(p, state)
+    with np.load(p) as zf:
+        old = {k: zf[k] for k in zf.files
+               if k not in ('lam_dual', 'dlam_dual')}
+    np.savez(p, **old)
+    restored = load_state_npz(p)
+    assert np.shape(restored.lam_dual) == (B,)
+    assert np.shape(restored.dlam_dual) == (B,)
+
+    vres = jax.vmap(resume_from_state, in_axes=(0,) * 10 + (None,))
+    resumed, _ = vres(*args, restored, full_cfg)
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
+                               rtol=1e-12, atol=1e-12)

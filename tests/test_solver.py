@@ -420,3 +420,47 @@ def test_random_config_cross_product_matches_oracle(case):
             **okw)
     assert iters == ito, (kw, iters, ito)
     _agree(x, xo, rtol=1e-7, atol=1e-7)
+
+
+def test_max_backtracks_zero_still_tracks_objective(rng):
+    """max_backtracks=0 disables the line search but must still evaluate
+    the objective at the accepted lam=1 step: Fold, the discr series and
+    stop rules 3/4 all read fv, which would otherwise stay the
+    initial-point value for the whole solve (rule 3 would see a zero
+    relative decrease and 'converge' after one iteration, returning the
+    initial reconstruction unchanged)."""
+    img, psf, bkg, _ = synthetic_stamp(rng)
+    cfg = SGPConfig(max_iter=40, stop_criterion=3, init_recon=2,
+                    max_backtracks=0, track_discr=True, has_flux=False,
+                    tol_convergence=1e-6, dtype='float64')
+    res = solve(jnp.asarray(img, jnp.float64), jnp.asarray(psf),
+                jnp.full(img.shape, float(bkg)), jnp.zeros(img.shape),
+                0.0, jnp.zeros(img.shape), 1.0, 1e-3, 0.0, cfg)
+    iters = int(res.iters)
+    assert iters > 1, 'stopped on a stale zero objective decrease'
+    discr = np.asarray(res.discr)[:iters]
+    assert np.isfinite(discr).all()
+    assert len(np.unique(discr)) > 1, 'objective series never moved'
+    assert discr[-1] < discr[0], 'full lam=1 steps did not descend'
+
+
+def test_bt_cap_validation_boundary():
+    """The bt-cap check must bind on the LAST EVALUATED trial,
+    bt**(max_backtracks-1): trials run at lam = bt^0..bt^(mb-1), so a
+    config whose bt**mb clears 1e-12 but whose bt**(mb-1) does not can
+    still cap-exit with a non-Armijo step. The error message's suggested
+    minimum must itself construct."""
+    import re
+
+    import pytest
+    # 0.05**10 = 9.8e-14 <= 1e-12 (old check passed) but the last trial
+    # 0.05**9 = 1.95e-12 never reaches the lam < 1e-12 rescue floor.
+    with pytest.raises(ValueError) as ei:
+        SGPConfig(bt_factor=0.05, max_backtracks=10)
+    need = int(re.search(r'max_backtracks >= (\d+)', str(ei.value)).group(1))
+    SGPConfig(bt_factor=0.05, max_backtracks=need)  # suggestion is valid
+    SGPConfig(bt_factor=0.05, max_backtracks=11)    # 0.05**10 < 1e-12
+    with pytest.raises(ValueError) as ei:
+        SGPConfig(bt_factor=0.1, max_backtracks=12)  # 0.1**11 >= 1e-12
+    need = int(re.search(r'max_backtracks >= (\d+)', str(ei.value)).group(1))
+    SGPConfig(bt_factor=0.1, max_backtracks=need)

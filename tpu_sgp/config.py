@@ -133,18 +133,24 @@ class SGPConfig:
             raise ValueError(f'bt_factor={self.bt_factor} must be in (0, 1) '
                              f'(backtracking must shrink the steplength)')
         if (self.max_backtracks > 0
-                and self.bt_factor ** self.max_backtracks > 1e-12):
+                and self.bt_factor ** (self.max_backtracks - 1) >= 1e-12):
             # The line search accepts on Armijo OR on the lam < 1e-12
-            # rescue floor (reference sgp.py:336). If the trip cap binds
-            # BEFORE the floor is reachable, a capped exit would silently
+            # rescue floor (reference sgp.py:336). Trials run at
+            # lam = bt^0 .. bt^(max_backtracks-1), so the LAST evaluated
+            # steplength must itself sit strictly below the floor; if the
+            # trip cap binds before that, a capped exit would silently
             # adopt a step that failed the Armijo test — an
             # objective-increasing step the reference never takes.
             import math
-            need = math.ceil(-12.0 / math.log10(self.bt_factor))
+            need = max(self.max_backtracks,
+                       1 + math.ceil(-12.0 / math.log10(self.bt_factor)))
+            while self.bt_factor ** (need - 1) >= 1e-12:
+                need += 1
             raise ValueError(
                 f'max_backtracks={self.max_backtracks} with '
                 f'bt_factor={self.bt_factor} caps the line search at '
-                f'steplength {self.bt_factor ** self.max_backtracks:.2e} > '
+                f'steplength '
+                f'{self.bt_factor ** (self.max_backtracks - 1):.2e} >= '
                 f'1e-12, so a capped exit would adopt a non-Armijo step. '
                 f'Use max_backtracks >= {need}, or 0 to disable the line '
                 f'search explicitly.')

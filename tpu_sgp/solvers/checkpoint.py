@@ -21,10 +21,14 @@ _FIELDS = SGPState._fields
 
 # Fields added after a release default on load so older checkpoints keep
 # resuming (the warm-projection carry cold-starts as invalid — results
-# only differ by the warm path's bracket-resolution roundoff):
+# only differ by the warm path's bracket-resolution roundoff). Defaults
+# take fv's shape: batched checkpoints (vmapped solves) have (B,)-leading
+# leaves, and a 0-d backfill would break a vmapped resume.
 _FIELD_DEFAULTS = {
-    'lam_dual': lambda st: np.asarray(np.nan, np.asarray(st['fv']).dtype),
-    'dlam_dual': lambda st: np.asarray(np.inf, np.asarray(st['fv']).dtype),
+    'lam_dual': lambda st: np.full(np.shape(st['fv']), np.nan,
+                                   np.asarray(st['fv']).dtype),
+    'dlam_dual': lambda st: np.full(np.shape(st['fv']), np.inf,
+                                    np.asarray(st['fv']).dtype),
 }
 
 

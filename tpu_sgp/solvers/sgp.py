@@ -402,20 +402,29 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
             return (lam_next, fv_t, bp_next, ok, k + 1)
 
         lam0 = jnp.asarray(1.0, dt)
-        lam, fv_new, beta_p, bt_accepted, _ = jax.lax.while_loop(
-            bt_cond, bt_body, (lam0, fv, beta_p, jnp.bool_(False),
-                               jnp.int32(0)))
-        # On a max_backtracks-cap exit (possible only when bt_factor is
-        # large enough that lam never reaches the 1e-12 accept, e.g. a
-        # user-supplied beta > ~0.63), the carried lam has been shrunk one
-        # factor PAST the last evaluated trial while fv_new belongs to that
-        # trial. Undo the final shrink so (x_new, fv_new) stay a consistent
-        # pair (the discr/Fold/stop-rule inputs); accepted exits are
-        # already consistent. Clamped at the initial steplength: with
-        # max_backtracks=0 no trial ever ran, bt_accepted stays False, and
-        # an unclamped lam/bt would take an amplified (1/bt > 1) step that
-        # was never evaluated.
-        lam = jnp.where(bt_accepted, lam, jnp.minimum(lam / bt, lam0))
+        if cfg.max_backtracks == 0:
+            # Line search explicitly disabled: take the full lam = 1 step,
+            # but still evaluate the objective there — fv feeds Fold, the
+            # discr series, and stop rules 3/4, which would otherwise see
+            # the initial-point objective for the whole solve (rule 3
+            # would read a zero decrease and stop after one iteration).
+            lam = lam0
+            den_t = x_tf + d_tf + bkg
+            fv_new = _objective(cfg, x_tf + d_tf, den_t, gn, flux,
+                                beta_p, log_gn)
+        else:
+            lam, fv_new, beta_p, bt_accepted, _ = jax.lax.while_loop(
+                bt_cond, bt_body, (lam0, fv, beta_p, jnp.bool_(False),
+                                   jnp.int32(0)))
+            # On a max_backtracks-cap exit (possible only when bt_factor
+            # is large enough that lam never reaches the 1e-12 accept —
+            # rejected by SGPConfig, but kept safe here), the carried lam
+            # has been shrunk one factor PAST the last evaluated trial
+            # while fv_new belongs to that trial. Undo the final shrink so
+            # (x_new, fv_new) stay a consistent pair (the discr/Fold/
+            # stop-rule inputs); accepted exits are already consistent.
+            lam = jnp.where(bt_accepted, lam,
+                            jnp.minimum(lam / bt, lam0))
 
         x_new = x + lam * d
         sk = lam * d
