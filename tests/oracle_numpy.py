@@ -153,7 +153,7 @@ def oracle_solve(gn, psf, bkg, *, init_recon=0, proj_type=0,
                  max_projs=1000, flux=None, sat=None, scale_data=True,
                  divergence='kl', beta_param=1.0, lr=1e-3, adapt_beta=False,
                  schedule_lr=False, lr_exp_param=0.1, tol=1e-4, verbose=True,
-                 x0=None):
+                 x0=None, obj=None):
     gn = np.array(gn, np.float64)
     bkg = np.broadcast_to(np.asarray(bkg, np.float64), gn.shape).copy()
     A, AT = make_ops_np(np.asarray(psf, np.float64), gn.shape)
@@ -211,6 +211,10 @@ def oracle_solve(gn, psf, bkg, *, init_recon=0, proj_type=0,
         xlb, xub = xlb / 10.0, xub * 10.0
 
     discr = [dcoeff * fv]
+    if obj is not None:
+        obj_s = np.asarray(obj, np.float64) / scaling
+        obj_norm = np.sqrt(np.sum(obj_s * obj_s))
+        err = [np.sqrt(np.sum((x - obj_s) ** 2)) / obj_norm]
     xmat = np.ones_like(x) if init_recon == 0 else np.clip(x, xlb, xub)
 
     it = 1
@@ -274,6 +278,8 @@ def oracle_solve(gn, psf, bkg, *, init_recon=0, proj_type=0,
 
         it += 1
         discr.append(dcoeff * fv)
+        if obj is not None:
+            err.append(np.sqrt(np.sum((x - obj_s) ** 2)) / obj_norm)
 
         if stop_criterion == 2:
             loop = np.sum(sk * sk) / np.sum(x * x) > tol
@@ -287,4 +293,9 @@ def oracle_solve(gn, psf, bkg, *, init_recon=0, proj_type=0,
         if not loop:
             x = prev_x
 
+    if obj is not None:
+        # err[k] = relative error after k updates (scale-invariant); 5-tuple
+        # only when a ground truth was supplied, so existing 4-way callers
+        # are untouched
+        return x * scaling, it - 1, np.array(discr), beta_param, np.array(err)
     return x * scaling, it - 1, np.array(discr), beta_param

@@ -5,7 +5,7 @@ import numpy as np
 
 from tpu_sgp import SGPConfig
 from tpu_sgp.parallel.batch import restore_stamps
-from tpu_sgp.solvers.pallas_batch import solve_stamps_pallas
+from tpu_sgp.experimental.pallas_batch import solve_stamps_pallas
 from tpu_sgp.simulate import synthetic_star_stamps
 
 

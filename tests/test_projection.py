@@ -127,7 +127,7 @@ def test_pallas_projection_matches_bisect(rng):
     (interpret mode on CPU; compiled on TPU)."""
     import jax
     from tpu_sgp.projection.flux_projection import project_df_bisect
-    from tpu_sgp.projection.pallas_projection import project_df_pallas
+    from tpu_sgp.experimental.pallas_projection import project_df_pallas
 
     c = jnp.asarray(rng.normal(0.5, 1.0, (31, 31)))
     dia = jnp.asarray(rng.uniform(0.5, 2.0, (31, 31)))

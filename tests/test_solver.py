@@ -176,6 +176,27 @@ def test_errflag_series_matches_manual(rng):
     assert err[3] <= err[0]
 
 
+def test_beta_errflag_series_matches_oracle(rng):
+    """sgp_beta_div(errflag=True) returns the per-iteration rel-err series —
+    the capability the reference left as its own TODO
+    (/root/reference/restoration/sgp.py:514, always returns err=None); the
+    unified core computes it identically for both divergences."""
+    img, psf, bkg, truth = synthetic_stamp(rng, size=24)
+    obj = truth + bkg
+    x, iters, discr, _, err = sgp_beta_div(
+        img, psf, bkg, init_recon=2, stop_criterion=1, MAXIT=10,
+        errflag=True, obj=obj, betaParam=1.02, adapt_beta=True)
+    xo, ito, _, _, erro = oracle_solve(
+        img, psf, bkg, init_recon=2, stop_criterion=1, maxit=10,
+        divergence='beta', beta_param=1.02, adapt_beta=True, obj=obj)
+    assert err is not None and len(err) == iters + 1 == len(erro)
+    assert np.isfinite(err).all()
+    _agree(err, erro)
+    # without a ground truth the flag is a misuse, like api.sgp
+    with pytest.raises(ValueError, match='errflag'):
+        sgp_beta_div(img, psf, bkg, errflag=True, MAXIT=2)
+
+
 def test_nonmonotone_memory_matches_oracle(rng):
     """M>1 non-monotone Armijo memory + larger alpha memory."""
     img, psf, bkg, _ = synthetic_stamp(rng)

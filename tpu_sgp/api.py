@@ -154,7 +154,17 @@ def sgp_beta_div(gn, psf, bkg, init_recon=0, proj_type=0, stop_criterion=0,
                  schedule_lr=False, tol_convergence=1e-4,
                  use_original_SGP_Afunction=True, dtype=None,
                  operator='auto'):
-    """beta-SGP restoration; drop-in for the reference ``sgp_betaDiv``."""
+    """beta-SGP restoration; drop-in for the reference ``sgp_betaDiv``.
+
+    One capability EXTENSION over the reference: ``errflag=True`` tracks the
+    per-iteration relative error vs ``obj`` and returns the series as the
+    fifth tuple element. The reference accepts the flag but never implements
+    it — its own TODO (/root/reference/restoration/sgp.py:514) — and always
+    returns ``err=None``; the unified core here computes the identical
+    series for both divergences, so the wrapper simply exposes it.
+    """
+    if errflag and obj is None:
+        raise ValueError('errflag was set to True but no ground-truth was passed.')
     gn = np.asarray(gn)
     if not use_original_SGP_Afunction and operator == 'auto':
         operator = 'linear'
@@ -167,13 +177,13 @@ def sgp_beta_div(gn, psf, bkg, init_recon=0, proj_type=0, stop_criterion=0,
         bt_factor=beta, m_mem=M, alpha_init=alpha, alpha_min=alpha_min,
         alpha_max=alpha_max, m_alpha=M_alpha, tau_init=tau,
         scale_data=scale_data, divergence='beta', adapt_beta=adapt_beta,
-        schedule_lr=schedule_lr, lr_exp_param=lr_exp_param, errflag=False,
+        schedule_lr=schedule_lr, lr_exp_param=lr_exp_param, errflag=errflag,
         save=save, verbose=verbose, has_flux=flux is not None,
         has_sat_level=ccd_sat_level is not None,
         dtype=dtype or _default_dtype(), operator=operator)
     x, iters, discr, times, err, _ = _run(
         gn, psf, bkg, cfg, flux, obj, betaParam, lr, ccd_sat_level)
-    return x, iters, discr, times, None
+    return x, iters, discr, times, err
 
 
 # Alias matching the reference spelling.

@@ -221,15 +221,24 @@ def _kernel(gn_ref, bkg_ref, flux_ref, sat_ref, c_ref, x_out, it_out,
             new_fv = blend(acc > 0.5, fv_t, fv_try)
             return (new_lam, new_fv, done, k + 1)
 
-        lam, fv_new, acc, _ = jax.lax.while_loop(
-            bt_cond, bt_body,
-            (jnp.ones_like(fv), fv, jnp.zeros_like(fv), jnp.int32(0)))
-        # cap-exit consistency (mirrors solvers/sgp.py): a lane that ran
-        # out of backtracks holds a lam one bt_factor SMALLER than the lam
-        # whose objective fv_new carries — revert to the last evaluated
-        # lam, capped at the initial unit step
-        lam = blend(acc > 0.5, lam,
-                    jnp.minimum(lam / cfg.bt_factor, jnp.ones_like(lam)))
+        if cfg.max_backtracks == 0:
+            # line search explicitly disabled (mirrors solvers/sgp.py):
+            # take the full unit step but still evaluate the objective
+            # there — with the loop skipped, fv_new would otherwise stay
+            # the PRE-step objective, and stop_criterion=3 would read a
+            # zero decrease and halt every lane after one iteration
+            lam = jnp.ones_like(fv)
+            fv_new = objective(x_tf + d_tf)
+        else:
+            lam, fv_new, acc, _ = jax.lax.while_loop(
+                bt_cond, bt_body,
+                (jnp.ones_like(fv), fv, jnp.zeros_like(fv), jnp.int32(0)))
+            # cap-exit consistency (mirrors solvers/sgp.py): a lane that
+            # ran out of backtracks holds a lam one bt_factor SMALLER than
+            # the lam whose objective fv_new carries — revert to the last
+            # evaluated lam, capped at the initial unit step
+            lam = blend(acc > 0.5, lam,
+                        jnp.minimum(lam / cfg.bt_factor, jnp.ones_like(lam)))
 
         lam_f = full(lam)
         x_new = (x + lam_f * d) * valid

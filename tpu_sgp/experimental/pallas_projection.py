@@ -77,7 +77,7 @@ def project_df_pallas(b, c, dia, scaling, sat_level=None,
         has_sat = sat_level is not None
     dtype = jnp.result_type(c)
     if n_iters is None:
-        from .flux_projection import bracket_bits
+        from ..projection.flux_projection import bracket_bits
         n_iters = bracket_bits(dtype)   # shared policy with project_df_bisect
     n_steps = int(np.ceil(n_iters / np.log2(_K + 1)))
 

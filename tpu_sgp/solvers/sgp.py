@@ -217,7 +217,7 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
             return jnp.maximum(point, 0.0)
         method = method_eff
         if method == 'pallas':
-            from ..projection.pallas_projection import project_df_pallas
+            from ..experimental.pallas_projection import project_df_pallas
             return project_df_pallas(flux, point, dia, scaling,
                                      sat_level=(sat if cfg.has_sat_level
                                                 else None),
