@@ -6,6 +6,23 @@ benchmarking lives in bench.py, not here.
 """
 import os
 
+# Raise the soft stack limit BEFORE jax/XLA spawn any threads: LLVM's
+# recursive codegen passes can blow the default 8 MB thread stack while
+# compiling the larger fused solver bodies late in a long suite run
+# (observed as a flaky SIGSEGV inside backend_compile at ~92% of the
+# suite on a 1-core box). Threads created after this inherit the raised
+# default.
+try:
+    import resource
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 64 * 1024 * 1024
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        _new = _want if _hard == resource.RLIM_INFINITY else min(_want,
+                                                                 _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+except (ImportError, ValueError, OSError):
+    pass
+
 os.environ['JAX_PLATFORMS'] = 'cpu'  # force CPU even when axon/TPU is preset
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:

@@ -156,7 +156,8 @@ def test_restoration_session_warmup_normalizes_buckets_to_policy_grid():
     mesh = Mesh(np.array(jax.devices()[:6]), axis_names=('batch',))
     sess = RestorationSession(psf, cfg, stamp_shape=(16, 16), mesh=mesh)
     sess.warmup(buckets=(4,))  # crashed before: 4 % 6 != 0
-    assert sess._warmed == {_bucket_target(3, mesh)} == {6}
+    assert sess._warmed == {(_bucket_target(3, mesh), 'plain')} \
+        == {(6, 'plain')}
     with warnings.catch_warnings():
         warnings.simplefilter('error')
         res = sess.restore(stamps, bkgs, fluxes=fluxes)
@@ -207,7 +208,9 @@ def test_restoration_session_warns_on_unwarmed_bucket():
     sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
     # warmup(max_batch=N) covers every bucket the policy produces for 1..N
     sess.warmup(max_batch=6)
-    assert sess._warmed == {_bucket_target(b, None) for b in range(1, 7)}
+    # f64 + track_discr sessions take the 'plain' path
+    assert sess._warmed == {(_bucket_target(b, None), 'plain')
+                            for b in range(1, 7)}
     with pytest.warns(UserWarning, match='not warmed'):
         sess.restore(stamps, bkgs, fluxes=fluxes)   # 10 -> bucket 16
     # the bucket is now compiled: serving it again is silent
@@ -540,7 +543,7 @@ def test_session_warmup_exact_buckets_and_batch_axis():
     sess = RestorationSession(psf, cfg, stamp_shape=(16, 16), mesh=mesh,
                               batch_axis='dp')
     sess.warmup(max_batch=4)
-    needed = {_bucket_target(b, mesh) for b in range(1, 5)}
+    needed = {(_bucket_target(b, mesh), 'plain') for b in range(1, 5)}
     assert needed <= sess._warmed, (needed, sess._warmed)
     import warnings
     with warnings.catch_warnings():
@@ -889,3 +892,68 @@ def test_suggest_compaction_headroom_and_integration():
         suggest_compaction(np.array([]))
     flat = suggest_compaction(np.full(64, 7))   # everything converges at 7
     assert flat['phase1_iters'] in (None, 7)
+
+
+def test_session_u16_packed_ingest_exact():
+    """uint16 requests take the single-buffer packed path (stamp block u16
+    + f32 sidecar bit-cast as u16 pairs) and must be EXACT vs the same
+    request in f32: integers <= 65535 are f32-representable and the
+    sidecar round-trips bit-for-bit."""
+    import warnings
+
+    from tpu_sgp.parallel.session import RestorationSession
+
+    stamps, psf, bkgs, _ = synthetic_star_stamps(5, size=16, seed=8)
+    stamps_u16 = np.clip(stamps, 0, 65535).astype(np.uint16)
+    fluxes = (stamps_u16.astype(np.float32).sum(axis=(1, 2))
+              - 256 * bkgs.astype(np.float32))
+    cfg = _cfg(max_iter=6, dtype='float32', track_discr=False)
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16),
+                              ingest_dtypes=('float32', 'uint16'))
+    sess.warmup(buckets=(8,))
+    assert (8, 'packed') in sess._warmed and (8, 'packed-u16') in sess._warmed
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')  # both kinds are warmed: no warning
+        res_f32 = sess.restore(stamps_u16.astype(np.float32), bkgs,
+                               fluxes=fluxes)
+        res_u16 = sess.restore(stamps_u16, bkgs, fluxes=fluxes)
+    np.testing.assert_array_equal(res_u16.x, res_f32.x)
+    np.testing.assert_array_equal(res_u16.iters, res_f32.iters)
+    # upload-byte accounting: the u16 request buffer is half the f32 one
+    pk_u16, kind_u = sess._pack_request(stamps_u16, bkgs, fluxes, None)
+    pk_f32, kind_f = sess._pack_request(stamps_u16.astype(np.float32),
+                                        bkgs, fluxes, None)
+    assert (kind_u, kind_f) == ('packed-u16', 'packed')
+    assert pk_u16.nbytes * 2 < pk_f32.nbytes * 1.03
+
+
+def test_microbatch_watchdog_and_drain():
+    """Leak watchdog (round-3 verdict: turn the NOTES.md axon-leak advice
+    into enforceable library behavior): after max_batches_per_process
+    device calls the server flags recycle_recommended exactly once via
+    on_limit; drain() blocks until the queue is served."""
+    from tpu_sgp.parallel.session import MicroBatchServer, RestorationSession
+
+    stamps, psf, bkgs, _ = synthetic_star_stamps(4, size=16, seed=9)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=4, dtype='float64')
+    sess = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    sess.warmup(buckets=(4,))
+    hits = []
+    with MicroBatchServer(sess, max_batch=2, max_delay_s=0.0,
+                          max_batches_per_process=2,
+                          on_limit=hits.append) as srv:
+        assert srv.process_rss_mb() > 10.0     # /proc path works here
+        futs = [srv.submit(stamps[i:i + 1], bkgs[i:i + 1],
+                           fluxes=fluxes[i:i + 1]) for i in range(4)]
+        assert srv.drain(timeout=120.0)
+        for f in futs:
+            assert np.isfinite(f.result().x).all()
+        assert srv.batches_served >= 2
+        assert srv.recycle_recommended
+        assert len(hits) == 1                  # fires once per crossing
+        assert hits[0]['batches_served'] >= 2
+        # serving continues after the recommendation
+        assert np.isfinite(srv.restore(stamps[:1], bkgs[:1],
+                                       fluxes=fluxes[:1]).x).all()
+        assert len(hits) == 1

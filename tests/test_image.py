@@ -401,3 +401,121 @@ def test_coadd_tiles_without_background_matching():
     np.testing.assert_array_equal(mosaic[:, 4:6], 12.0)  # plain average
     np.testing.assert_array_equal(mosaic[:, 6:], 14.0)
     assert w.max() == 2.0
+
+
+def test_fits_multi_extension_reads_first_image_hdu(tmp_path):
+    """Survey-style MEF layout: metadata-only primary + IMAGE extensions
+    (the reference gets this free from astropy, sgp.py:944-958). The
+    native reader must find the first image HDU by default and honor an
+    explicit hdu index."""
+    from tpu_sgp.image.fitsio import BLOCK, CARD, _format_card, read_fits
+
+    img1 = (np.arange(12, dtype=np.float32).reshape(3, 4) * 1.5)
+    img2 = np.ones((2, 2), np.float32) * 7
+
+    def block(cards):
+        raw = b''.join(cards) + 'END'.ljust(CARD).encode()
+        return raw + b' ' * (-len(raw) % BLOCK)
+
+    primary = block([
+        _format_card('SIMPLE', True), _format_card('BITPIX', 8),
+        _format_card('NAXIS', 0), _format_card('EXTEND', True),
+        _format_card('TELESCOP', 'synthetic')])
+
+    def image_ext(img, name):
+        cards = [
+            _format_card('XTENSION', 'IMAGE'), _format_card('BITPIX', -32),
+            _format_card('NAXIS', 2),
+            _format_card('NAXIS1', img.shape[1]),
+            _format_card('NAXIS2', img.shape[0]),
+            _format_card('PCOUNT', 0), _format_card('GCOUNT', 1),
+            _format_card('EXTNAME', name)]
+        payload = img.astype('>f4').tobytes()
+        return block(cards) + payload + b'\x00' * (-len(payload) % BLOCK)
+
+    p = str(tmp_path / 'mef.fits')
+    with open(p, 'wb') as f:
+        f.write(primary + image_ext(img1, 'SCI') + image_ext(img2, 'WHT'))
+
+    data, hdr = read_fits(p)
+    np.testing.assert_array_equal(data, img1)
+    assert hdr['EXTNAME'] == 'SCI'
+    data2, hdr2 = read_fits(p, hdu=2)
+    np.testing.assert_array_equal(data2, img2)
+    # primary by explicit index: headers only
+    data0, hdr0 = read_fits(p, hdu=0)
+    assert data0.size == 0 and hdr0['TELESCOP'] == 'synthetic'
+
+
+def test_fits_compressed_hdu_rejected_loudly(tmp_path):
+    from tpu_sgp.image.fitsio import BLOCK, CARD, _format_card, read_fits
+
+    def block(cards):
+        raw = b''.join(cards) + 'END'.ljust(CARD).encode()
+        return raw + b' ' * (-len(raw) % BLOCK)
+
+    primary = block([
+        _format_card('SIMPLE', True), _format_card('BITPIX', 8),
+        _format_card('NAXIS', 0), _format_card('EXTEND', True)])
+    comp = block([
+        _format_card('XTENSION', 'BINTABLE'), _format_card('BITPIX', 8),
+        _format_card('NAXIS', 2), _format_card('NAXIS1', 8),
+        _format_card('NAXIS2', 1), _format_card('PCOUNT', 0),
+        _format_card('GCOUNT', 1), _format_card('ZIMAGE', True)])
+    p = str(tmp_path / 'comp.fits')
+    with open(p, 'wb') as f:
+        f.write(primary + comp + b'\x00' * BLOCK)
+    import pytest
+    with pytest.raises(ValueError, match='funpack'):
+        read_fits(p)
+
+
+def test_fits_uint16_bzero_roundtrip(tmp_path):
+    """Raw CCD frames: uint16 data writes with the BZERO=32768 convention
+    and reads back bit-exact as uint16 (not float64)."""
+    from tpu_sgp.image.fitsio import read_fits, write_fits
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 65536, (32, 48)).astype(np.uint16)
+    img[0, 0], img[-1, -1] = 0, 65535
+    p = str(tmp_path / 'ccd.fits')
+    write_fits(p, img)
+    data, hdr = read_fits(p)
+    assert data.dtype == np.uint16
+    np.testing.assert_array_equal(data, img)
+    assert int(hdr['BZERO']) == 32768 and int(hdr['BITPIX']) == 16
+    # generic BSCALE/BZERO still decodes to float
+    from tpu_sgp.image.fitsio import set_header_card
+    set_header_card(p, 'BSCALE', 2.0)
+    data2, _ = read_fits(p)
+    assert data2.dtype == np.float64
+    np.testing.assert_allclose(
+        data2, (img.astype(np.int64) - 32768) * 2.0 + 32768)
+
+
+def test_wcs_warns_on_unsupported_projection_and_sip():
+    import warnings
+
+    from tpu_sgp.image import wcs as wcsmod
+
+    wcsmod._WARNED_CTYPES.clear()
+    hdr = {'CTYPE1': 'RA---SIN', 'CTYPE2': 'DEC--SIN',
+           'CRVAL1': 150.0, 'CRVAL2': 2.0, 'CRPIX1': 10.0, 'CRPIX2': 10.0,
+           'CD1_1': -1e-4, 'CD2_2': 1e-4}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter('always')
+        wcsmod.WCS(hdr)
+        wcsmod.WCS(hdr)          # second instance: warned once per code
+    msgs = [str(r.message) for r in rec]
+    assert sum('SIN' in m for m in msgs) == 1, msgs
+
+    wcsmod._WARNED_CTYPES.clear()
+    hdr_sip = dict(hdr, CTYPE1='RA---TAN', CTYPE2='DEC--TAN', A_ORDER=2)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter('always')
+        wcsmod.WCS(hdr_sip)
+    assert any('SIP' in str(r.message) for r in rec)
+    # supported TAN without SIP: silent
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        wcsmod.WCS(dict(hdr, CTYPE1='RA---TAN', CTYPE2='DEC--TAN'))

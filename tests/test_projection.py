@@ -225,3 +225,122 @@ def test_solver_warm_projection_matches_cold(rng):
     assert int(res_cold.iters) == int(res_warm.iters)
     np.testing.assert_allclose(np.asarray(res_warm.x),
                                np.asarray(res_cold.x), rtol=1e-6, atol=1e-9)
+
+
+def test_bisect_newton_adversarial_accuracy(rng):
+    """Accuracy pins for the guarded-Newton sectioning on the adversarial
+    families it was calibrated against (flux_projection.newton_passes):
+    knot cluster of mass >> b at the root, binding saturation, full
+    saturation, and 10-decade dynamic range. f64 must sit inside the
+    reference's own 1e-11*b secant tolerance; f32 at its residual noise
+    floor (~2e-3 worst on the cluster instances — equal to 60-halving deep
+    bisection on the same data, i.e. intrinsic to f32, see the calibration
+    notes in newton_passes)."""
+    from tpu_sgp.projection.flux_projection import project_df_bisect
+
+    n = 961
+
+    def instances():
+        # knot cluster: ~n near-identical tiny-dia pixels at the root
+        c = np.concatenate([np.full(n - 10, -5.0)
+                            + rng.normal(0, 1e-8, n - 10),
+                            rng.normal(50, 5, 10)])
+        dia = np.concatenate([np.full(n - 10, 1e-5), np.ones(10)])
+        yield 30.0, c, dia, None
+        # binding saturation at the root
+        yield 500.0, rng.normal(50, 30, n), rng.uniform(0.5, 2.0, n), 1.2
+        # huge dynamic range
+        c = rng.normal(0, 1, n) * np.exp(rng.uniform(0, 10, n))
+        yield 100.0, c, np.exp(rng.uniform(-4, 4, n)), None
+
+    for b, c, dia, sat in instances():
+        for dt, tol in ((np.float64, 1e-11), (np.float32, 3e-3)):
+            x = np.asarray(project_df_bisect(
+                b, jnp.asarray(c, dt), jnp.asarray(dia, dt), 1.0,
+                sat_level=sat, has_sat=sat is not None))
+            assert (x >= 0).all()
+            assert abs(x.sum() - b) <= tol * b, (dt, sat, x.sum(), b)
+
+    # full saturation (capacity < b): the correct limit is x = cap
+    c = rng.normal(0, 2, 100)
+    dia = rng.uniform(0.5, 2.0, 100)
+    for dt in (np.float64, np.float32):
+        x = np.asarray(project_df_bisect(1000.0, jnp.asarray(c, dt),
+                                         jnp.asarray(dia, dt), 1.0,
+                                         sat_level=0.9))
+        eps = np.finfo(dt).eps
+        np.testing.assert_allclose(x, 0.9 - eps, rtol=50 * eps)
+
+
+def test_solver_bisect_quality_matches_secant(rng):
+    """End-to-end guard for the fast projection path: full f64 solves with
+    projection_method='bisect' (guarded-Newton, static trips) vs 'secant'
+    (reference-faithful iteration). The BB/line-search trajectory is
+    chaotic (a one-ULP projection difference flips branches), so
+    iterate-level equality is the wrong criterion; what the fast path must
+    preserve is restoration QUALITY vs ground truth and flux conservation
+    of the returned iterate. This is the test that caught a round-4
+    prototype whose fixed-trip warm schedule silently degraded early-
+    iteration projections and stalled stop rule 3."""
+    from dataclasses import replace
+
+    from conftest import synthetic_stamp
+    from tpu_sgp.config import SGPConfig
+    from tpu_sgp.solvers.sgp import solve
+
+    cfg = SGPConfig(max_iter=60, stop_criterion=3, tol_convergence=1e-5,
+                    init_recon=2, proj_type=1, has_flux=False,
+                    has_sat_level=False, dtype='float64')
+    errs_b, errs_s = [], []
+    for seed in range(6):
+        g = np.random.default_rng(seed)
+        img, psf, bkg_v, truth = synthetic_stamp(g, size=25)
+        gn = jnp.asarray(img)
+        psf_j = jnp.asarray(psf)
+        bkg = jnp.full(img.shape, bkg_v)
+        z = jnp.zeros(img.shape)
+        res_sec = solve(gn, psf_j, bkg, z, 0.0, z, 1.0, 1e-3, 0.0,
+                        replace(cfg, projection_method='secant'))
+        res_bis = solve(gn, psf_j, bkg, z, 0.0, z, 1.0, 1e-3, 0.0,
+                        replace(cfg, projection_method='bisect'))
+        x_s, x_b = np.asarray(res_sec.x), np.asarray(res_bis.x)
+        errs_s.append(np.linalg.norm(x_s - truth) / np.linalg.norm(truth))
+        errs_b.append(np.linalg.norm(x_b - truth) / np.linalg.norm(truth))
+        flux = float(jnp.sum(gn - bkg))
+        assert abs(x_b.sum() - flux) / flux < 1e-9, \
+            (seed, abs(x_b.sum() - flux) / flux)
+    assert np.mean(errs_b) <= np.mean(errs_s) * 1.05 + 1e-6, \
+        (np.mean(errs_b), np.mean(errs_s), errs_b, errs_s)
+
+
+def test_bisect_analytic_anchor_counterexamples():
+    """Two Hypothesis-found instances that defeated pure
+    bracket-narrowing (the global endpoints are loose by the dia/c
+    dynamic range; eight halving passes could not recover):
+    (1) one dia=513 pixel stretches hi = max(b*dia - c) to ~32,000x the
+        root; (2) a flat activation shelf left of the root plus a steep
+        tiny-dia cliff at it strands every data-driven candidate on the
+        shelf. Both are collapsed by the analytic probe anchors
+        (flux_projection._ladder_machinery): the all-active upper bound
+        max(-c) + b/sum(1/dia) and the guaranteed lower bound
+        (b - sum(max(0,c)/dia))/sum(1/dia)."""
+    from tpu_sgp.projection.flux_projection import project_df_bisect
+
+    n = 64
+    # (1) single huge-dia pixel
+    c1 = np.zeros(n); c1[-1] = 1.0
+    d1 = np.ones(n); d1[-2] = 513.0
+    # (2) flat shelf + tiny-dia cliff
+    c2 = np.zeros(n); c2[1] = 137.0; c2[2] = -1.0
+    d2 = np.ones(n); d2[1] = 89.0; d2[n // 2:] = 0.0078125
+
+    for c, dia, b in ((c1, d1, 320.0), (c2, d2, 160.0)):
+        x = np.asarray(project_df_bisect(b, jnp.asarray(c),
+                                         jnp.asarray(dia), 1.0,
+                                         sat_level=10.0))
+        assert (x >= 0).all() and (x <= 10.0).all()
+        assert abs(x.sum() - b) <= 1e-8 * b, (b, x.sum())
+        x32 = np.asarray(project_df_bisect(
+            b, jnp.asarray(c, jnp.float32), jnp.asarray(dia, jnp.float32),
+            1.0, sat_level=10.0))
+        assert abs(float(x32.sum()) - b) <= 2e-6 * b, (b, x32.sum())

@@ -64,6 +64,30 @@ class SGPConfig:
                                    # by default; single-image callers opt
                                    # in by building their own SGPConfig
                                    # (the whole-frame bench does).
+    stable_sums: bool | str = 'auto'
+                                   # compensated-tree reduction
+                                   # (ops.reduce.gsum_ff) for the scalars
+                                   # the STOP RULES read — the objective fv
+                                   # (rules 3/4 + the discrepancy series)
+                                   # and the criterion-2 step norms — so an
+                                   # f32 solve's iteration count no longer
+                                   # swings with XLA's compile-dependent
+                                   # reduction order (51-74 iters run-to-
+                                   # run on the 410x410 frame, round 3).
+                                   #   'auto' — ON for f32 single solves;
+                                   #            OFF for f64 (roundoff sits
+                                   #            far below every stop
+                                   #            tolerance, and parity mode
+                                   #            differential-tests against
+                                   #            the plain-sum oracle) and
+                                   #            OFF for vmapped batches
+                                   #            (restore_stamps resolves
+                                   #            it: the tree's log2(n)
+                                   #            extra levels per objective
+                                   #            evaluation are measurable
+                                   #            at B ~ 10^4 and lanes are
+                                   #            aggregated statistically)
+                                   #   True/False — force either way
     # Line search ---------------------------------------------------------
     gamma: float = 1e-4            # Armijo penalty
     bt_factor: float = 0.4         # backtracking shrink factor ("beta" in the reference)
@@ -121,6 +145,9 @@ class SGPConfig:
                                           'secant'):
             raise ValueError(
                 f'unknown projection_method {self.projection_method!r}')
+        if self.stable_sums not in ('auto', True, False):
+            raise ValueError(f"stable_sums must be 'auto', True or False, "
+                             f'got {self.stable_sums!r}')
         if self.stop_criterion not in (0, 1, 2, 3, 4):
             raise ValueError('stop_criterion must be 0..4')
         if self.init_recon not in (0, 1, 2, 3):

@@ -3,11 +3,15 @@
 The reference leans on astropy.io.fits for every artifact (PSF matrices,
 science frames, per-tile temporaries, reconstructions). astropy is not part
 of this stack, so the framework carries its own small, dependency-free FITS
-implementation: primary-HDU 2D images, BITPIX 8/16/32/64/-32/-64,
-BSCALE/BZERO, keyword/value/comment round-trip (COMMENT and HISTORY cards
-are NOT carried by the in-memory Header — use ``set_header_card`` to edit
-a file's header without disturbing them). That covers every FITS use in
-the reference workloads (e.g. sgp.py:937-958, psf_calculate.py:179).
+implementation: image HDUs (primary AND ``XTENSION = 'IMAGE'`` extensions —
+real survey frames are often multi-extension, reference sgp.py:944-958 gets
+that for free from astropy), BITPIX 8/16/32/64/-32/-64, BSCALE/BZERO
+(including the exact unsigned-16-bit convention BZERO=32768 used by raw CCD
+frames, which round-trips as uint16 rather than degrading to float64),
+keyword/value/comment round-trip (COMMENT and HISTORY cards are NOT carried
+by the in-memory Header — use ``set_header_card`` to edit a file's header
+without disturbing them). Tile-compressed HDUs (fpack ZIMAGE binary tables)
+are detected and rejected with a clear error instead of being misread.
 """
 from __future__ import annotations
 
@@ -158,26 +162,82 @@ def _read_header(f) -> Header:
                 hdr.comments[key] = comment
 
 
-def read_fits(path: str) -> Tuple[np.ndarray, Header]:
-    """Read the primary HDU image and header."""
+def _hdu_data_bytes(hdr: Header) -> int:
+    """Byte length of an HDU's data block (before 2880 padding), per the
+    FITS standard: |BITPIX|/8 * GCOUNT * (PCOUNT + prod(NAXISn))."""
+    naxis = int(hdr.get('NAXIS', 0))
+    if naxis == 0:
+        return 0
+    n = 1
+    for i in range(1, naxis + 1):
+        n *= int(hdr[f'NAXIS{i}'])
+    n = int(hdr.get('GCOUNT', 1)) * (int(hdr.get('PCOUNT', 0)) + n)
+    return abs(int(hdr['BITPIX'])) // 8 * n
+
+
+def _decode_data(f, hdr: Header) -> np.ndarray:
+    naxis = int(hdr.get('NAXIS', 0))
+    if naxis == 0:
+        return np.empty(0)
+    shape = tuple(int(hdr[f'NAXIS{i}']) for i in range(naxis, 0, -1))
+    bitpix = int(hdr['BITPIX'])
+    dtype = _BITPIX_DTYPES[bitpix]
+    count = int(np.prod(shape))
+    raw = np.frombuffer(f.read(count * dtype.itemsize), dtype=dtype,
+                        count=count).reshape(shape)
+    bscale = float(hdr.get('BSCALE', 1.0))
+    bzero = float(hdr.get('BZERO', 0.0))
+    if bscale == 1.0 and bzero == 32768.0 and bitpix == 16:
+        # THE unsigned-16-bit convention (raw CCD ADUs): exact uint16,
+        # not a float64 blow-up of the whole frame
+        return (raw.astype(np.int32) + 32768).astype(np.uint16)
+    if bscale != 1.0 or bzero != 0.0:
+        return raw.astype(np.float64) * bscale + bzero
+    return raw.astype(dtype.newbyteorder('='))
+
+
+def read_fits(path: str, hdu: Optional[int] = None) -> Tuple[np.ndarray,
+                                                             Header]:
+    """Read an image HDU and its header.
+
+    ``hdu=None`` (default) returns the FIRST HDU carrying image data: the
+    primary when it has NAXIS > 0, otherwise the first ``IMAGE``
+    extension — the layout of multi-extension survey files whose primary
+    holds only metadata. An explicit ``hdu=k`` (0 = primary) selects by
+    index. Tile-compressed images (fpack: a BINTABLE with ZIMAGE=T) raise
+    a clear error instead of being misread as a table."""
     with open(path, 'rb') as f:
-        hdr = _read_header(f)
-        naxis = int(hdr.get('NAXIS', 0))
-        if naxis == 0:
-            return np.empty(0), hdr
-        shape = tuple(int(hdr[f'NAXIS{i}']) for i in range(naxis, 0, -1))
-        bitpix = int(hdr['BITPIX'])
-        dtype = _BITPIX_DTYPES[bitpix]
-        count = int(np.prod(shape))
-        raw = np.frombuffer(f.read(count * dtype.itemsize), dtype=dtype,
-                            count=count).reshape(shape)
-        bscale = float(hdr.get('BSCALE', 1.0))
-        bzero = float(hdr.get('BZERO', 0.0))
-        if bscale != 1.0 or bzero != 0.0:
-            data = raw.astype(np.float64) * bscale + bzero
-        else:
-            data = raw.astype(dtype.newbyteorder('='))
-        return data, hdr
+        index = 0
+        while True:
+            try:
+                hdr = _read_header(f)
+            except ValueError:
+                raise ValueError(
+                    f'{path}: no image HDU found (read {index} HDUs)')
+            xt = str(hdr.get('XTENSION', '')).strip().upper()
+            if hdr.get('ZIMAGE') and xt == 'BINTABLE':
+                raise ValueError(
+                    f'{path} HDU {index}: tile-compressed image (fpack '
+                    f'ZIMAGE) is not supported by the native reader — '
+                    f'decompress with funpack first')
+            is_image = index == 0 or xt == 'IMAGE'
+            has_data = int(hdr.get('NAXIS', 0)) > 0
+            if hdu is not None:
+                if index == hdu:
+                    if not is_image:
+                        raise ValueError(
+                            f'{path} HDU {index}: not an image HDU '
+                            f'(XTENSION={xt!r})')
+                    return _decode_data(f, hdr), hdr
+            elif is_image and has_data:
+                return _decode_data(f, hdr), hdr
+            elif index == 0 and not hdr.get('EXTEND', False) \
+                    and hdu is None:
+                return np.empty(0), hdr   # headerless primary, no extensions
+            # skip this HDU's (padded) data block
+            nbytes = _hdu_data_bytes(hdr)
+            f.seek(-(-nbytes // BLOCK) * BLOCK, 1)
+            index += 1
 
 
 def getdata(path: str) -> np.ndarray:
@@ -190,13 +250,16 @@ def getheader(path: str) -> Header:
 
 def write_fits(path: str, data: np.ndarray, header: Optional[Header] = None,
                overwrite: bool = True) -> None:
-    """Write a 2D (or nD) array as a primary-HDU FITS file."""
+    """Write a 2D (or nD) array as a primary-HDU FITS file. uint16 data is
+    written with the standard BZERO=32768 convention (BITPIX 16), so raw
+    CCD frames round-trip bit-exactly at half the bytes of float32."""
     if os.path.exists(path) and not overwrite:
         raise OSError(f'{path} exists and overwrite=False')
     data = np.asarray(data)
-    if data.dtype not in _DTYPE_BITPIX:
+    u16 = data.dtype == np.uint16
+    if not u16 and data.dtype not in _DTYPE_BITPIX:
         data = data.astype(np.float64)
-    bitpix = _DTYPE_BITPIX[data.dtype]
+    bitpix = 16 if u16 else _DTYPE_BITPIX[data.dtype]
     cards = [
         _format_card('SIMPLE', True, 'conforms to FITS standard'),
         _format_card('BITPIX', bitpix),
@@ -204,6 +267,10 @@ def write_fits(path: str, data: np.ndarray, header: Optional[Header] = None,
     ]
     for i, n in enumerate(reversed(data.shape), start=1):
         cards.append(_format_card(f'NAXIS{i}', int(n)))
+    if u16:
+        cards.append(_format_card('BSCALE', 1,
+                                  'unsigned 16-bit convention'))
+        cards.append(_format_card('BZERO', 32768))
     reserved = {'SIMPLE', 'BITPIX', 'NAXIS', 'END', 'BSCALE', 'BZERO',
                 'EXTEND'} | {f'NAXIS{i}' for i in range(1, 10)}
     if header:
@@ -216,7 +283,10 @@ def write_fits(path: str, data: np.ndarray, header: Optional[Header] = None,
     hdr_bytes = b''.join(cards)
     hdr_bytes += b' ' * (-len(hdr_bytes) % BLOCK)
 
-    payload = data.astype(_BITPIX_DTYPES[bitpix]).tobytes()
+    if u16:
+        payload = (data.astype(np.int32) - 32768).astype('>i2').tobytes()
+    else:
+        payload = data.astype(_BITPIX_DTYPES[bitpix]).tobytes()
     payload += b'\x00' * (-len(payload) % BLOCK)
     with open(path, 'wb') as f:
         f.write(hdr_bytes)

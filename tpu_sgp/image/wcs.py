@@ -8,7 +8,11 @@ imaging; falls back to linear world coordinates for other CTYPEs.
 """
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
+
+_WARNED_CTYPES: set = set()
 
 
 class WCS:
@@ -34,6 +38,27 @@ class WCS:
                             float(h.get('PC2_2', 1.0))]])
             self.cd = pc * cdelt[:, None]
         self._tan = 'TAN' in self.ctype[0]
+        # Loud (once per projection code) instead of silently-linear: the
+        # native WCS implements TAN and linear only; real survey headers
+        # can carry SIN/ARC/ZEA/AIT... projections or SIP distortion
+        # polynomials, where astropy (the reference path, sgp.py:957)
+        # would be correct and a silent linear fallback subtly wrong.
+        code = self.ctype[0][5:8] if len(self.ctype[0]) >= 8 else ''
+        if code and code not in ('TAN', 'LIN') and not self._tan:
+            if code not in _WARNED_CTYPES:
+                _WARNED_CTYPES.add(code)
+                warnings.warn(
+                    f'WCS: unsupported projection CTYPE {self.ctype[0]!r} '
+                    f'— falling back to LINEAR world coordinates; use '
+                    f'astropy for exact {code} transforms', stacklevel=2)
+        if any(k in h for k in ('A_ORDER', 'B_ORDER', 'AP_ORDER')):
+            if 'SIP' not in _WARNED_CTYPES:
+                _WARNED_CTYPES.add('SIP')
+                warnings.warn(
+                    'WCS: SIP distortion coefficients present in header '
+                    'are IGNORED by the native WCS (astropy handles them); '
+                    'positions may be off by the distortion amplitude',
+                    stacklevel=2)
 
     # -- core transforms (0-based pixel convention, like astropy origin=0) --
     def pixel_to_world(self, x, y):

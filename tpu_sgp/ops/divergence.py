@@ -17,23 +17,30 @@ import math
 
 import jax.numpy as jnp
 
-from .reduce import gsum
+from .reduce import gsum, gsum_ff
 
 
 def kl_objective(x_tf: jnp.ndarray, den: jnp.ndarray, gn: jnp.ndarray,
-                 flux: jnp.ndarray, axes=()) -> jnp.ndarray:
+                 flux: jnp.ndarray, axes=(), stable: bool = False
+                 ) -> jnp.ndarray:
     """KL data-fidelity value used by the KL-SGP solver.
 
     fv = sum(gn * log(gn/den)) + sum(A(x)) - flux
     (reference sgp.py:265,334). Differs from ``beta_div`` at beta=1 by a
     constant (-flux vs -sum(gn)+sum(bkg)); the constant matters for the
     relative-decrease stop rule, so both forms are kept.
+
+    ``stable``: compensated-tree reduction (reduce.gsum_ff) so the
+    objective — the input of stop rules 3/4 — does not inherit XLA's
+    compile-dependent summation order (config.stable_sums).
     """
-    return gsum(gn * jnp.log(gn / den), axes) + gsum(x_tf, axes) - flux
+    red = gsum_ff if stable else gsum
+    return red(gn * jnp.log(gn / den), axes) + red(x_tf, axes) - flux
 
 
 def beta_div(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
-             axes=(), log_gn: jnp.ndarray | None = None) -> jnp.ndarray:
+             axes=(), log_gn: jnp.ndarray | None = None,
+             stable: bool = False) -> jnp.ndarray:
     """beta-divergence D_beta(gn || den), generic-beta branch.
 
     Mathematically equal to the reference ``betaDiv(y=den, x=gn, betaParam)``
@@ -69,21 +76,25 @@ def beta_div(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
     d = jnp.log(den / gn_safe)            # == log(den) where gn == 0
     lg = jnp.log(gn_safe) if log_gn is None else log_gn
     gn_b = jnp.exp(beta * lg)
-    # The singular-point switches fire on |t| below the smallest NORMAL,
-    # not t == 0: XLA flushes subnormal products to zero (t*d -> 0.0 while
-    # t itself still compares != 0), so a subnormal beta slipping past an
-    # exact-equality switch yields expm1(0)/tiny-or-flushed = 0/0 = NaN.
-    # The limit value d is exact to O(t*d) there anyway.
-    tiny = jnp.finfo(jnp.result_type(den)).tiny
-    e_sing = jnp.abs(e) < tiny
+    # The singular-point switches fire while the LIMIT form r_t = d is
+    # still exact to machine precision — |t| < eps/512 keeps the dropped
+    # O(t*d/2) term below eps for any |d| up to the exp range (~700 in
+    # f64) — NOT merely below the smallest normal: XLA flushes subnormal
+    # PRODUCTS to zero, so with t itself normal but t*d subnormal (found
+    # by Hypothesis at beta = 2.225e-308, den/gn = 2) the closed form
+    # silently evaluates expm1(0)/t = 0 instead of d and the divergence
+    # goes NEGATIVE. Above the switch, a flushed t*d implies |d| <
+    # tiny/t, where 0 is the correct answer anyway.
+    t_small = jnp.finfo(jnp.result_type(den)).eps / 512.0
+    e_sing = jnp.abs(e) < t_small
     safe_e = jnp.where(e_sing, 1.0, e)
     r1 = jnp.where(e_sing, d, jnp.expm1(e * d) / safe_e)
-    b_sing = jnp.abs(beta) < tiny
+    b_sing = jnp.abs(beta) < t_small
     safe_b = jnp.where(b_sing, 1.0, beta)
     r2 = jnp.where(b_sing, d, jnp.expm1(beta * d) / safe_b)
     # gn == 0: D contributes den^b / b = (expm1(b*log den) + 1)/b = r2 + 1/b
     elem = jnp.where(pos, gn_b * (r2 - r1), r2 + 1.0 / safe_b)
-    return gsum(elem, axes)
+    return (gsum_ff if stable else gsum)(elem, axes)
 
 
 def _e2_from_expm1(s: jnp.ndarray, em: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +111,7 @@ def _e2_from_expm1(s: jnp.ndarray, em: jnp.ndarray) -> jnp.ndarray:
 
 
 def beta_div_with_dbeta(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
-                        log_gn: jnp.ndarray, axes=()):
+                        log_gn: jnp.ndarray, axes=(), stable: bool = False):
     """(beta_div value, elementwise-summed d betaDiv / d beta) in ONE pass.
 
     The solver's beta-adaptation evaluates the objective AND its
@@ -129,19 +140,21 @@ def beta_div_with_dbeta(den: jnp.ndarray, gn: jnp.ndarray, beta: jnp.ndarray,
     e = beta - 1.0
     d = jnp.log(den / gn)
     gn_b = jnp.exp(beta * log_gn)
-    # |t| < tiny (not t == 0) switches: see beta_div — XLA flushes
-    # subnormal t*d products to zero while t compares != 0
-    tiny = jnp.finfo(jnp.result_type(den)).tiny
-    e_sing = jnp.abs(e) < tiny
+    # |t| < eps/512 switches (not t == 0, and not tiny): see beta_div —
+    # XLA flushes subnormal t*d PRODUCTS to zero while t itself compares
+    # normal, and the limit form is exact to machine precision throughout
+    # the widened window
+    t_small = jnp.finfo(jnp.result_type(den)).eps / 512.0
+    e_sing = jnp.abs(e) < t_small
     safe_e = jnp.where(e_sing, 1.0, e)
     em_e = jnp.expm1(e * d)
     r1 = jnp.where(e_sing, d, em_e / safe_e)
-    b_sing = jnp.abs(beta) < tiny
+    b_sing = jnp.abs(beta) < t_small
     safe_b = jnp.where(b_sing, 1.0, beta)
     em_b = jnp.expm1(beta * d)
     r2 = jnp.where(b_sing, d, em_b / safe_b)
     diff = r2 - r1
-    fv = gsum(gn_b * diff, axes)
+    fv = (gsum_ff if stable else gsum)(gn_b * diff, axes)
     e2b = _e2_from_expm1(beta * d, em_b)
     e2e = _e2_from_expm1(e * d, em_e)
     dphi = gn_b * (log_gn * diff + (d * d) * (e2b - e2e))

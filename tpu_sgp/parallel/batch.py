@@ -319,6 +319,14 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
             f'cfg.has_sat_level=True with sat_level={sat_level}: the '
             f'saturation cap would clamp every pixel to ~0. Pass the CCD '
             f'saturation level or use a config with has_sat_level=False.')
+    if cfg.stable_sums == 'auto':
+        # Resolve 'auto' HERE (the solver core treats 'auto' as True):
+        # per-lane stop-rule scalars of a vmapped batch are aggregated
+        # statistically, and the compensated tree's log2(n) extra levels
+        # per objective evaluation are measurable at B ~ 10^4 — batches
+        # default to plain sums; single-image (science) solves keep the
+        # reproducible compensated path. Explicit True/False pass through.
+        cfg = cfg.replace(stable_sums=False)
     dtype = cfg.jnp_dtype
     b_orig = int(np.shape(stamps)[0])
     if bucket:

@@ -26,7 +26,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SGPConfig
-from ..solvers.sgp import SGPResult, solve
+from ..solvers.sgp import (SGPResult, SGPState, resume_from_state, solve,
+                           solve_with_state)
 
 
 def make_image_mesh(shape: Tuple[int, int] = None, devices=None,
@@ -108,38 +109,70 @@ def pad_to_mesh(gn, bkg, ty: int, tx: int, half: int):
     return gn_pad, bkg_pad, (hp, wp)
 
 
+def _state_specs(img_spec, vec_spec) -> SGPState:
+    """PartitionSpecs of an SGPState under the distributed solve: the
+    image-shaped leaves (iterates, gradient, transform cache) shard like
+    the image; every scalar/series leaf is replicated across the spatial
+    mesh (they are psum-reduced global quantities) and carries the batch
+    spec in the 3-D mode."""
+    return SGPState(
+        keep=vec_spec, it=vec_spec, x=img_spec, x_prev=img_spec,
+        converged=vec_spec, g=img_spec, x_tf=img_spec, fv=vec_spec,
+        alpha=vec_spec, tau=vec_spec, valpha=vec_spec, fold=vec_spec,
+        beta_p=vec_spec, lr=vec_spec, discr=vec_spec, err=vec_spec,
+        lam_dual=vec_spec, dlam_dual=vec_spec)
+
+
 @functools.lru_cache(maxsize=None)
-def _distributed_run(cfg: SGPConfig, mesh: Mesh):
+def _distributed_run(cfg: SGPConfig, mesh: Mesh, with_state: bool = False,
+                     from_state: bool = False):
     """Jitted shard_map solve, cached per (cfg, mesh). A fresh ``jax.jit``
     closure per call would re-trace and re-lower the whole while_loop
     solver on EVERY call (a new PjitFunction starts with an empty cache;
     the persistent disk cache only skips the XLA executable compile, not
     tracing/lowering) — same module-level-jit rule as batch.py's
-    ``_batched_solve``."""
+    ``_batched_solve``. ``with_state`` also returns the final SGPState
+    (sharded per ``_state_specs``) for checkpointing; ``from_state``
+    resumes from a checkpointed state instead of initializing."""
     py, px = cfg.axis_names
     img_spec = P(py, px)
     repl = P()
+    res_specs = SGPResult(x=img_spec, iters=repl, discr=repl,
+                          err=repl, beta=repl, fv=repl, scaling=repl)
+    st_specs = _state_specs(img_spec, repl)
+    in_specs = (img_spec, repl, img_spec, img_spec, repl, img_spec,
+                repl, repl, repl)
 
     @jax.jit
-    def run(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat):
+    def run(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat, *rstate):
+        def local(g, p, b, z, f, o, bp, lr, s, *rst):
+            if from_state:
+                return resume_from_state(g, p, b, z, f, o, bp, lr, s,
+                                         SGPState(*rst), cfg)
+            if with_state:
+                return solve_with_state(g, p, b, z, f, o, bp, lr, s, cfg)
+            return solve(g, p, b, z, f, o, bp, lr, s, cfg)
+
         fn = jax.shard_map(
-            lambda g, p, b, z, f, o, bp, lr, s: solve(g, p, b, z, f, o, bp,
-                                                      lr, s, cfg),
-            mesh=mesh,
-            in_specs=(img_spec, repl, img_spec, img_spec, repl, img_spec,
-                      repl, repl, repl),
-            out_specs=SGPResult(x=img_spec, iters=repl, discr=repl,
-                                err=repl, beta=repl, fv=repl, scaling=repl),
+            local, mesh=mesh,
+            in_specs=(in_specs + tuple(st_specs) if from_state
+                      else in_specs),
+            out_specs=((res_specs, st_specs) if with_state or from_state
+                       else res_specs),
             check_vma=False)
-        return fn(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)
+        return fn(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat, *rstate)
 
     return run
 
 
 def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
                       flux=None, x0=None, obj=None, beta0=1.0, lr0=1e-3,
-                      sat_level=0.0) -> SGPResult:
+                      sat_level=0.0, return_state: bool = False):
     """Solve one large image sharded over a 2-D mesh.
+
+    ``return_state=True`` also returns the final (sharded) SGPState for
+    checkpointing — save it with ``solvers.checkpoint.save_state`` (leaves
+    gather to host on save) and continue with :func:`resume_distributed`.
 
     cfg.operator / cfg.axis_names are overridden to the halo configuration.
     Images whose height/width do not divide by the mesh axis sizes (or whose
@@ -159,6 +192,26 @@ def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
     on awkward shapes, pad the image yourself to mesh-divisible extents and
     crop, or pass an explicit ``flux`` measured on the unpadded frame.
     """
+    cfg, args, (h, w), (hp, wp) = _prep_single_args(
+        gn, psf, bkg, cfg, mesh, flux, x0, obj, beta0, lr0, sat_level)
+    run = _distributed_run(cfg, mesh, with_state=return_state)
+    out = run(*args)
+    if return_state:
+        res, state = out
+        if (hp, wp) != (h, w):
+            res = res._replace(x=res.x[:h, :w])
+        return res, state
+    res = out
+    if (hp, wp) != (h, w):
+        res = res._replace(x=res.x[:h, :w])
+    return res
+
+
+def _prep_single_args(gn, psf, bkg, cfg, mesh, flux, x0, obj, beta0, lr0,
+                      sat_level):
+    """Shared input conditioning of the single-image distributed solve
+    (padding, dtype casts, sharding placement) — one implementation so
+    ``solve_distributed`` and ``resume_distributed`` cannot drift."""
     if cfg.errflag and obj is None:
         # same misuse guard as api.sgp / restore_stamps: obj would default
         # to zeros, obj_sum to 0, and the err series to all-inf
@@ -193,18 +246,53 @@ def solve_distributed(gn, psf, bkg, cfg: SGPConfig, mesh: Mesh, *,
     beta0 = jnp.asarray(beta0, dt)
     lr0 = jnp.asarray(lr0, dt)
     sat = jnp.asarray(sat_level, dt)
-
-    run = _distributed_run(cfg, mesh)
     gn = jax.device_put(gn, NamedSharding(mesh, P(*axis_names)))
-    res = run(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)
+    args = (gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat)
+    return cfg, args, (h, w), (hp, wp)
+
+
+def resume_distributed(gn, psf, bkg, state: SGPState, cfg: SGPConfig,
+                       mesh: Mesh, *, flux=None, x0=None, obj=None,
+                       beta0=1.0, lr0=1e-3, sat_level=0.0):
+    """Continue a checkpointed distributed solve (SURVEY §5 elastic
+    recovery): pass the ORIGINAL inputs plus the saved state — constants
+    are recomputed deterministically, iteration continues to cfg.max_iter
+    or the stop rule, exactly as the uninterrupted sharded solve would
+    (tests/test_checkpoint.py::test_distributed_resume_matches_uninterrupted).
+
+    ``state`` may come from a live ``solve_distributed(...,
+    return_state=True)`` (sharded leaves) or from ``checkpoint.load_state``
+    (host arrays) — leaves are (re-)placed onto the mesh here, so a
+    checkpoint written by one mesh geometry resumes on another (the device
+    count may change between failures; only the PADDED image extents must
+    match, which ``pad_to_mesh`` reproduces from the same inputs whenever
+    the tile constraints agree — validated below). Returns
+    ``(result, state)``.
+    """
+    cfg, args, (h, w), (hp, wp) = _prep_single_args(
+        gn, psf, bkg, cfg, mesh, flux, x0, obj, beta0, lr0, sat_level)
+    if tuple(np.shape(state.x)) != (hp, wp):
+        raise ValueError(
+            f'checkpoint image leaves are {np.shape(state.x)} but these '
+            f'inputs pad to {(hp, wp)} on this mesh — resume with the '
+            f'original image/PSF and a mesh whose padded extents match')
+    axis_names = tuple(mesh.axis_names)
+    img_sh = NamedSharding(mesh, P(*axis_names))
+    repl_sh = NamedSharding(mesh, P())
+    specs = _state_specs(img_sh, repl_sh)
+    state = SGPState(*(jax.device_put(leaf, sh)
+                       for leaf, sh in zip(state, specs)))
+    run = _distributed_run(cfg, mesh, from_state=True)
+    res, new_state = run(*args, *state)
     if (hp, wp) != (h, w):
         res = res._replace(x=res.x[:h, :w])
-    return res
+    return res, new_state
 
 
 def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
                             fluxes=None, x0=None, objs=None, beta0=1.0,
-                            lr0=1e-3, sat_level=0.0) -> SGPResult:
+                            lr0=1e-3, sat_level=0.0,
+                            return_state: bool = False):
     """Solve a batch of large images over a 3-D (batch, ty, tx) mesh.
 
     The combined mode of SURVEY §2.3: independent restorations fan out over
@@ -288,31 +376,141 @@ def solve_distributed_batch(gns, psf, bkgs, cfg: SGPConfig, mesh: Mesh, *,
     lr0 = jnp.asarray(lr0, dt)
     sat = jnp.asarray(sat_level, dt)
 
-    run = _distributed_batch_run(cfg, mesh)
+    run = _distributed_batch_run(cfg, mesh, with_state=return_state)
 
     gns = jax.device_put(gns, NamedSharding(mesh, P(bax, py, px)))
-    res = run(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat)
+    out = run(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat)
+    res, state = out if return_state else (out, None)
     if (bfull, hp, wp) != (b, h, w):
         res = SGPResult(*(f[:b] for f in res))._replace(
             x=res.x[:b, :h, :w])
-    return res
+    # state (if any) keeps the PADDED geometry — resume needs it intact
+    return (res, state) if return_state else res
+
+
+def resume_distributed_batch(gns, psf, bkgs, state: SGPState,
+                             cfg: SGPConfig, mesh: Mesh, *, fluxes=None,
+                             x0=None, objs=None, beta0=1.0, lr0=1e-3,
+                             sat_level=0.0):
+    """Continue a checkpointed 3-D (batch, ty, tx) solve — the batched
+    sibling of :func:`resume_distributed`. Pass the ORIGINAL inputs plus
+    the state from ``solve_distributed_batch(..., return_state=True)`` (or
+    ``checkpoint.load_state``); the state keeps the padded batch/image
+    geometry, results are cropped back to the input extents. Returns
+    ``(result, state)``."""
+    b_in, h_in, w_in = np.shape(gns)
+    bax, py, px = tuple(mesh.axis_names)
+    img_sh = NamedSharding(mesh, P(bax, py, px))
+    vec_sh = NamedSharding(mesh, P(bax))
+    specs = _state_specs(img_sh, vec_sh)
+    state = SGPState(*(jax.device_put(np.asarray(leaf), sh)
+                       for leaf, sh in zip(state, specs)))
+    bfull, hp, wp = np.shape(state.x)
+
+    # Re-run the SAME host-side conditioning as solve_distributed_batch
+    # (geometry is then validated against the checkpoint).
+    if cfg.errflag and objs is None:
+        raise ValueError('cfg.errflag=True but objs=None: the relative-'
+                         'error series needs the ground truth. Pass objs '
+                         'or use a config with errflag=False.')
+    cfg = cfg.replace(operator='halo', axis_names=(py, px), sync_axes=(bax,))
+    dt = cfg.jnp_dtype
+    dt_np = np.dtype(cfg.dtype)
+    gns = np.asarray(gns, dt_np)
+    b, h, w = gns.shape
+    kh, kw = np.shape(psf)
+    half = max(kh, kw) // 2
+    ty, tx = mesh.shape[py], mesh.shape[px]
+    bkgs = np.asarray(bkgs, dt_np)
+    if bkgs.ndim == 1:
+        bkgs = bkgs[:, None, None]
+    bkgs = np.broadcast_to(bkgs, (b, h, w))
+    gns, bkgs, (hp2, wp2) = pad_to_mesh(gns, bkgs, ty, tx, half)
+    if (hp2, wp2) != (hp, wp) or -(-b // mesh.shape[bax]) *             mesh.shape[bax] != bfull:
+        raise ValueError(
+            f'checkpoint geometry (B={bfull}, {hp}x{wp}) does not match '
+            f'these inputs on this mesh — resume with the original batch '
+            f'and a mesh with matching padded extents')
+    if (hp, wp) != (h, w):
+        pad3 = ((0, 0), (0, hp - h), (0, wp - w))
+        if x0 is not None:
+            x0 = np.pad(np.asarray(x0, dt_np), pad3)
+        if objs is not None:
+            objs = np.pad(np.asarray(objs, dt_np), pad3)
+    if bfull != b:
+        def _repeat0(a):
+            a = np.asarray(a)
+            return np.concatenate(
+                [a, np.broadcast_to(a[:1], (bfull - b,) + a.shape[1:])])
+        gns, bkgs = _repeat0(gns), _repeat0(bkgs)
+        if x0 is not None:
+            x0 = _repeat0(np.asarray(x0, dt_np))
+        if objs is not None:
+            objs = _repeat0(np.asarray(objs, dt_np))
+        if fluxes is not None:
+            fluxes = _repeat0(np.asarray(fluxes, dt_np))
+        beta0 = _repeat0(np.broadcast_to(np.asarray(beta0, dt_np), (b,)))
+    x0 = (np.zeros((bfull, hp, wp), dt_np) if x0 is None
+          else np.asarray(x0, dt_np))
+    objs = (np.zeros((bfull, hp, wp), dt_np) if objs is None
+            else np.asarray(objs, dt_np))
+    psf = jnp.asarray(psf, dt)
+    flux_in = (np.zeros((bfull,), dt_np) if fluxes is None
+               else np.asarray(fluxes, dt_np))
+    cfg = cfg.replace(has_flux=fluxes is not None)
+    beta0 = np.broadcast_to(np.asarray(beta0, dt_np), (bfull,))
+    lr0 = jnp.asarray(lr0, dt)
+    sat = jnp.asarray(sat_level, dt)
+
+    run = _distributed_batch_run(cfg, mesh, from_state=True)
+    gns = jax.device_put(gns, img_sh)
+    res, new_state = run(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0,
+                         sat, *state)
+    if (bfull, hp, wp) != (b_in, h_in, w_in):
+        res = SGPResult(*(f[:b_in] for f in res))._replace(
+            x=res.x[:b_in, :h_in, :w_in])
+    return res, new_state
 
 
 @functools.lru_cache(maxsize=None)
-def _distributed_batch_run(cfg: SGPConfig, mesh: Mesh):
+def _distributed_batch_run(cfg: SGPConfig, mesh: Mesh,
+                           with_state: bool = False,
+                           from_state: bool = False):
     """Jitted (batch, ty, tx) shard_map solve, cached per (cfg, mesh) —
-    see ``_distributed_run`` for why a per-call jit closure is wrong."""
+    see ``_distributed_run`` for why a per-call jit closure is wrong.
+    ``with_state``/``from_state`` mirror ``_distributed_run``: the state
+    leaves carry a leading per-image batch dimension (vmap axis), so the
+    image leaves shard P(batch, ty, tx) and everything else P(batch)."""
     (bax,) = cfg.sync_axes
     py, px = cfg.axis_names
     img_spec = P(bax, py, px)
     vec_spec = P(bax)
     repl = P()
+    res_specs = SGPResult(x=img_spec, iters=vec_spec, discr=vec_spec,
+                          err=vec_spec, beta=vec_spec, fv=vec_spec,
+                          scaling=vec_spec)
+    st_specs = _state_specs(img_spec, vec_spec)
+    in_specs = (img_spec, repl, img_spec, img_spec, vec_spec,
+                img_spec, vec_spec, repl, repl)
 
     @jax.jit
-    def run(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat):
-        def local(g, p, bk, z, f, o, bp, lr, s):
+    def run(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat, *rstate):
+        def local(g, p, bk, z, f, o, bp, lr, s, *rst):
             # vmap over the local batch shard; mesh collectives inside the
             # solver reduce over ('ty','tx'), orthogonal to the vmap axis
+            if from_state:
+                return jax.vmap(
+                    lambda g_, bk_, z_, f_, o_, bp_, st_:
+                        resume_from_state(g_, p, bk_, z_, f_, o_, bp_, lr,
+                                          s, st_, cfg),
+                    in_axes=(0, 0, 0, 0, 0, 0, 0),
+                )(g, bk, z, f, o, bp, SGPState(*rst))
+            if with_state:
+                return jax.vmap(
+                    lambda g_, bk_, z_, f_, o_, bp_:
+                        solve_with_state(g_, p, bk_, z_, f_, o_, bp_, lr,
+                                         s, cfg),
+                )(g, bk, z, f, o, bp)
             return jax.vmap(
                 lambda g_, bk_, z_, f_, o_, bp_:
                     solve(g_, p, bk_, z_, f_, o_, bp_, lr, s, cfg),
@@ -320,12 +518,12 @@ def _distributed_batch_run(cfg: SGPConfig, mesh: Mesh):
 
         fn = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(img_spec, repl, img_spec, img_spec, vec_spec,
-                      img_spec, vec_spec, repl, repl),
-            out_specs=SGPResult(x=img_spec, iters=vec_spec, discr=vec_spec,
-                                err=vec_spec, beta=vec_spec, fv=vec_spec,
-                                scaling=vec_spec),
+            in_specs=(in_specs + tuple(st_specs) if from_state
+                      else in_specs),
+            out_specs=((res_specs, st_specs) if with_state or from_state
+                       else res_specs),
             check_vma=False)
-        return fn(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat)
+        return fn(gns, psf, bkgs, x0, flux_in, objs, beta0, lr0, sat,
+                  *rstate)
 
     return run

@@ -36,7 +36,8 @@ class RestorationSession:
                  sat_level: float = 65000.0, beta0: float = 1.005,
                  lr0: float = 1e-3, mesh=None, batch_axis: str = 'batch',
                  phase1_iters: Optional[int] = None,
-                 tail_bucket: int = 512):
+                 tail_bucket: int = 512,
+                 ingest_dtypes: Tuple[str, ...] = ('float32',)):
         """``phase1_iters`` enables convergence compaction for served
         batches larger than ``tail_bucket`` (single-device sessions):
         measure your workload's iteration distribution once and pass ~its
@@ -45,7 +46,19 @@ class RestorationSession:
         serving will run; an adaptive cap would recompile at serve time.
 
         ``batch_axis`` names the mesh axis the served batch shards over
-        (meshes whose axes are not named 'batch' need it forwarded)."""
+        (meshes whose axes are not named 'batch' need it forwarded).
+
+        ``ingest_dtypes`` lists the request dtypes ``warmup`` pre-compiles
+        for: 'float32' and/or 'uint16'. uint16 requests (raw CCD ADUs —
+        the reference workload's ccd_sat_level=65000 fits u16 exactly,
+        application_sgp_star_stamps.py:23) ship HALF the upload bytes of
+        the f32 packed buffer: the stamp block stays u16 end-to-end and
+        the three f32 sidecar columns (bkg/flux/beta) ride bit-cast as
+        u16 pairs, so the whole request is still ONE buffer; the device
+        converts to f32 after the transfer (exact: integers <= 65535 are
+        f32-representable). Serving streams on transfer-bound links are
+        upload-limited, so this is the dynamic-batching lever's sibling
+        (docs/PERFORMANCE.md)."""
         if cfg is None:
             # serving reads x/iters, never the per-iteration series:
             # track_discr=False drops a (B, max_iter+1) scatter per
@@ -74,7 +87,13 @@ class RestorationSession:
                         and cfg.operator in ('auto', 'matmul',
                                              'matmul_flat')
                         and self.psf.shape == self.stamp_shape)
-        self._warmed: set = set()
+        self.ingest_dtypes = tuple(ingest_dtypes)
+        for d in self.ingest_dtypes:
+            if d not in ('float32', 'uint16'):
+                raise ValueError(f'ingest_dtypes entries must be float32 '
+                                 f'or uint16, got {d!r}')
+        self._warmed: set = set()   # {(bucket, kind)} with kind in
+                                    # {'packed', 'packed-u16', 'plain'}
         self._warming = False  # warmup() in progress: its own calls must
                                # not trigger the not-warmed warning
         # single-device sessions run the PACKED path: every per-request
@@ -125,17 +144,21 @@ class RestorationSession:
         self._warming = True
         try:
             for b in buckets:
-                dummy = np.full((b, h, w), 100.0)
-                dummy[:, h // 2, w // 2] = 1000.0
-                self._finish(self._restore_padded(
-                    dummy, np.full(b, 100.0),
-                    fluxes=np.full(b, 900.0) if self.cfg.has_flux else None,
-                    _exact=True))
+                for kind in self.ingest_dtypes:
+                    dummy = np.full((b, h, w), 100.0)
+                    dummy[:, h // 2, w // 2] = 1000.0
+                    if kind == 'uint16':
+                        dummy = dummy.astype(np.uint16)
+                    self._finish(self._restore_padded(
+                        dummy, np.full(b, 100.0),
+                        fluxes=(np.full(b, 900.0) if self.cfg.has_flux
+                                else None),
+                        _exact=True))
         finally:
             self._warming = False
 
-    def _packed_prog(self, bucket: int):
-        prog = self._packed_progs.get(bucket)
+    def _packed_prog(self, bucket: int, kind: str = 'packed'):
+        prog = self._packed_progs.get((bucket, kind))
         if prog is not None:
             return prog
         h, w = self.stamp_shape
@@ -144,10 +167,19 @@ class RestorationSession:
         dt = cfg.jnp_dtype
 
         def fn(packed):
-            stamps = packed[:, :n].reshape(bucket, h, w)
-            bkgs = packed[:, n]
-            fluxes = packed[:, n + 1] if cfg.has_flux else None
-            beta0 = packed[:, n + 2]
+            if kind == 'packed-u16':
+                # stamp block: raw u16 ADUs -> f32 on device (exact);
+                # sidecar: 3 f32 columns bit-cast as u16 pairs
+                stamps = packed[:, :n].astype(dt).reshape(bucket, h, w)
+                side = jax.lax.bitcast_convert_type(
+                    packed[:, n:].reshape(bucket, 3, 2), jnp.float32
+                ).astype(dt)
+                bkgs, flux_col, beta0 = side[:, 0], side[:, 1], side[:, 2]
+            else:
+                stamps = packed[:, :n].reshape(bucket, h, w)
+                bkgs, flux_col, beta0 = (packed[:, n], packed[:, n + 1],
+                                         packed[:, n + 2])
+            fluxes = flux_col if cfg.has_flux else None
             res = restore_stamps(
                 stamps, self.psf, bkgs, cfg, fluxes=fluxes, beta0=beta0,
                 lr0=self.lr0, sat_level=self.sat_level, bucket=False,
@@ -161,18 +193,32 @@ class RestorationSession:
             return jnp.concatenate(parts, axis=1)
 
         prog = jax.jit(fn)
-        self._packed_progs[bucket] = prog
+        self._packed_progs[(bucket, kind)] = prog
         return prog
 
     def _pack_request(self, stamps, bkgs, fluxes, beta0):
         b, h, w = stamps.shape
+        if stamps.dtype == np.uint16:
+            # ONE u16 buffer: stamp block verbatim + the three f32
+            # sidecar columns bit-cast to u16 pairs (device bitcast
+            # restores them exactly) — half the upload bytes of the f32
+            # layout without a second host->device array (each array
+            # costs a full link round trip on tunneled rigs, NOTES.md)
+            side = np.empty((b, 3), np.float32)
+            side[:, 0] = bkgs
+            side[:, 1] = 0.0 if fluxes is None else fluxes
+            side[:, 2] = self.beta0 if beta0 is None else beta0
+            packed = np.empty((b, h * w + 6), np.uint16)
+            packed[:, :h * w] = stamps.reshape(b, -1)
+            packed[:, h * w:] = side.view(np.uint16)
+            return packed, 'packed-u16'
         dt = np.dtype(self.cfg.dtype)
         packed = np.empty((b, h * w + 3), dt)
         packed[:, :h * w] = stamps.reshape(b, -1)
         packed[:, h * w] = bkgs
         packed[:, h * w + 1] = 0.0 if fluxes is None else fluxes
         packed[:, h * w + 2] = (self.beta0 if beta0 is None else beta0)
-        return packed
+        return packed, 'packed'
 
     @staticmethod
     def _unpack_result(out: np.ndarray, b: int, h: int, w: int) -> SGPResult:
@@ -206,14 +252,20 @@ class RestorationSession:
                 _pad_args_to_bucket(self.mesh, stamps, bkgs, fluxes=fluxes,
                                     beta0=beta0)
         bucket = stamps.shape[0]
-        if bucket not in self._warmed \
+        kind = 'plain'
+        if (self.mesh is None and not self.cfg.track_discr
+                and not self.cfg.errflag and np.ndim(bkgs) <= 1):
+            kind = ('packed-u16' if stamps.dtype == np.uint16 else 'packed')
+        if (bucket, kind) not in self._warmed \
                 and not getattr(self, '_warming', False):
             import warnings
             warnings.warn(
-                f'RestorationSession: batch {b} pads to bucket {bucket}, '
-                f'which was not warmed (warmed: {sorted(self._warmed)}) — '
-                f'this request pays a full solver compile. Warm it with '
-                f'warmup(buckets=[{bucket}]) or warmup(max_batch=...).',
+                f'RestorationSession: batch {b} pads to bucket {bucket} '
+                f'({kind}), which was not warmed (warmed: '
+                f'{sorted(self._warmed)}) — this request pays a full '
+                f'solver compile. Warm it with warmup(buckets=[{bucket}]) '
+                f'or warmup(max_batch=...) (u16 requests need '
+                f"ingest_dtypes=('uint16',)).",
                 stacklevel=3)
         if self.cfg.has_flux and fluxes is None:
             # fail HERE like restore_stamps does — the packed layout would
@@ -221,16 +273,17 @@ class RestorationSession:
             # zero reconstructions
             raise ValueError('cfg.has_flux=True but fluxes=None: every '
                              'reconstruction would be identically zero')
-        if (self.mesh is None and not self.cfg.track_discr
-                and not self.cfg.errflag and np.ndim(bkgs) <= 1):
+        if kind != 'plain':
             # packed single-device fast path: one H2D, one program, one
-            # D2H. Per-pixel background MAPS don't fit the (B, H*W+3)
-            # layout — they take the plain multi-array path below.
-            packed = self._pack_request(np.asarray(stamps), bkgs, fluxes,
-                                        beta0)
-            out = self._packed_prog(bucket)(packed)
-            self._warmed.add(bucket)
+            # D2H. Per-pixel background MAPS don't fit the packed layout —
+            # they take the plain multi-array path below.
+            packed, kind = self._pack_request(np.asarray(stamps), bkgs,
+                                              fluxes, beta0)
+            out = self._packed_prog(bucket, kind)(packed)
+            self._warmed.add((bucket, kind))
             return ('packed', out), b
+        if stamps.dtype == np.uint16:
+            stamps = stamps.astype(self.cfg.dtype)
         res = restore_stamps(
             stamps, self.psf, bkgs, self.cfg, fluxes=fluxes,
             beta0=self.beta0 if beta0 is None else beta0, lr0=self.lr0,
@@ -240,7 +293,7 @@ class RestorationSession:
             flatten=self.flatten)
         # only after the solve dispatched successfully — a failed request
         # must not register its bucket as warmed
-        self._warmed.add(bucket)
+        self._warmed.add((bucket, 'plain'))
         return ('plain', res), b
 
     def _finish(self, pending) -> SGPResult:
@@ -402,7 +455,21 @@ class MicroBatchServer:
     """
 
     def __init__(self, session: RestorationSession, max_batch: int = 1024,
-                 max_delay_s: float = 0.002):
+                 max_delay_s: float = 0.002,
+                 max_batches_per_process: Optional[int] = None,
+                 rss_limit_mb: Optional[float] = None,
+                 on_limit=None):
+        """``max_batches_per_process`` / ``rss_limit_mb`` arm the
+        leak watchdog: the axon TPU plugin leaks ~1 MB of host RSS per
+        device call (NOTES.md bisection — plugin-side, not repo buffers),
+        so a long-lived server must recycle its worker process
+        periodically. After each served batch the watchdog checks both
+        limits; on the first crossing it sets ``recycle_recommended`` and
+        calls ``on_limit(stats_dict)`` (default: a structured
+        ``ResourceWarning``). The server keeps serving — draining and
+        restarting the process is the supervisor's job (see
+        docs/DEPLOYMENT.md 'Serving process recycling'); ``drain()``
+        blocks until the queue is empty so the handoff loses nothing."""
         import threading
 
         if max_batch < 1:
@@ -410,15 +477,87 @@ class MicroBatchServer:
         self.session = session
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_s)
+        self.max_batches_per_process = max_batches_per_process
+        self.rss_limit_mb = rss_limit_mb
+        self.on_limit = on_limit
+        self.recycle_recommended = False
         from collections import deque
         self._lock = threading.Condition()
         self._queue: deque = deque()    # [(future, request_tuple, n), ...]
         self._closed = False
+        self._idle = threading.Event()
+        self._idle.set()
         self.batches_served = 0         # observability: device calls made
         self.requests_served = 0
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name='tpu-sgp-microbatch')
         self._worker.start()
+
+    @staticmethod
+    def process_rss_mb() -> float:
+        """Current resident set size of this process in MB (0.0 where
+        /proc is unavailable)."""
+        try:
+            import os
+            with open('/proc/self/statm') as f:
+                pages = int(f.read().split()[1])
+            return pages * os.sysconf('SC_PAGE_SIZE') / 1e6
+        except (OSError, ValueError, IndexError):
+            return 0.0
+
+    def watchdog_stats(self) -> dict:
+        return {'batches_served': self.batches_served,
+                'requests_served': self.requests_served,
+                'rss_mb': self.process_rss_mb(),
+                'max_batches_per_process': self.max_batches_per_process,
+                'rss_limit_mb': self.rss_limit_mb,
+                'recycle_recommended': self.recycle_recommended}
+
+    def _check_watchdog(self) -> None:
+        if self.recycle_recommended:
+            return                      # fire once per crossing
+        hit = (self.max_batches_per_process is not None
+               and self.batches_served >= self.max_batches_per_process)
+        rss = None
+        if not hit and self.rss_limit_mb is not None:
+            rss = self.process_rss_mb()
+            hit = rss > self.rss_limit_mb
+        if not hit:
+            return
+        self.recycle_recommended = True
+        stats = self.watchdog_stats()
+        if self.on_limit is not None:
+            try:
+                self.on_limit(stats)
+            except Exception:           # noqa: BLE001 — watchdog must not
+                pass                    # kill the serving worker
+        else:
+            import warnings
+            warnings.warn(
+                f'MicroBatchServer watchdog: recycle recommended after '
+                f'{stats["batches_served"]} device calls '
+                f'(rss={stats["rss_mb"]:.0f} MB) — the axon plugin leaks '
+                f'~1 MB host RSS per call (NOTES.md); drain() and restart '
+                f'the serving process (docs/DEPLOYMENT.md).',
+                ResourceWarning, stacklevel=2)
+
+    def drain(self, timeout: Optional[float] = None) -> bool:
+        """Block until every queued request has been served (the server
+        stays open). Returns False on timeout. New submissions during a
+        drain extend it — pause producers first for a recycle handoff."""
+        import time as _time
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        while True:
+            with self._lock:
+                empty = not self._queue
+            if empty and self._idle.wait(
+                    timeout=None if deadline is None
+                    else max(0.0, deadline - _time.monotonic())):
+                with self._lock:
+                    if not self._queue:
+                        return True
+            if deadline is not None and _time.monotonic() >= deadline:
+                return False
 
     # -- client side -------------------------------------------------------
     def submit(self, stamps, bkgs, fluxes=None, beta0=None):
@@ -499,6 +638,9 @@ class MicroBatchServer:
                 self._lock.wait(timeout=left)
                 if not self._queue:
                     break               # timed out (or spurious) and empty
+            # still under the lock: a drain() that sees the queue empty
+            # must also see the worker busy until this batch is served
+            self._idle.clear()
             return batch
 
     def _run(self):
@@ -532,6 +674,9 @@ class MicroBatchServer:
                 for fut in futs:
                     if not fut.done():
                         fut.set_exception(exc)
+            finally:
+                self._check_watchdog()
+                self._idle.set()
 
     # -- lifecycle ---------------------------------------------------------
     def close(self, timeout: float = 60.0) -> None:

@@ -92,3 +92,43 @@ def load_state(path: str, backend: str = 'npz') -> SGPState:
     if backend == 'orbax':
         return load_state_orbax(path)
     raise ValueError(f'unknown checkpoint backend {backend}')
+
+
+def solve_checkpointed(gn, psf, bkg, x0, flux_in, obj, beta0, lr0,
+                       sat_level, cfg, *, path: str, every: int,
+                       backend: str = 'npz'):
+    """Single-image solve that persists a checkpoint every ``every``
+    iterations (the long-whole-frame recovery hook of SURVEY §5): run in
+    ``every``-iteration chunks via ``solve_with_state`` /
+    ``resume_from_state`` — chunked == uninterrupted exactly, because the
+    full loop state (including the non-monotone line-search memory and the
+    BB alpha history) rides in the SGPState — saving to ``path`` between
+    chunks. If the process dies, ``load_state(path)`` +
+    ``resume_from_state`` (with the ORIGINAL inputs and config) loses at
+    most ``every`` iterations. Returns ``(result, state)``.
+
+    For sharded solves use ``parallel.distributed.solve_distributed(...,
+    return_state=True)`` / ``resume_distributed`` in the same chunked
+    pattern (docs/DEPLOYMENT.md 'Checkpointed long solves').
+    """
+    from .sgp import resume_from_state, solve_with_state
+
+    if every < 1:
+        raise ValueError('every must be >= 1')
+    total = cfg.max_iter
+    budget = min(every, total)
+    # a compiled while_loop cannot pause mid-run, so drive it in chunks:
+    # the first chunk runs under a max_iter=budget config, later chunks
+    # resume under growing budgets up to the real max_iter.
+    res, state = solve_with_state(gn, psf, bkg, x0, flux_in, obj, beta0,
+                                  lr0, sat_level,
+                                  cfg.replace(max_iter=budget))
+    save_state(path, state, backend=backend)
+    while (not bool(np.asarray(state.converged))
+           and int(np.asarray(state.it)) <= total and budget < total):
+        budget = min(budget + every, total)
+        res, state = resume_from_state(gn, psf, bkg, x0, flux_in, obj,
+                                       beta0, lr0, sat_level, state,
+                                       cfg.replace(max_iter=budget))
+        save_state(path, state, backend=backend)
+    return res, state

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from ..config import SGPConfig
 from ..ops import divergence as dv
 from ..ops.psf_operator import make_operator
-from ..ops.reduce import gmax, gmean, gmin, gsum
+from ..ops.reduce import gmax, gmean, gmin, gsum, gsum_ff
 from ..projection.flux_projection import (project_df, project_df_bisect,
                                           project_df_bisect_warm,
                                           project_df_sort)
@@ -123,10 +123,26 @@ def _dump_iteration(x, gn, it) -> None:
                np.nan_to_num(res))
 
 
+def _use_stable(cfg: SGPConfig) -> bool:
+    """Resolve cfg.stable_sums for this solve. 'auto' = compensated
+    reductions for f32 (where XLA's compile-dependent summation order
+    measurably swings stop-rule iteration counts — config.stable_sums)
+    but plain sums for f64, whose roundoff sits far below every stop
+    tolerance and whose differential tests compare trajectories against
+    the NumPy oracle's plain-sum order. The batch layer additionally
+    resolves 'auto' to False for vmapped stamps (restore_stamps)."""
+    if cfg.stable_sums == 'auto':
+        return cfg.jnp_dtype != jnp.float64
+    return cfg.stable_sums
+
+
 def _objective(cfg: SGPConfig, x_tf, den, gn, flux, beta, log_gn=None):
+    stable = _use_stable(cfg)
     if cfg.divergence == 'kl':
-        return dv.kl_objective(x_tf, den, gn, flux, cfg.axis_names)
-    return dv.beta_div(den, gn, beta, cfg.axis_names, log_gn=log_gn)
+        return dv.kl_objective(x_tf, den, gn, flux, cfg.axis_names,
+                               stable=stable)
+    return dv.beta_div(den, gn, beta, cfg.axis_names, log_gn=log_gn,
+                       stable=stable)
 
 
 def _gradient(cfg: SGPConfig, AT, den, gn, beta):
@@ -377,7 +393,7 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
                 # SymPy form to 0 there, sgp.py:493-494 — an artifact, not
                 # the true derivative; deviation noted in PARITY.md).
                 fv_t, local_grad = dv.beta_div_with_dbeta(
-                    den_t, gn, bp, log_gn, ax)
+                    den_t, gn, bp, log_gn, ax, stable=_use_stable(cfg))
                 ok = (fv_t <= fr + gamma * lam * gd) | (lam < 1e-12)
                 bgrad = (jax.lax.psum(local_grad, ax) if ax
                          else local_grad) / n
@@ -475,7 +491,8 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
         if cfg.stop_criterion in (0, 1):
             rule_keep = jnp.bool_(True)
         elif cfg.stop_criterion == 2:
-            normstep = gsum(sk * sk, ax) / gsum(x_new * x_new, ax)
+            red = gsum_ff if _use_stable(cfg) else gsum
+            normstep = red(sk * sk, ax) / red(x_new * x_new, ax)
             rule_keep = normstep > tol
         elif cfg.stop_criterion == 3:
             reldecrease = (fold[-1] - fv_new) / fv_new
