@@ -242,6 +242,12 @@ def bench_serving_stream(np_stamps, np_psf, np_bkgs, np_fluxes):
 
     sess = RestorationSession(np_psf, ingest_dtypes=('float32', 'uint16'))
     sess.warmup(buckets=(256, 4 * 256))
+    # u16 WIRE mode: u16 ingest AND per-lane-quantized u16 egress — halves
+    # the bytes in BOTH directions (error bound max(x)/131070 ~ 0.5 ADU,
+    # below detector digitization; see session docstring)
+    sess_wire = RestorationSession(np_psf, ingest_dtypes=('uint16',),
+                                   egress_dtype='uint16')
+    sess_wire.warmup(buckets=(256, 4 * 256))
     # requests carry RAW CCD ADUs as uint16 (exact: the synthetic stamps
     # are quantized like a real detector would deliver them; the reference
     # workload's ccd_sat_level=65000 fits u16) — the packed request buffer
@@ -258,15 +264,17 @@ def bench_serving_stream(np_stamps, np_psf, np_bkgs, np_fluxes):
             yield (stamps, b, fl)
 
     rates = {}
-    for kind, stamps, fl in (('f32', s32, f), ('u16', su16, f16)):
-        for _ in sess.restore_stream([(stamps, b, fl)]):  # warm the path
+    for kind, ss, stamps, fl in (('f32', sess, s32, f),
+                                 ('u16', sess, su16, f16),
+                                 ('u16_wire', sess_wire, su16, f16)):
+        for _ in ss.restore_stream([(stamps, b, fl)]):  # warm the path
             pass
         best = None
         for coalesce in (1, 4):
             for _ in range(3):
                 t0 = time.perf_counter()
-                for _res in sess.restore_stream(batches(stamps, fl),
-                                                coalesce=coalesce):
+                for _res in ss.restore_stream(batches(stamps, fl),
+                                              coalesce=coalesce):
                     pass
                 wall = time.perf_counter() - t0
                 best = wall if best is None else min(best, wall)
@@ -276,6 +284,9 @@ def bench_serving_stream(np_stamps, np_psf, np_bkgs, np_fluxes):
           rates['f32'], 'stamps/s', rates['f32'] * BASELINE_STAMP_SECONDS)
     _emit(f'serving_stream_u16_ingest_stamps_per_s_{SUFFIX}',
           rates['u16'], 'stamps/s', rates['u16'] * BASELINE_STAMP_SECONDS)
+    _emit(f'serving_stream_u16_wire_stamps_per_s_{SUFFIX}',
+          rates['u16_wire'], 'stamps/s',
+          rates['u16_wire'] * BASELINE_STAMP_SECONDS)
 
 
 def _enter_cpu_fallback():

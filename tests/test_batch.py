@@ -927,6 +927,53 @@ def test_session_u16_packed_ingest_exact():
     assert pk_u16.nbytes * 2 < pk_f32.nbytes * 1.03
 
 
+def test_session_u16_egress_quantization_bound():
+    """egress_dtype='uint16' ships restored stamps as per-lane affine u16
+    (half the download bytes); the dequantized result must match the f32
+    egress within the documented max(x)/131070 per-pixel bound, and the
+    sidecar scalars (iters/fv/beta/scaling) must round-trip bit-exactly
+    through the u16 bit-cast."""
+    import warnings
+
+    from tpu_sgp.parallel.session import RestorationSession
+
+    stamps, psf, bkgs, _ = synthetic_star_stamps(5, size=16, seed=8)
+    fluxes = stamps.sum(axis=(1, 2)) - 256 * bkgs
+    cfg = _cfg(max_iter=6, dtype='float32', track_discr=False)
+    s32 = RestorationSession(psf, cfg, stamp_shape=(16, 16))
+    s16 = RestorationSession(psf, cfg, stamp_shape=(16, 16),
+                             egress_dtype='uint16')
+    s32.warmup(buckets=(8,))
+    s16.warmup(buckets=(8,))
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')  # warmed: no bucket warnings
+        r32 = s32.restore(stamps.astype(np.float32), bkgs, fluxes=fluxes)
+        r16 = s16.restore(stamps.astype(np.float32), bkgs, fluxes=fluxes)
+    bound = r32.x.reshape(5, -1).max(axis=1) / 131070.0 + 1e-6
+    err = np.abs(r16.x - r32.x).reshape(5, -1).max(axis=1)
+    assert (err <= bound).all(), (err, bound)
+    np.testing.assert_array_equal(r16.iters, r32.iters)
+    np.testing.assert_array_equal(r16.fv, r32.fv)
+    np.testing.assert_array_equal(r16.beta, r32.beta)
+    np.testing.assert_array_equal(r16.scaling, r32.scaling)
+    # download-byte accounting: the u16 result buffer is ~half the f32 one
+    out16 = s16._packed_prog(8, 'packed')(
+        s16._pack_request(stamps.astype(np.float32)[[0] * 8],
+                          np.repeat(bkgs[:1], 8),
+                          np.repeat(fluxes[:1], 8), None)[0])
+    out32 = s32._packed_prog(8, 'packed')(
+        s32._pack_request(stamps.astype(np.float32)[[0] * 8],
+                          np.repeat(bkgs[:1], 8),
+                          np.repeat(fluxes[:1], 8), None)[0])
+    assert np.asarray(out16).nbytes * 2 < np.asarray(out32).nbytes * 1.1
+    try:
+        RestorationSession(psf, cfg, egress_dtype='int8')
+    except ValueError:
+        pass
+    else:
+        raise AssertionError('bad egress_dtype must raise')
+
+
 def test_microbatch_watchdog_and_drain():
     """Leak watchdog (round-3 verdict: turn the NOTES.md axon-leak advice
     into enforceable library behavior): after max_batches_per_process

@@ -51,19 +51,28 @@ def test_native_render_grid_spatial_variation():
 
 
 def test_native_throughput():
-    """Bulk rendering must beat the per-matrix Python loop comfortably."""
+    """Bulk rendering must beat the per-matrix Python loop comfortably.
+
+    Timed with thread CPU time, not wall clock: under pytest-xdist the
+    workers share the host cores and wall timing is biased AGAINST the
+    long native call (a 33 ms bulk render absorbs several scheduler
+    preemptions; a 0.2 ms Python call fits inside one quantum), which
+    made this flake under load. Both sides run synchronously on the
+    calling thread, so thread_time is exact and preemption-immune."""
     m = _model()
     n = 200
     xs = np.linspace(0, 450, n)
     ys = np.linspace(0, 450, n)
-    t0 = time.perf_counter()
-    native.render_grid(m, xs, ys, 31)
-    native_wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(5):
-        m.matrix(31)
-    python_wall = (time.perf_counter() - t0) / 5 * n
-    assert native_wall < python_wall
+    native_cpu = min(_timed(lambda: native.render_grid(m, xs, ys, 31))
+                     for _ in range(3))
+    python_cpu = min(_timed(lambda: m.matrix(31)) for _ in range(5)) * n
+    assert native_cpu < python_cpu
+
+
+def _timed(fn):
+    t0 = time.thread_time()
+    fn()
+    return time.thread_time() - t0
 
 
 def test_native_even_size_matches_python():

@@ -37,7 +37,8 @@ class RestorationSession:
                  lr0: float = 1e-3, mesh=None, batch_axis: str = 'batch',
                  phase1_iters: Optional[int] = None,
                  tail_bucket: int = 512,
-                 ingest_dtypes: Tuple[str, ...] = ('float32',)):
+                 ingest_dtypes: Tuple[str, ...] = ('float32',),
+                 egress_dtype: str = 'float32'):
         """``phase1_iters`` enables convergence compaction for served
         batches larger than ``tail_bucket`` (single-device sessions):
         measure your workload's iteration distribution once and pass ~its
@@ -58,7 +59,18 @@ class RestorationSession:
         converts to f32 after the transfer (exact: integers <= 65535 are
         f32-representable). Serving streams on transfer-bound links are
         upload-limited, so this is the dynamic-batching lever's sibling
-        (docs/PERFORMANCE.md)."""
+        (docs/PERFORMANCE.md).
+
+        ``egress_dtype='uint16'`` applies the same lever to the RESULT
+        buffer: each restored stamp ships as uint16 on a per-lane affine
+        grid (q = round(x * 65535 / max(x)); the f32 scale rides in the
+        sidecar) and is dequantized to f32 host-side, at half the
+        download bytes. Quantization error is bounded by max(x)/131070
+        per pixel — ~0.5 ADU for a saturation-range stamp, below the
+        detector's own digitization, and orders of magnitude below
+        photon noise. Opt-in, packed single-device path only (the plain
+        path — meshes, background maps, track_discr — always returns
+        full f32)."""
         if cfg is None:
             # serving reads x/iters, never the per-iteration series:
             # track_discr=False drops a (B, max_iter+1) scatter per
@@ -92,6 +104,10 @@ class RestorationSession:
             if d not in ('float32', 'uint16'):
                 raise ValueError(f'ingest_dtypes entries must be float32 '
                                  f'or uint16, got {d!r}')
+        if egress_dtype not in ('float32', 'uint16'):
+            raise ValueError(f'egress_dtype must be float32 or uint16, '
+                             f'got {egress_dtype!r}')
+        self.egress_dtype = egress_dtype
         self._warmed: set = set()   # {(bucket, kind)} with kind in
                                     # {'packed', 'packed-u16', 'plain'}
         self._warming = False  # warmup() in progress: its own calls must
@@ -185,12 +201,29 @@ class RestorationSession:
                 lr0=self.lr0, sat_level=self.sat_level, bucket=False,
                 phase1_iters=self.phase1_iters,
                 tail_bucket=self.tail_bucket, flatten=self.flatten)
-            parts = [res.x.reshape(bucket, -1)]
-            for f in (res.iters, res.fv, res.beta, res.scaling):
-                parts.append(jnp.broadcast_to(
-                    jnp.asarray(f, dt).reshape(-1, 1) if jnp.ndim(f)
-                    else jnp.full((bucket, 1), f, dt), (bucket, 1)))
-            return jnp.concatenate(parts, axis=1)
+            x = res.x.reshape(bucket, -1)
+            side = [jnp.broadcast_to(
+                jnp.asarray(f, dt).reshape(-1, 1) if jnp.ndim(f)
+                else jnp.full((bucket, 1), f, dt), (bucket, 1))
+                for f in (res.iters, res.fv, res.beta, res.scaling)]
+            if self.egress_dtype == 'uint16':
+                # per-lane affine quantization of the restored stamp
+                # (x >= 0 by the projection, so the grid needs no offset):
+                # q*scale recovers x to within max(x)/131070 per pixel.
+                # The f32 sidecar (scale + the 4 scalars) rides bit-cast
+                # as u16 pairs so the whole result is ONE u16 buffer at
+                # half the f32 download bytes.
+                xm = jnp.max(x, axis=1, keepdims=True)
+                scale = jnp.where(xm > 0, xm, 1.0).astype(jnp.float32) \
+                    / 65535.0
+                q = jnp.clip(jnp.round(x / scale), 0, 65535).astype(
+                    jnp.uint16)
+                side_f32 = jnp.concatenate(
+                    [scale] + side, axis=1).astype(jnp.float32)
+                side_u16 = jax.lax.bitcast_convert_type(
+                    side_f32, jnp.uint16).reshape(bucket, 10)
+                return jnp.concatenate([q, side_u16], axis=1)
+            return jnp.concatenate([x] + side, axis=1)
 
         prog = jax.jit(fn)
         self._packed_progs[(bucket, kind)] = prog
@@ -220,9 +253,18 @@ class RestorationSession:
         packed[:, h * w + 2] = (self.beta0 if beta0 is None else beta0)
         return packed, 'packed'
 
-    @staticmethod
-    def _unpack_result(out: np.ndarray, b: int, h: int, w: int) -> SGPResult:
+    def _unpack_result(self, out: np.ndarray, b: int, h: int,
+                       w: int) -> SGPResult:
         n = h * w
+        if self.egress_dtype == 'uint16':
+            side = np.ascontiguousarray(out[:b, n:n + 10]).view(np.float32)
+            x = (out[:b, :n].astype(np.float32)
+                 * side[:, :1]).reshape(b, h, w)
+            iters = side[:, 1].astype(np.int32)
+            fv, beta, scaling = side[:, 2], side[:, 3], side[:, 4]
+            z = np.zeros((b, 1), np.float32)
+            return SGPResult(x=x, iters=iters, discr=z, err=z, beta=beta,
+                             fv=fv, scaling=scaling)
         x = out[:b, :n].reshape(b, h, w)
         iters = out[:b, n].astype(np.int32)
         fv = out[:b, n + 1]
