@@ -509,13 +509,88 @@ def test_wcs_warns_on_unsupported_projection_and_sip():
     msgs = [str(r.message) for r in rec]
     assert sum('SIN' in m for m in msgs) == 1, msgs
 
-    wcsmod._WARNED_CTYPES.clear()
-    hdr_sip = dict(hdr, CTYPE1='RA---TAN', CTYPE2='DEC--TAN', A_ORDER=2)
-    with warnings.catch_warnings(record=True) as rec:
-        warnings.simplefilter('always')
-        wcsmod.WCS(hdr_sip)
-    assert any('SIP' in str(r.message) for r in rec)
-    # supported TAN without SIP: silent
+    # supported TAN (with or without SIP): silent
     with warnings.catch_warnings():
         warnings.simplefilter('error')
         wcsmod.WCS(dict(hdr, CTYPE1='RA---TAN', CTYPE2='DEC--TAN'))
+        wcsmod.WCS(dict(hdr, CTYPE1='RA---TAN-SIP', CTYPE2='DEC--TAN-SIP',
+                        A_ORDER=2, B_ORDER=2))
+
+
+def _sip_header(with_inverse: bool):
+    """Survey-like TAN-SIP header (coefficient amplitudes typical of wide
+    -field imagers: quadratic ~1e-6/px, cubic ~1e-10/px -> a few tenths of
+    a pixel of distortion across a 4k frame)."""
+    hdr = {'CTYPE1': 'RA---TAN-SIP', 'CTYPE2': 'DEC--TAN-SIP',
+           'CRVAL1': 150.0, 'CRVAL2': 2.25,
+           'CRPIX1': 2048.0, 'CRPIX2': 2048.0,
+           'CD1_1': -7.3e-5, 'CD1_2': 2.1e-6,
+           'CD2_1': 2.0e-6, 'CD2_2': 7.28e-5,
+           'A_ORDER': 3, 'A_2_0': 1.6e-6, 'A_1_1': -4.2e-7,
+           'A_0_2': 9.1e-7, 'A_3_0': -2.3e-10, 'A_0_3': 1.1e-10,
+           'B_ORDER': 3, 'B_2_0': -8.2e-7, 'B_1_1': 6.5e-7,
+           'B_0_2': 1.3e-6, 'B_3_0': 9.4e-11, 'B_2_1': -1.9e-10}
+    if with_inverse:
+        # deliberately CRUDE inverse polynomials (sign-flipped forward
+        # terms): the fixed-point polish must still land exactly
+        hdr.update({'AP_ORDER': 2, 'AP_2_0': -1.6e-6, 'AP_1_1': 4.2e-7,
+                    'AP_0_2': -9.1e-7,
+                    'BP_ORDER': 2, 'BP_2_0': 8.2e-7, 'BP_1_1': -6.5e-7,
+                    'BP_0_2': -1.3e-6})
+    return hdr
+
+
+def test_wcs_sip_forward_matches_definition():
+    """pixel_to_world with SIP equals the Shupe et al. (2005) composition:
+    gnomonic(CD @ (u + A(u,v), v + B(u,v))) — computed here from scratch
+    against an undistorted WCS evaluated at the pre-distorted offsets."""
+    from tpu_sgp.image.wcs import WCS
+
+    hdr = _sip_header(False)
+    w = WCS(hdr)
+    plain = WCS({k: v for k, v in hdr.items()
+                 if not k[0] in 'AB' or k[:2] in ('CD', 'CR', 'CT')})
+    assert w._sip and not plain._sip
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 4096, 64)
+    y = rng.uniform(0, 4096, 64)
+    u, v = x - (hdr['CRPIX1'] - 1), y - (hdr['CRPIX2'] - 1)
+    fu = (hdr['A_2_0'] * u**2 + hdr['A_1_1'] * u * v + hdr['A_0_2'] * v**2
+          + hdr['A_3_0'] * u**3 + hdr['A_0_3'] * v**3)
+    gv = (hdr['B_2_0'] * u**2 + hdr['B_1_1'] * u * v + hdr['B_0_2'] * v**2
+          + hdr['B_3_0'] * u**3 + hdr['B_2_1'] * u**2 * v)
+    ra, dec = w.pixel_to_world(x, y)
+    ra_want, dec_want = plain.pixel_to_world(x + fu, y + gv)
+    np.testing.assert_allclose(ra, ra_want, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(dec, dec_want, rtol=0, atol=1e-12)
+    # the distortion is actually exercised (tenths of a pixel of motion)
+    ra0, dec0 = plain.pixel_to_world(x, y)
+    assert np.max(np.hypot((ra - ra0) / hdr['CD1_1'],
+                           (dec - dec0) / hdr['CD2_2'])) > 0.1
+
+
+def test_wcs_sip_roundtrip_and_cutout():
+    """world_to_pixel inverts the SIP distortion to float64 resolution,
+    with AND without AP/BP inverse blocks in the header; a shifted()
+    cutout WCS maps the same sky; to_header() round-trips the SIP terms."""
+    from tpu_sgp.image.wcs import WCS
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 4096, 128)
+    y = rng.uniform(0, 4096, 128)
+    for with_inv in (False, True):
+        w = WCS(_sip_header(with_inv))
+        ra, dec = w.pixel_to_world(x, y)
+        xb, yb = w.world_to_pixel(ra, dec)
+        np.testing.assert_allclose(xb, x, rtol=0, atol=1e-8)
+        np.testing.assert_allclose(yb, y, rtol=0, atol=1e-8)
+    w = WCS(_sip_header(True))
+    cut = w.shifted(100.0, 250.0)
+    ra_c, dec_c = cut.pixel_to_world(x - 100.0, y - 250.0)
+    ra_w, dec_w = w.pixel_to_world(x, y)
+    np.testing.assert_allclose(ra_c, ra_w, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(dec_c, dec_w, rtol=0, atol=1e-12)
+    w2 = WCS(dict(w.to_header().items()))
+    ra2, dec2 = w2.pixel_to_world(x, y)
+    np.testing.assert_allclose(ra2, ra_w, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(dec2, dec_w, rtol=0, atol=1e-12)
