@@ -499,7 +499,7 @@ def test_wcs_warns_on_unsupported_projection_and_sip():
     from tpu_sgp.image import wcs as wcsmod
 
     wcsmod._WARNED_CTYPES.clear()
-    hdr = {'CTYPE1': 'RA---SIN', 'CTYPE2': 'DEC--SIN',
+    hdr = {'CTYPE1': 'RA---AIT', 'CTYPE2': 'DEC--AIT',
            'CRVAL1': 150.0, 'CRVAL2': 2.0, 'CRPIX1': 10.0, 'CRPIX2': 10.0,
            'CD1_1': -1e-4, 'CD2_2': 1e-4}
     with warnings.catch_warnings(record=True) as rec:
@@ -507,12 +507,14 @@ def test_wcs_warns_on_unsupported_projection_and_sip():
         wcsmod.WCS(hdr)
         wcsmod.WCS(hdr)          # second instance: warned once per code
     msgs = [str(r.message) for r in rec]
-    assert sum('SIN' in m for m in msgs) == 1, msgs
+    assert sum('AIT' in m for m in msgs) == 1, msgs
 
-    # supported TAN (with or without SIP): silent
+    # supported zenithal family (with or without SIP): silent
     with warnings.catch_warnings():
         warnings.simplefilter('error')
-        wcsmod.WCS(dict(hdr, CTYPE1='RA---TAN', CTYPE2='DEC--TAN'))
+        for code in ('TAN', 'SIN', 'ARC', 'STG', 'ZEA'):
+            wcsmod.WCS(dict(hdr, CTYPE1=f'RA---{code}',
+                            CTYPE2=f'DEC--{code}'))
         wcsmod.WCS(dict(hdr, CTYPE1='RA---TAN-SIP', CTYPE2='DEC--TAN-SIP',
                         A_ORDER=2, B_ORDER=2))
 
@@ -594,3 +596,161 @@ def test_wcs_sip_roundtrip_and_cutout():
     ra2, dec2 = w2.pixel_to_world(x, y)
     np.testing.assert_allclose(ra2, ra_w, rtol=0, atol=1e-12)
     np.testing.assert_allclose(dec2, dec_w, rtol=0, atol=1e-12)
+
+
+def test_wcs_zenithal_projections_round_trip_and_radius_law():
+    """The zenithal family (TAN/SIN/ARC/STG/ZEA) round-trips
+    pixel->world->pixel to float64 resolution, and each projection obeys
+    its defining radius law R(s) of Calabretta & Greisen (2002, Table 13):
+    a world point at true angular separation s from CRVAL lands at native
+    radius R = tan(s) | sin(s) | s | 2tan(s/2) | 2sin(s/2) respectively
+    (replaces the reference's astropy.wcs for these headers,
+    /root/reference/restoration/sgp.py:957)."""
+    laws = {'TAN': lambda s: np.tan(s), 'SIN': lambda s: np.sin(s),
+            'ARC': lambda s: s, 'STG': lambda s: 2 * np.tan(s / 2),
+            'ZEA': lambda s: 2 * np.sin(s / 2)}
+    scale = 2.8e-4  # deg/px
+    d2r = np.pi / 180.0
+    for code, r_of_s in laws.items():
+        hdr = {'CRPIX1': 200.0, 'CRPIX2': 150.0,
+               'CRVAL1': 210.5, 'CRVAL2': -33.25,
+               'CD1_1': -scale, 'CD2_2': scale,
+               'CTYPE1': f'RA---{code}', 'CTYPE2': f'DEC--{code}'}
+        w = WCS(hdr)
+        # round trip at assorted pixels (offsets up to ~0.1 deg)
+        for xy in [(0.0, 0.0), (399.0, 0.0), (123.4, 276.8), (199.0, 149.0)]:
+            ra, dec = w.pixel_to_world(*xy)
+            x2, y2 = w.world_to_pixel(ra, dec)
+            np.testing.assert_allclose((x2, y2), xy, rtol=0, atol=1e-8,
+                                       err_msg=code)
+        # radius law: separation s from CRVAL (stable two-argument formula)
+        ra, dec = w.pixel_to_world(340.0, 275.0)
+        ra0, dec0 = 210.5 * d2r, -33.25 * d2r
+        ra_r, dec_r = ra * d2r, dec * d2r
+        s = np.arctan2(
+            np.hypot(np.cos(dec_r) * np.sin(ra_r - ra0),
+                     np.cos(dec0) * np.sin(dec_r)
+                     - np.sin(dec0) * np.cos(dec_r) * np.cos(ra_r - ra0)),
+            np.sin(dec0) * np.sin(dec_r)
+            + np.cos(dec0) * np.cos(dec_r) * np.cos(ra_r - ra0))
+        r_px = np.hypot(340.0 - 199.0, 275.0 - 149.0)
+        np.testing.assert_allclose(r_of_s(s) / d2r / scale, r_px,
+                                   rtol=1e-10, err_msg=code)
+        # ARC analytic anchor: north along the meridian is exactly linear
+        if code == 'ARC':
+            _, dec_n = w.pixel_to_world(199.0, 149.0 + 1000.0)
+            np.testing.assert_allclose(dec_n, -33.25 + 1000 * scale,
+                                       rtol=0, atol=1e-10)
+
+
+def test_wcs_shifted_cutout_preserves_projection():
+    """shifted() must carry the parent's projection code: a SIN cutout
+    that silently deprojected as TAN would drift by arcseconds at field
+    edges (regression for the _zen-not-copied bug)."""
+    hdr = {'CRPIX1': 300.0, 'CRPIX2': 300.0, 'CRVAL1': 10.0, 'CRVAL2': 45.0,
+           'CD1_1': -2.8e-4, 'CD2_2': 2.8e-4,
+           'CTYPE1': 'RA---SIN', 'CTYPE2': 'DEC--SIN'}
+    w = WCS(hdr)
+    cut = w.shifted(150.0, 100.0)
+    for x, y in [(0.0, 0.0), (420.0, 480.0)]:
+        np.testing.assert_allclose(cut.pixel_to_world(x - 150.0, y - 100.0),
+                                   w.pixel_to_world(x, y),
+                                   rtol=0, atol=1e-12)
+
+
+def _tan_wcs(crpix1, crpix2, crval1=150.0, crval2=2.0, scale=2.8e-4,
+             rot_deg=0.0):
+    c, s = np.cos(np.radians(rot_deg)), np.sin(np.radians(rot_deg))
+    return WCS({'CRPIX1': crpix1, 'CRPIX2': crpix2,
+                'CRVAL1': crval1, 'CRVAL2': crval2,
+                'CD1_1': -scale * c, 'CD1_2': scale * s,
+                'CD2_1': scale * s, 'CD2_2': scale * c,
+                'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN'})
+
+
+def test_reproject_identity_and_integer_shift(rng):
+    """Same grid -> identity; a pure integer CRPIX shift -> exact placement
+    (bilinear sampling lands on pixel centers in both cases)."""
+    from tpu_sgp.image import reproject_to_grid
+
+    img = rng.normal(100, 10, (24, 30))
+    w = _tan_wcs(10.0, 12.0)
+    proj, foot = reproject_to_grid(img, w, w, img.shape, oversample=1)
+    np.testing.assert_allclose(proj, img, rtol=1e-10)
+    np.testing.assert_allclose(foot, 1.0)
+
+    # output grid shifted 5 px right / 3 px up in pixel space
+    w2 = _tan_wcs(10.0 - 5.0, 12.0 - 3.0)
+    proj2, foot2 = reproject_to_grid(img, w, w2, img.shape, oversample=1)
+    np.testing.assert_allclose(proj2[:-3, :-5], img[3:, 5:], rtol=1e-9)
+    assert np.isnan(proj2[-1, -1]) and foot2[-1, -1] == 0.0
+
+
+def test_reproject_rotated_grid_recovers_smooth_field():
+    """A smooth world-coordinate field sampled on a rotated grid
+    reprojects onto the unrotated grid to interpolation accuracy."""
+    from tpu_sgp.image import reproject_to_grid
+
+    w_in = _tan_wcs(32.0, 32.0, rot_deg=15.0)
+    w_out = _tan_wcs(30.0, 30.0, rot_deg=0.0)
+
+    def field(wcs, shape):
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(float)
+        ra, dec = wcs.pixel_to_world(xx, yy)
+        return (np.sin((ra - 150.0) * 600.0)
+                + np.cos((dec - 2.0) * 500.0))
+
+    img = field(w_in, (64, 64))
+    proj, foot = reproject_to_grid(img, w_in, w_out, (56, 56),
+                                   oversample=1, conserve_flux=False)
+    want = field(w_out, (56, 56))
+    core = np.isfinite(proj)
+    core[:6, :] = core[-6:, :] = core[:, :6] = core[:, -6:] = False
+    assert core.sum() > 1000
+    err = np.abs(proj - want)[core]
+    assert err.max() < 1e-2, err.max()   # bilinear on a smooth field
+
+
+def test_reproject_flux_conservation_across_pixel_scales():
+    """Constant per-pixel flux resampled onto 2x-coarser pixels carries
+    4x the flux per output pixel (the reproject_exact convention)."""
+    from tpu_sgp.image import reproject_to_grid
+
+    img = np.full((40, 40), 7.0)
+    w_in = _tan_wcs(20.0, 20.0, scale=1e-4)
+    w_out = _tan_wcs(10.0, 10.0, scale=2e-4)
+    proj, _ = reproject_to_grid(img, w_in, w_out, (18, 18), oversample=2)
+    interior = proj[2:-2, 2:-2]
+    np.testing.assert_allclose(interior, 28.0, rtol=1e-9)
+
+
+def test_reproject_and_coadd_cross_grid(rng):
+    """Two tiles on DIFFERENT grids (one rotated, one offset, each with its
+    own additive background error) coadd back to the parent field with the
+    offsets matched away — the capability the reference gets from
+    reproject_and_coadd(reproject_exact, match_background=True)."""
+    from tpu_sgp.image import reproject_and_coadd
+
+    w_out = _tan_wcs(40.0, 40.0)
+
+    def field(wcs, shape):
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(float)
+        ra, dec = wcs.pixel_to_world(xx, yy)
+        return (np.sin((ra - 150.0) * 450.0)
+                + np.cos((dec - 2.0) * 400.0)) + 50.0
+
+    # tile A covers the left-ish part (shifted grid), tile B rotated
+    w_a = _tan_wcs(42.0, 41.0)
+    w_b = _tan_wcs(12.0, 12.0, rot_deg=10.0)
+    tile_a = field(w_a, (70, 60)) + 3.0      # +3 background error
+    tile_b = field(w_b, (60, 60)) - 2.0      # -2 background error
+    mosaic, foot = reproject_and_coadd([tile_a, tile_b], [w_a, w_b],
+                                       w_out, (80, 80), oversample=2)
+    want = field(w_out, (80, 80))
+    core = foot > 0.99
+    core[:4, :] = core[-4:, :] = core[:, :4] = core[:, -4:] = False
+    assert core.sum() > 2000
+    resid = (mosaic - want)[core]
+    # the matched mosaic is offset by the (gauge) mean of the two errors,
+    # spatially FLAT: the seam between the +3 and -2 tiles is gone
+    assert np.nanstd(resid) < 6e-3, np.nanstd(resid)

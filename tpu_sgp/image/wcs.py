@@ -1,13 +1,15 @@
-"""Minimal FITS WCS: linear CD/CDELT transforms + TAN projection + SIP.
+"""Minimal FITS WCS: linear CD/CDELT transforms + zenithal projections + SIP.
 
 Replaces the reference's astropy.wcs usage (pixel_to_skycoord in the CLI,
 Cutout2D-carried WCS — reference sgp.py:957, 1041-1060) for the headers this
 framework reads/writes. Supports CRPIX/CRVAL/CD (or CDELT+PC / CDELT-only),
-the RA---TAN / DEC--TAN gnomonic projection, and SIP distortion polynomials
-(Shupe et al. 2005: A_p_q/B_p_q forward terms applied to intermediate pixel
-offsets; AP/BP inverse terms used when present, Newton fixed-point inversion
-otherwise) — the cases used by survey imaging; falls back to linear world
-coordinates for other CTYPEs with a loud warning.
+the zenithal projection family of Calabretta & Greisen (2002) — TAN
+(gnomonic), SIN (orthographic), ARC (equidistant), STG (stereographic),
+ZEA (equal-area) — and SIP distortion polynomials (Shupe et al. 2005:
+A_p_q/B_p_q forward terms applied to intermediate pixel offsets; AP/BP
+inverse terms used when present, Newton fixed-point inversion otherwise) —
+the cases used by survey imaging; falls back to linear world coordinates
+for other CTYPEs with a loud warning.
 """
 from __future__ import annotations
 
@@ -16,6 +18,25 @@ import warnings
 import numpy as np
 
 _WARNED_CTYPES: set = set()
+
+_D2R = np.pi / 180.0
+
+# Zenithal projections: R(theta) and theta(R), both with R in RADIANS of
+# native-polar radius and theta the native latitude in radians
+# (Calabretta & Greisen 2002, Table 13 / section 5.1).
+_ZENITHAL = {
+    'TAN': (lambda th: np.cos(th) / np.sin(th),
+            lambda r: np.arctan2(1.0, r)),
+    'SIN': (lambda th: np.cos(th),
+            lambda r: np.arccos(np.clip(r, -1.0, 1.0))),
+    'ARC': (lambda th: np.pi / 2 - th,
+            lambda r: np.pi / 2 - r),
+    'STG': (lambda th: 2.0 * np.tan((np.pi / 2 - th) / 2.0),
+            lambda r: np.pi / 2 - 2.0 * np.arctan(r / 2.0)),
+    'ZEA': (lambda th: 2.0 * np.sin((np.pi / 2 - th) / 2.0),
+            lambda r: np.pi / 2 - 2.0 * np.arcsin(
+                np.clip(r / 2.0, -1.0, 1.0))),
+}
 
 
 def _read_sip_block(h, prefix: str):
@@ -64,20 +85,27 @@ class WCS:
                            [float(h.get('PC2_1', 0.0)),
                             float(h.get('PC2_2', 1.0))]])
             self.cd = pc * cdelt[:, None]
-        self._tan = 'TAN' in self.ctype[0]
-        # Loud (once per projection code) instead of silently-linear: the
-        # native WCS implements TAN and linear only; real survey headers
-        # can carry SIN/ARC/ZEA/AIT... projections or SIP distortion
-        # polynomials, where astropy (the reference path, sgp.py:957)
-        # would be correct and a silent linear fallback subtly wrong.
         code = self.ctype[0][5:8] if len(self.ctype[0]) >= 8 else ''
-        if code and code not in ('TAN', 'LIN') and not self._tan:
+        if not code and 'TAN' in self.ctype[0]:
+            code = 'TAN'  # tolerate short/nonstandard TAN ctypes
+        self._zen = code if code in _ZENITHAL else None
+        # Loud (once per projection code) instead of silently-linear: the
+        # native WCS implements the zenithal family and linear only; real
+        # survey headers can carry cylindrical/conic codes (AIT, CAR,
+        # MOL...) where astropy (the reference path, sgp.py:957) would be
+        # correct and a silent linear fallback subtly wrong.
+        if code and code not in ('LIN',) and self._zen is None:
             if code not in _WARNED_CTYPES:
                 _WARNED_CTYPES.add(code)
                 warnings.warn(
                     f'WCS: unsupported projection CTYPE {self.ctype[0]!r} '
                     f'— falling back to LINEAR world coordinates; use '
                     f'astropy for exact {code} transforms', stacklevel=2)
+        lonpole = h.get('LONPOLE', None)
+        if lonpole is not None and float(lonpole) != 180.0:
+            warnings.warn(f'WCS: LONPOLE={lonpole} ignored (only the '
+                          'zenithal default 180 is implemented)',
+                          stacklevel=2)
         # SIP distortion (Shupe et al. 2005; astropy reads the same keys).
         # Forward: A_p_q/B_p_q corrections on intermediate pixel offsets
         # (u, v) = (x, y) - (CRPIX - 1). Inverse: AP/BP when the header
@@ -105,30 +133,50 @@ class WCS:
                       dy + _sip_eval(self.sip_b, dx, dy))
         xi = self.cd[0, 0] * dx + self.cd[0, 1] * dy   # deg
         eta = self.cd[1, 0] * dx + self.cd[1, 1] * dy
-        if not self._tan:
+        if self._zen is None:
             return self.crval[0] + xi, self.crval[1] + eta
-        # gnomonic deprojection
-        d2r = np.pi / 180.0
-        xi_r, eta_r = xi * d2r, eta * d2r
-        ra0, dec0 = self.crval * d2r
-        den = np.cos(dec0) - eta_r * np.sin(dec0)
-        ra = ra0 + np.arctan2(xi_r, den)
-        dec = np.arctan((np.sin(dec0) + eta_r * np.cos(dec0))
-                        / np.sqrt(xi_r ** 2 + den ** 2))
-        return (np.mod(ra / d2r, 360.0), dec / d2r)
+        # zenithal deprojection: native polar (phi, R) -> native latitude
+        # theta -> celestial rotation about the native pole = CRVAL with
+        # LONPOLE phi_p = 180 deg (Calabretta & Greisen 2002, eq. 2/14/15)
+        _, th_of = _ZENITHAL[self._zen]
+        xi_r, eta_r = xi * _D2R, eta * _D2R
+        rr = np.hypot(xi_r, eta_r)
+        phi = np.arctan2(xi_r, -eta_r)
+        theta = th_of(rr)
+        ra0, dec0 = self.crval * _D2R
+        sin_t, cos_t = np.sin(theta), np.cos(theta)
+        sin_d0, cos_d0 = np.sin(dec0), np.cos(dec0)
+        cos_p = np.cos(phi)
+        dec = np.arcsin(np.clip(sin_t * sin_d0 - cos_t * cos_d0 * cos_p,
+                                -1.0, 1.0))
+        ra = ra0 + np.arctan2(cos_t * np.sin(phi),
+                              sin_t * cos_d0 + cos_t * sin_d0 * cos_p)
+        return (np.mod(ra / _D2R, 360.0), dec / _D2R)
 
     def world_to_pixel(self, ra, dec):
         ra = np.asarray(ra, np.float64)
         dec = np.asarray(dec, np.float64)
-        if self._tan:
-            d2r = np.pi / 180.0
-            ra_r, dec_r = ra * d2r, dec * d2r
-            ra0, dec0 = self.crval * d2r
-            cosc = (np.sin(dec0) * np.sin(dec_r)
-                    + np.cos(dec0) * np.cos(dec_r) * np.cos(ra_r - ra0))
-            xi = np.cos(dec_r) * np.sin(ra_r - ra0) / cosc / d2r
-            eta = (np.cos(dec0) * np.sin(dec_r)
-                   - np.sin(dec0) * np.cos(dec_r) * np.cos(ra_r - ra0)) / cosc / d2r
+        if self._zen is not None:
+            r_of, _ = _ZENITHAL[self._zen]
+            ra_r, dec_r = ra * _D2R, dec * _D2R
+            ra0, dec0 = self.crval * _D2R
+            dra = ra_r - ra0
+            sin_d, cos_d = np.sin(dec_r), np.cos(dec_r)
+            sin_d0, cos_d0 = np.sin(dec0), np.cos(dec0)
+            sin_t = sin_d * sin_d0 + cos_d * cos_d0 * np.cos(dra)
+            # native-azimuth direction (phi = 180 deg + atan2(y_, x_));
+            # |(y_, x_)| = cos(theta), zero exactly at the reference point
+            # where R = 0 too — the intermediate coords are (0, 0) there
+            y_ = -cos_d * np.sin(dra)
+            x_ = sin_d * cos_d0 - cos_d * sin_d0 * np.cos(dra)
+            h = np.hypot(y_, x_)
+            # theta via atan2(sin, cos): arcsin(sin_t) would lose half the
+            # float64 digits near theta = 90 deg (every small separation)
+            theta = np.arctan2(sin_t, h)
+            hs = np.where(h > 0, h, 1.0)
+            rr = r_of(theta)
+            xi = np.where(h > 0, -rr * y_ / hs, 0.0) / _D2R
+            eta = np.where(h > 0, rr * x_ / hs, 0.0) / _D2R
         else:
             xi = ra - self.crval[0]
             eta = dec - self.crval[1]
@@ -164,7 +212,7 @@ class WCS:
         w.crval = self.crval.copy()
         w.cd = self.cd.copy()
         w.ctype = self.ctype
-        w._tan = self._tan
+        w._zen = self._zen
         # SIP offsets are measured from CRPIX, which shifts with the
         # cutout, so the polynomials carry over unchanged
         w.sip_a, w.sip_b = self.sip_a, self.sip_b
