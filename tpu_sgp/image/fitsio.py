@@ -11,7 +11,8 @@ frames, which round-trips as uint16 rather than degrading to float64),
 keyword/value/comment round-trip (COMMENT and HISTORY cards are NOT carried
 by the in-memory Header — use ``set_header_card`` to edit a file's header
 without disturbing them). Tile-compressed HDUs (fpack ZIMAGE binary tables)
-are detected and rejected with a clear error instead of being misread.
+are inflated natively (RICE_1 / GZIP_1 / GZIP_2 — see tile_compression.py);
+only dithered quantization and PLIO/HCOMPRESS raise.
 """
 from __future__ import annotations
 
@@ -215,12 +216,8 @@ def read_fits(path: str, hdu: Optional[int] = None) -> Tuple[np.ndarray,
                 raise ValueError(
                     f'{path}: no image HDU found (read {index} HDUs)')
             xt = str(hdr.get('XTENSION', '')).strip().upper()
-            if hdr.get('ZIMAGE') and xt == 'BINTABLE':
-                raise ValueError(
-                    f'{path} HDU {index}: tile-compressed image (fpack '
-                    f'ZIMAGE) is not supported by the native reader — '
-                    f'decompress with funpack first')
-            is_image = index == 0 or xt == 'IMAGE'
+            compressed = bool(hdr.get('ZIMAGE')) and xt == 'BINTABLE'
+            is_image = index == 0 or xt == 'IMAGE' or compressed
             has_data = int(hdr.get('NAXIS', 0)) > 0
             if hdu is not None:
                 if index == hdu:
@@ -228,7 +225,15 @@ def read_fits(path: str, hdu: Optional[int] = None) -> Tuple[np.ndarray,
                         raise ValueError(
                             f'{path} HDU {index}: not an image HDU '
                             f'(XTENSION={xt!r})')
+                    if compressed:
+                        from .tile_compression import decompress_tiled_hdu
+                        return decompress_tiled_hdu(f, hdr)
                     return _decode_data(f, hdr), hdr
+            elif compressed:
+                # fpack tile-compressed image: inflate natively (RICE_1 /
+                # GZIP_1 / GZIP_2; see tile_compression.py)
+                from .tile_compression import decompress_tiled_hdu
+                return decompress_tiled_hdu(f, hdr)
             elif is_image and has_data:
                 return _decode_data(f, hdr), hdr
             elif index == 0 and not hdr.get('EXTEND', False) \
