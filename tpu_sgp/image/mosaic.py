@@ -2,12 +2,16 @@
 
 The reference reassembles deconvolved tiles by writing temp FITS files and
 running ``reproject_and_coadd(..., reproject_exact, match_background=True)``
-(/root/reference/restoration/utils.py:392-397). Its tiles live on the SAME
-pixel grid as the parent image (Cutout2D), so exact reprojection reduces to
-placement — what remains is (a) the least-squares background-offset match
-between overlapping tiles and (b) footprint-weighted averaging. Both are
-implemented here directly on arrays (no disk round-trip); a file-level
-wrapper preserves the reference workflow for the CLI.
+(/root/reference/restoration/utils.py:392-397). Its pipeline tiles live on
+the SAME pixel grid as the parent image (Cutout2D), so exact reprojection
+reduces to placement — what remains is (a) the least-squares
+background-offset match between overlapping tiles and (b)
+footprint-weighted averaging. Both are implemented here directly on arrays
+(no disk round-trip); a file-level wrapper preserves the reference
+workflow for the CLI. For tiles on DIFFERENT WCS grids (the general
+capability of the reference's reproject_exact path),
+:func:`reproject_to_grid` / :func:`reproject_and_coadd` resample through
+the exact WCS chain with subpixel area sampling.
 """
 from __future__ import annotations
 
@@ -74,6 +78,128 @@ def coadd_tiles(tiles: Sequence[np.ndarray],
     with np.errstate(invalid='ignore'):
         mosaic = np.where(w > 0, acc / np.where(w > 0, w, 1.0), np.nan)
     return mosaic, w
+
+
+def _bilinear_sample(data: np.ndarray, x: np.ndarray,
+                     y: np.ndarray) -> np.ndarray:
+    """Bilinear sample at fractional (x, y); NaN outside the frame.
+
+    The WCS round trip (out pixel -> world -> in pixel) carries ~1e-9 px
+    of float64 noise, so the boundary test uses a small tolerance —
+    otherwise identity reprojections lose their edge pixels."""
+    h, w = data.shape
+    eps = 1e-6
+    valid = ((x >= -eps) & (x <= w - 1 + eps)
+             & (y >= -eps) & (y <= h - 1 + eps))
+    xc = np.clip(x, 0, w - 1)
+    yc = np.clip(y, 0, h - 1)
+    x0 = np.clip(np.floor(xc).astype(int), 0, w - 2) if w > 1 else \
+        np.zeros_like(xc, int)
+    y0 = np.clip(np.floor(yc).astype(int), 0, h - 2) if h > 1 else \
+        np.zeros_like(yc, int)
+    fx, fy = xc - x0, yc - y0
+    v = ((1 - fy) * ((1 - fx) * data[y0, x0] + fx * data[y0, x0 + 1])
+         + fy * ((1 - fx) * data[y0 + 1, x0] + fx * data[y0 + 1, x0 + 1])) \
+        if (h > 1 and w > 1) else data[y0, x0]
+    return np.where(valid, v, np.nan)
+
+
+def reproject_to_grid(data: np.ndarray, in_wcs, out_wcs,
+                      out_shape: Tuple[int, int], oversample: int = 3,
+                      conserve_flux: bool = True
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Reproject ``data`` from its own WCS onto a DIFFERENT output grid.
+
+    The reference handles cross-grid tiles through
+    ``reproject_and_coadd(..., reproject_exact)``
+    (/root/reference/restoration/utils.py:392-397). This native equivalent
+    area-samples each output pixel on an ``oversample``x``oversample``
+    subgrid through the exact WCS chain (out pixel -> world -> in pixel)
+    and bilinearly interpolates the input — converging on the exact
+    pixel-overlap integral as O(1/oversample^2); ``conserve_flux``
+    rescales by the pixel-area ratio |det CD_out| / |det CD_in| so total
+    flux (not surface brightness) is preserved, matching reproject_exact's
+    convention for the per-pixel-flux images this pipeline produces.
+
+    Returns ``(projected, footprint)`` where footprint is the covered
+    fraction of each output pixel (0..1); uncovered pixels are NaN.
+    """
+    h, w = out_shape
+    k = max(1, int(oversample))
+    # subpixel centers: p + (i + 0.5)/k - 0.5 for i in 0..k-1
+    sub = (np.arange(k) + 0.5) / k - 0.5
+    acc = np.zeros(out_shape)
+    cnt = np.zeros(out_shape)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    for dy in sub:
+        for dx in sub:
+            ra, dec = out_wcs.pixel_to_world(xx + dx, yy + dy)
+            xi, yi = in_wcs.world_to_pixel(ra, dec)
+            v = _bilinear_sample(np.asarray(data, np.float64), xi, yi)
+            good = np.isfinite(v)
+            acc[good] += v[good]
+            cnt += good
+    with np.errstate(invalid='ignore'):
+        proj = np.where(cnt > 0, acc / np.where(cnt > 0, cnt, 1), np.nan)
+    if conserve_flux:
+        proj = proj * (abs(float(np.linalg.det(out_wcs.cd)))
+                       / abs(float(np.linalg.det(in_wcs.cd))))
+    return proj, cnt / (k * k)
+
+
+def _match_backgrounds_masked(projs: Sequence[np.ndarray]) -> np.ndarray:
+    """Additive offsets (mean 0) from pairwise overlap means, for tiles
+    already on a COMMON grid with NaN outside their footprints."""
+    n = len(projs)
+    rows, rhs = [], []
+    for i in range(n):
+        fi = np.isfinite(projs[i])
+        for j in range(i + 1, n):
+            both = fi & np.isfinite(projs[j])
+            if not both.any():
+                continue
+            row = np.zeros(n)
+            row[i], row[j] = 1.0, -1.0
+            rows.append(row)
+            rhs.append(float(np.mean(projs[i][both] - projs[j][both])))
+    if not rows:
+        return np.zeros(n)
+    rows.append(np.ones(n))
+    rhs.append(0.0)
+    sol, *_ = np.linalg.lstsq(np.asarray(rows), np.asarray(rhs), rcond=None)
+    return sol
+
+
+def reproject_and_coadd(tiles: Sequence[np.ndarray], wcs_list: Sequence,
+                        out_wcs, out_shape: Tuple[int, int],
+                        match_background: bool = True, oversample: int = 3
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Coadd tiles that live on DIFFERENT WCS grids (the general form of
+    the reference's ``reconstruct_full_image_from_patches``; same-grid
+    tiles should use the cheaper :func:`coadd_tiles`).
+
+    Each tile is reprojected onto the output grid (footprint-weighted),
+    backgrounds are least-squares matched on the common grid, and the
+    footprint-weighted mean is returned with its total footprint.
+    """
+    pairs = [reproject_to_grid(t, w_in, out_wcs, out_shape,
+                               oversample=oversample)
+             for t, w_in in zip(tiles, wcs_list)]
+    projs = [p for p, _f in pairs]
+    foots = [f for _p, f in pairs]
+    offsets = (_match_backgrounds_masked(projs)
+               if match_background and len(projs) > 1
+               else np.zeros(len(projs)))
+    acc = np.zeros(out_shape)
+    wsum = np.zeros(out_shape)
+    for proj, foot, off in zip(projs, foots, offsets):
+        good = np.isfinite(proj)
+        acc[good] += (proj[good] - off) * foot[good]
+        wsum[good] += foot[good]
+    with np.errstate(invalid='ignore'):
+        mosaic = np.where(wsum > 0, acc / np.where(wsum > 0, wsum, 1),
+                          np.nan)
+    return mosaic, wsum
 
 
 _IDX_RE = re.compile(r'_(\d+)\.fits$')
