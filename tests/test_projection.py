@@ -344,3 +344,46 @@ def test_bisect_analytic_anchor_counterexamples():
             b, jnp.asarray(c, jnp.float32), jnp.asarray(dia, jnp.float32),
             1.0, sat_level=10.0))
         assert abs(float(x32.sum()) - b) <= 2e-6 * b, (b, x32.sum())
+
+
+def test_section_projection_matches_oracle_and_solver_accepts_it(rng):
+    """'section' (the round-3 cold K-way sectioned bisection, kept as the
+    interleaved-A/B control for the guided-secant default) reaches the
+    same dual root as the reference-style secant oracle, and the solver
+    dispatches it end to end."""
+    from tpu_sgp.projection.flux_projection import project_df_section
+
+    n = 150
+    for trial in range(8):
+        b = float(rng.uniform(1.0, 500.0))
+        c = rng.normal(0.0, 2.0, n)
+        dia = rng.uniform(0.5, 2.0, n)
+        if trial % 2 == 0:
+            sat = float(rng.uniform(2 * b / n, 40 * b / n))
+            ref = project_df_np(b, c, dia, 1.0, sat=sat)
+            got = np.asarray(project_df_section(
+                b, jnp.asarray(c), jnp.asarray(dia), 1.0, sat_level=sat))
+        else:
+            ref = project_df_np(b, c, dia, 1.0)
+            got = np.asarray(project_df_section(
+                b, jnp.asarray(c), jnp.asarray(dia), 1.0))
+        np.testing.assert_allclose(got, ref, rtol=1e-7, atol=1e-9)
+
+    # end-to-end: solver accepts projection_method='section' and matches
+    # the default-path solve to stop-rule accuracy
+    from tpu_sgp import SGPConfig
+    from tpu_sgp.simulate import synthetic_star_stamps
+    from tpu_sgp.solvers.sgp import solve
+
+    stamps, psf, bkgs, fluxes = synthetic_star_stamps(1, size=31, seed=3)
+    z = np.zeros_like(stamps[0])
+    base = dict(max_iter=30, stop_criterion=1, init_recon=2, proj_type=1,
+                has_flux=True, has_sat_level=True, dtype='float64')
+    args = (jnp.asarray(stamps[0]), jnp.asarray(psf),
+            jnp.full(stamps[0].shape, float(bkgs[0])), jnp.asarray(z),
+            float(fluxes[0]), jnp.asarray(z), 65000.0, 1e-3, 0.0)
+    xa = np.asarray(solve(*args, SGPConfig(projection_method='section',
+                                           **base)).x)
+    xb = np.asarray(solve(*args, SGPConfig(projection_method='bisect',
+                                           **base)).x)
+    np.testing.assert_allclose(xa, xb, rtol=1e-6, atol=1e-9)

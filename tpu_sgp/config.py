@@ -46,12 +46,14 @@ class SGPConfig:
     # Projection ----------------------------------------------------------
     proj_type: int = 0             # 0 clip at 0 | 1 flux-conserving projection
     max_projs: int = 1000          # iteration cap inside the flux projection
-    projection_method: str = 'bisect'  # 'bisect' fixed-iteration dual
-                                       # bisection (TPU fast path, sharding-
-                                       # safe) | 'pallas' same sectioning as
-                                       # one VMEM-resident kernel | 'sort'
-                                       # exact sweep | 'secant' reference-
-                                       # style iteration
+    projection_method: str = 'bisect'  # 'bisect' guided-secant sectioning
+                                       # (TPU fast path, sharding-safe) |
+                                       # 'section' round-3 cold K-way
+                                       # sectioned bisection (A/B control) |
+                                       # 'pallas' sectioning as one VMEM-
+                                       # resident kernel | 'sort' exact
+                                       # sweep | 'secant' reference-style
+                                       # iteration
     warm_projection: bool = False  # carry the dual root across iterations
                                    # and open the bisection from a warm
                                    # bracket (bisect path only). Measured
@@ -120,7 +122,10 @@ class SGPConfig:
     has_flux: bool = True          # whether a precomputed flux is supplied
     has_sat_level: bool = False    # whether a CCD saturation ceiling is enforced in the projection
     dtype: str = 'float32'         # compute dtype ('float64' for parity mode on CPU)
-    operator: str = 'auto'         # 'auto' | 'otf' | 'matmul' | 'matmul_flat' | 'linear' | 'halo'
+    operator: str = 'auto'         # 'auto' | 'otf' | 'matmul' | 'matmul_flat'
+                                   # | 'matmul_split' (opt-in compensated
+                                   # split-bf16 MXU matvec, ~2^-17 accurate)
+                                   # | 'linear' | 'halo'
     # Mesh axis names when the solve runs inside shard_map over a 2-D image
     # grid ('halo' operator): reductions become psum/pmax/pmin collectives.
     axis_names: tuple = ()
@@ -139,10 +144,10 @@ class SGPConfig:
             raise ValueError(f"divergence must be 'kl' or 'beta', got "
                              f"{self.divergence!r}")
         if self.operator not in ('auto', 'otf', 'matmul', 'matmul_flat',
-                                 'linear', 'halo'):
+                                 'matmul_split', 'linear', 'halo'):
             raise ValueError(f'unknown operator {self.operator!r}')
-        if self.projection_method not in ('bisect', 'pallas', 'sort',
-                                          'secant'):
+        if self.projection_method not in ('bisect', 'section', 'pallas',
+                                          'sort', 'secant'):
             raise ValueError(
                 f'unknown projection_method {self.projection_method!r}')
         if self.stable_sums not in ('auto', True, False):

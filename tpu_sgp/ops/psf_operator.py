@@ -95,6 +95,53 @@ def make_matmul_flat_operator(psf: jnp.ndarray) -> Tuple[Operator, Operator]:
     return A, AT
 
 
+def _split_bf16(m: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-term bf16 decomposition: m ~ hi + lo with hi = bf16(m) and
+    lo = bf16(m - hi). Covers ~16 mantissa bits (vs f32's 24)."""
+    hi = m.astype(jnp.bfloat16)
+    lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def make_matmul_flat_split_operator(psf: jnp.ndarray
+                                    ) -> Tuple[Operator, Operator]:
+    """Compensated split-bf16 circulant matvec on FLATTENED images — the
+    mixed-precision lever VERDICT r4 next-5 asks to measure.
+
+    Both the operator matrix and the iterate are decomposed into two bf16
+    terms (hi + lo); the product keeps the three significant cross terms
+    (hi*hi + hi*lo + lo*hi, Ozaki-style with the ~2^-32 lo*lo term
+    dropped), each accumulated in f32 on the MXU. Error vs the exact f32
+    matvec is bounded by the ~2^-17 relative split residual — below the
+    solver's f32 stop tolerances (1e-4) but ABOVE f32 roundoff, so this is
+    an opt-in speed/accuracy trade (``operator='matmul_split'``), not the
+    default. Semantics otherwise identical to ``make_matmul_flat_operator``
+    (reference operator (a), /root/reference/restoration/sgp.py:108-120).
+    """
+    c = build_circulant_matrix(psf).astype(jnp.float32)
+    c_hi, c_lo = _split_bf16(c)
+    # bf16 rounding is elementwise, so the adjoint's split terms are the
+    # transposes of the forward's — no second decomposition needed
+    ct_hi, ct_lo = c_hi.T, c_lo.T
+    f32 = jnp.float32
+
+    def apply(mh, ml, x):
+        xh = x.astype(jnp.bfloat16)
+        xl = (x.astype(f32) - xh.astype(f32)).astype(jnp.bfloat16)
+        y = (jnp.matmul(mh, xh, preferred_element_type=f32)
+             + jnp.matmul(mh, xl, preferred_element_type=f32)
+             + jnp.matmul(ml, xh, preferred_element_type=f32))
+        return y.astype(x.dtype)
+
+    def A(x):
+        return apply(c_hi, c_lo, x)
+
+    def AT(x):
+        return apply(ct_hi, ct_lo, x)
+
+    return A, AT
+
+
 def make_otf_operator(psf: jnp.ndarray) -> Tuple[Operator, Operator]:
     """rFFT circular-convolution path (same PSF/image shape)."""
     shape = psf.shape
@@ -278,10 +325,12 @@ def make_operator(psf: jnp.ndarray, image_shape: Tuple[int, int],
         if not same:
             raise ValueError('matmul operator requires PSF.shape == image.shape')
         return make_matmul_operator(psf)
-    if method == 'matmul_flat':
+    if method in ('matmul_flat', 'matmul_split'):
         if len(image_shape) != 1 or psf.size != image_shape[0]:
-            raise ValueError('matmul_flat operates on (H*W,) raveled images '
+            raise ValueError(f'{method} operates on (H*W,) raveled images '
                              f'(psf {psf.shape}, image {image_shape})')
+        if method == 'matmul_split':
+            return make_matmul_flat_split_operator(psf)
         return make_matmul_flat_operator(psf)
     if method == 'otf':
         if not same:

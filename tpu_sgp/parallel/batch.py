@@ -351,9 +351,11 @@ def restore_stamps(stamps, psf, bkgs, cfg: SGPConfig, *, fluxes=None,
         # agrees to ULPs).
         if per_stamp_psf:
             raise ValueError('flatten requires a shared PSF')
-        if cfg.operator not in ('auto', 'matmul', 'matmul_flat'):
+        if cfg.operator not in ('auto', 'matmul', 'matmul_flat',
+                                'matmul_split'):
             raise ValueError('flatten requires the dense matmul operator')
-        cfg = cfg.replace(operator='matmul_flat')
+        if cfg.operator != 'matmul_split':
+            cfg = cfg.replace(operator='matmul_flat')
         stamps, bkgs, x0, obj = (a.reshape(a.shape[0], -1)
                                  for a in (stamps, bkgs, x0, obj))
 

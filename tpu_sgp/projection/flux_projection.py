@@ -324,6 +324,40 @@ def _sectioning_machinery(b, c, dia, scaling, sat_level, has_sat, n_iters,
     return xval, sweep, lo, hi, k_pts, n_steps
 
 
+def project_df_section(b, c, dia, scaling, sat_level=None,
+                       has_sat: bool | None = None,
+                       n_iters: int | None = None, axes=()):
+    """Cold K-way sectioned bisection on the dual variable — the round-3
+    projection, kept as a supported method (``projection_method='section'``)
+    so the guided-secant default (:func:`project_df_bisect`) can be
+    interleaved-A/B'd against it on identical solver configs.
+
+    The residual r(lambda) = sum(clip((c+lambda)/dia, 0, cap)) - b is
+    monotone nondecreasing, so sectioning from the guaranteed global
+    bracket converges unconditionally; ``bracket_bits(dtype)`` bits of
+    narrowing push the bracket below dtype resolution. Trip count is
+    static: under vmap nothing serializes to the slowest lane, and when
+    the image is sharded each sectioning step is exactly one psum.
+    Reference semantics: flux_conserve_proj.py:20-142 (same dual root,
+    found by sign census instead of secant iteration).
+    """
+    if has_sat is None:
+        has_sat = sat_level is not None
+    xval, sweep, lo, hi, k_pts, n_steps = _sectioning_machinery(
+        b, c, dia, scaling, sat_level, has_sat, n_iters, axes)
+
+    def body(_, carry):
+        lo, hi = carry
+        width = hi - lo
+        nbelow = sweep(lo, width)                         # root segment
+        seg = width / (k_pts + 1)
+        new_lo = lo + nbelow * seg
+        return (new_lo, new_lo + seg)
+
+    lo, hi = jax.lax.fori_loop(0, n_steps, body, (lo, hi))
+    return xval(0.5 * (lo + hi))
+
+
 def newton_passes(dtype) -> int:
     """Main-pass budget for the guided-secant sectioning
     (:func:`project_df_bisect`) — calibrated on 645 solver-generated

@@ -55,6 +55,7 @@ from ..ops.psf_operator import make_operator
 from ..ops.reduce import gmax, gmean, gmin, gsum, gsum_ff
 from ..projection.flux_projection import (project_df, project_df_bisect,
                                           project_df_bisect_warm,
+                                          project_df_section,
                                           project_df_sort)
 
 
@@ -243,6 +244,11 @@ def _solve_impl(gn, psf, bkg, x0, flux_in, obj, beta0, lr0, sat_level,
                                      sat_level=(sat if cfg.has_sat_level
                                                 else None),
                                      has_sat=cfg.has_sat_level, axes=ax)
+        if method == 'section':
+            return project_df_section(flux, point, dia, scaling,
+                                      sat_level=(sat if cfg.has_sat_level
+                                                 else None),
+                                      has_sat=cfg.has_sat_level, axes=ax)
         if method == 'sort':
             return project_df_sort(flux, point, dia, scaling,
                                    sat_level=(sat if cfg.has_sat_level
