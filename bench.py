@@ -124,6 +124,83 @@ def _emit(metric, value, unit, vs_baseline):
                       'unit': unit, 'vs_baseline': round(vs_baseline, 2)}))
 
 
+# Measured per-run so every round's numbers can be corrected for THIS
+# window's tunnel weather (the r04 regressions were all floor-shaped —
+# VERDICT r4 weak #1/#4). Keys: 'dispatch' = wall of a trivial program
+# returning a BATCH-sized int32 (exactly what _sync fetches after a stamp
+# solve); 'wire_256' = wall of an echo program that uploads a (256, 961)
+# f32 request and downloads the same bytes (the serving round trip).
+_FLOORS = {}
+
+
+def _measure_floors(jax, jnp, repeats=20):
+    """Dispatch+readback floor probes. min-wall like every other metric;
+    the probes bracket the real programs' fixed overheads from below."""
+    tiny = jax.jit(lambda a: a + 1)
+    seed = jax.device_put(jnp.zeros((BATCH,), jnp.int32))
+    _FLOORS['dispatch'] = _min_wall(
+        lambda: np.asarray(tiny(seed)), repeats=repeats)
+    echo = jax.jit(lambda a: a + 1.0)
+    req = jax.device_put(jnp.zeros((256, 961), jnp.float32))
+    wire = _min_wall(lambda: np.asarray(echo(req)), repeats=repeats)
+    # the serving session also UPLOADS the request each call; the echo
+    # probe above only times download+dispatch. Time the upload too.
+    host_req = np.zeros((256, 961), np.float32)
+    up = _min_wall(lambda: np.asarray(
+        echo(jax.device_put(jnp.asarray(host_req)))), repeats=repeats)
+    _FLOORS['wire_256'] = max(wire, up)
+    print(f'# rig floors: dispatch={_FLOORS["dispatch"] * 1e3:.1f}ms '
+          f'wire_256={_FLOORS["wire_256"] * 1e3:.1f}ms '
+          f'(echo-only {wire * 1e3:.1f}ms)', file=sys.stderr)
+    _emit(f'rig_dispatch_floor_ms_{SUFFIX}', _FLOORS['dispatch'] * 1e3,
+          'ms', 1.0)
+
+
+def _emit_chip_only(metric, wall, n_items, floor_key, per_item_baseline_s):
+    """Companion metric with the measured rig floor subtracted — the
+    round-over-round comparable series (tunnel weather cancels)."""
+    floor = _FLOORS.get(floor_key)
+    if floor is None or wall - floor <= 0:
+        return
+    rate = n_items / (wall - floor)
+    _emit(f'{metric}_chip_only_{SUFFIX}', rate, 'stamps/s',
+          rate * per_item_baseline_s)
+
+
+def _ab_ratio(label, fn_a, fn_b, name_a, name_b, pairs=20):
+    """Interleaved A/B: alternate the two programs within ONE measurement
+    window and report the median of per-pair wall ratios — slow-window
+    contention multiplies both sides of a pair and cancels out of the
+    ratio, unlike cross-round min-wall comparisons (VERDICT r4 weak #1).
+    Returns the median of wall_a / wall_b (value < 1 means A is faster)."""
+    fn_a()
+    fn_b()  # compile + warm both before the window
+    ratios, walls_a, walls_b = [], [], []
+    for _ in range(pairs):
+        t0 = time.perf_counter()
+        fn_a()
+        wa = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn_b()
+        wb = time.perf_counter() - t0
+        walls_a.append(wa)
+        walls_b.append(wb)
+        ratios.append(wa / wb)
+    ratios_s = sorted(ratios)
+    med = float(np.median(ratios))
+    iqr = ratios_s[(3 * len(ratios)) // 4] - ratios_s[len(ratios) // 4]
+    print(f'# A/B {label}: {name_a} {min(walls_a) * 1e3:.1f}ms (min) vs '
+          f'{name_b} {min(walls_b) * 1e3:.1f}ms (min); '
+          f'pair ratios median={med:.4f} iqr={iqr:.4f} '
+          f'n={len(ratios)}', file=sys.stderr)
+    print(f'# A/B {label} ratios: {[round(r, 3) for r in ratios]}',
+          file=sys.stderr)
+    _emit(f'ab_{label}_wall_ratio_{SUFFIX}', med,
+          f'{name_a}/{name_b} wall ratio (median of interleaved pairs)',
+          1.0 / med)
+    return med
+
+
 def bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
                       bkgs, fluxes):
     """beta-SGP (the paper's headline algorithm) with in-backtrack beta
@@ -145,6 +222,90 @@ def bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
     rate = BETA_BATCH / wall
     _emit(f'beta_sgp_stamp_restorations_per_second_b{BETA_BATCH}_{SUFFIX}',
           rate, 'stamps/s', rate * BASELINE_BETA_STAMP_SECONDS)
+    _emit_chip_only(f'beta_sgp_stamp_restorations_per_second_b{BETA_BATCH}',
+                    wall, BETA_BATCH, 'dispatch', BASELINE_BETA_STAMP_SECONDS)
+
+
+def _beta_cfg(SGPConfig, **kw):
+    return SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
+                     init_recon=2, proj_type=1, has_flux=True,
+                     has_sat_level=True, dtype='float32', divergence='beta',
+                     adapt_beta=True, schedule_lr=True, track_discr=False,
+                     **kw)
+
+
+def bench_ab_beta_projection(jnp, jax, SGPConfig, restore_stamps, stamps,
+                             psf, bkgs, fluxes, pairs=20):
+    """Interleaved A/B on the BETA stamp batch: round-4 guided-secant
+    projection (the default, 'bisect') vs round-3 cold K-way sectioning
+    ('section'), identical configs otherwise — settles whether BENCH_r04's
+    beta drop (52.7k vs r03's 58.4k) was rig contention or a projection
+    regression (VERDICT r4 next-1a). Ratio < 1 means guided-secant is
+    faster."""
+    s, b, f = (a[:BETA_BATCH] for a in (stamps, bkgs, fluxes))
+    compact = dict(phase1_iters=28, tail_bucket=2048) if COMPACT else {}
+
+    def fused(method):
+        cfg = _beta_cfg(SGPConfig, projection_method=method)
+        fn = jax.jit(lambda s_, p_, b_, f_: restore_stamps(
+            s_, p_, b_, cfg, fluxes=f_, beta0=1.005, lr0=1e-3,
+            sat_level=65000.0, flatten=True, **compact))
+        return lambda: _sync(fn(s, psf, b, f))
+
+    _ab_ratio('beta_guided_vs_section', fused('bisect'), fused('section'),
+              'guided-secant', 'r3-sectioning', pairs=pairs)
+
+
+def bench_ab_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf, bkgs,
+                   fluxes, pairs=20):
+    """Interleaved A/B on the KL stamp batch: exact f32 dense matvec
+    ('matmul_flat', HIGHEST) vs the compensated split-bf16 matvec
+    ('matmul_split', 3 bf16 MXU passes) — the mixed-precision lever
+    VERDICT r4 next-5 asks to measure instead of assume. Fixed iteration
+    count so both programs do identical work per lane (the split residual
+    would otherwise shift crit-3 stop iterations and confound the wall
+    comparison with workload drift)."""
+    s, b, f = (a[:BATCH] for a in (stamps, bkgs, fluxes))
+
+    def fused(op):
+        cfg = SGPConfig(max_iter=25, stop_criterion=1, init_recon=2,
+                        proj_type=1, has_flux=True, has_sat_level=True,
+                        dtype='float32', divergence='kl',
+                        track_discr=False, operator=op)
+        fn = jax.jit(lambda s_, p_, b_, f_: restore_stamps(
+            s_, p_, b_, cfg, fluxes=f_, sat_level=65000.0, flatten=True))
+        return lambda: _sync(fn(s, psf, b, f))
+
+    _ab_ratio('kl_split_bf16_vs_f32', fused('matmul_split'),
+              fused('matmul_flat'), 'split-bf16', 'f32-exact', pairs=pairs)
+
+
+def bench_ab_wire(np_stamps, np_psf, np_bkgs, np_fluxes, pairs=12):
+    """Interleaved A/B: f32 serving stream vs u16 full-wire stream in one
+    window (VERDICT r4 next-1b) — the per-pair ratio is immune to the
+    window-to-window tunnel-bandwidth swings that halved the f32 stream
+    number in BENCH_r04."""
+    from tpu_sgp.parallel.session import RestorationSession
+
+    sess32 = RestorationSession(np_psf)
+    sess32.warmup(buckets=(256, 4 * 256))
+    sess16 = RestorationSession(np_psf, ingest_dtypes=('uint16',),
+                                egress_dtype='uint16')
+    sess16.warmup(buckets=(256, 4 * 256))
+    s32, b, f = np_stamps[:256], np_bkgs[:256], np_fluxes[:256]
+    su16 = np.clip(np.rint(s32), 0, 65535).astype(np.uint16)
+    f16 = su16.astype(np.float32).sum(axis=(1, 2)) - su16[0].size * b
+
+    def stream(sess, stamps, fl):
+        def run():
+            for _ in sess.restore_stream(
+                    ((stamps, b, fl) for _ in range(STREAM_REQ)),
+                    coalesce=4):
+                pass
+        return run
+
+    _ab_ratio('stream_u16_wire_vs_f32', stream(sess16, su16, f16),
+              stream(sess32, s32, f), 'u16-wire', 'f32', pairs=pairs)
 
 
 def bench_whole_frame(jnp, jax, SGPConfig):
@@ -203,6 +364,13 @@ def bench_whole_frame(jnp, jax, SGPConfig):
     _emit(f'whole_frame_410_ms_per_iteration_fixed200_{SUFFIX}',
           ms_per_iter_fixed, 'ms/iter',
           BASELINE_FRAME_MS_PER_ITER / ms_per_iter_fixed)
+    # chip-only companion: this run's measured dispatch floor subtracted
+    # from the converged crit-3 wall (round-over-round comparable)
+    floor = _FLOORS.get('dispatch')
+    if floor is not None and wall_c - floor > 0:
+        ms_chip = (wall_c - floor) * 1e3 / max(iters_c, 1)
+        _emit(f'whole_frame_410_ms_per_iteration_chip_only_{SUFFIX}',
+              ms_chip, 'ms/iter', BASELINE_FRAME_MS_PER_ITER / ms_chip)
     print(f'# whole-frame crit-3 iters={iters_c} wall={wall_c * 1e3:.1f}ms;'
           f' fixed-200 wall={wall_t * 1e3:.1f}ms', file=sys.stderr)
 
@@ -225,6 +393,14 @@ def bench_serving_p50(np_stamps, np_psf, np_bkgs, np_fluxes):
     # baseline: the reference restores 256 stamps serially in 256*13.3ms
     _emit(f'serving_p50_latency_256_stamps_ms_{SUFFIX}', p50, 'ms',
           256 * BASELINE_STAMP_SECONDS * 1e3 / p50)
+    # chip-only companion: the request-sized wire floor (upload + dispatch
+    # + download of a 256x961 f32 echo, measured THIS run) subtracted —
+    # BENCH_r04's p50 doubled on pure tunnel weather (VERDICT r4 weak #4)
+    floor = _FLOORS.get('wire_256')
+    if floor is not None and p50 - floor * 1e3 > 0:
+        p50_chip = p50 - floor * 1e3
+        _emit(f'serving_p50_latency_256_stamps_ms_chip_only_{SUFFIX}',
+              p50_chip, 'ms', 256 * BASELINE_STAMP_SECONDS * 1e3 / p50_chip)
 
 
 def bench_serving_stream(np_stamps, np_psf, np_bkgs, np_fluxes):
@@ -312,6 +488,12 @@ def _enter_cpu_fallback():
 
 
 def main():
+    # optional A/B-only modes (VERDICT r4 next-1): `bench.py ab-beta`
+    # interleaves guided-secant vs r3-sectioning on the beta batch;
+    # `bench.py ab-wire` interleaves the u16-wire vs f32 streams;
+    # `bench.py ab` runs both. The default (no argv) full bench is what
+    # the driver runs — its LAST line stays the primary metric.
+    mode = sys.argv[1] if len(sys.argv) > 1 else 'full'
     if not _wait_for_backend():
         _enter_cpu_fallback()
     import jax
@@ -336,7 +518,22 @@ def main():
     bkgs = jax.device_put(jnp.asarray(np_bkgs, jnp.float32))
     fluxes = jax.device_put(jnp.asarray(np_fluxes, jnp.float32))
 
+    if mode in ('ab', 'ab-beta'):
+        bench_ab_beta_projection(jnp, jax, SGPConfig, restore_stamps,
+                                 stamps, psf, bkgs, fluxes)
+    if mode in ('ab', 'ab-split'):
+        bench_ab_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
+                       bkgs, fluxes)
+    if mode in ('ab', 'ab-wire'):
+        bench_ab_wire(np_stamps, np_psf, np_bkgs, np_fluxes)
+    if mode != 'full':
+        return
+
     # --- secondary metrics (every line is driver-parseable JSON) ----------
+    try:
+        _measure_floors(jax, jnp)
+    except Exception as exc:
+        print(f'# floor probe failed: {exc!r}', file=sys.stderr)
     try:
         bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
                           bkgs, fluxes)
@@ -406,6 +603,9 @@ def main():
           f'iters median={int(np.median(iters))} max={int(iters.max())} '
           f'finite={bool(np.isfinite(np.asarray(res.x)).all())}',
           file=sys.stderr)
+    _emit_chip_only(f'kl_sgp_stamp_restorations_per_second_b{BATCH}',
+                    wall, BATCH, 'dispatch', BASELINE_STAMP_SECONDS)
+    # primary metric LAST (the driver records the final line)
     _emit(f'kl_sgp_stamp_restorations_per_second_b{BATCH}_{SUFFIX}',
           stamps_per_s, 'stamps/s', stamps_per_s * BASELINE_STAMP_SECONDS)
 

@@ -1,4 +1,4 @@
-"""Two-process fresh-compile determinism check for f32 whole-frame stopping.
+"""Fresh-compile determinism check for f32 whole-frame stopping.
 
 Round-3 verdict wart: the 410x410 crit-3 iteration count swung 51-74
 run-to-run because stop rules 2/3 compared f32-accumulated scalars (whose
@@ -8,20 +8,37 @@ order with a compensated pairwise tree for f32 single-image solves.
 
 This script proves the fix where the test suite (CPU/f64) cannot: on the
 real TPU backend, with the persistent compilation cache DISABLED so each
-process compiles independently. Run it twice (the __main__ below does) and
-compare the printed iteration counts.
+process compiles independently, and with a TILING-RELEVANT XLA flag varied
+between the two compiles (two sequential same-flag compiles on one host
+are themselves deterministic, so same-flag agreement alone proves nothing
+— round-4 advisor finding). Each arm therefore runs:
 
-Usage:  python examples/determinism_check.py            # orchestrates 2 runs
-        python examples/determinism_check.py --solo     # one solve, print iters
+  run A: default flags          run B: --xla_tpu_scoped_vmem_limit_kib
+                                       (perturbs fusion/tiling decisions)
+
+  * stable_sums=True  arm: iteration counts MUST agree across A/B.
+  * stable_sums=False arm: the negative control — if its counts differ,
+    the flag perturbation demonstrably changed the reduction order and a
+    pass in the stable arm is meaningful; if they agree, the control is
+    INCONCLUSIVE for this flag (reported as such, exit still keyed to the
+    stable arm, but the proof is weaker).
+
+Usage:  python examples/determinism_check.py             # orchestrates 4 runs
+        python examples/determinism_check.py --solo [--unstable]
 """
 import os
 import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# Perturbs XLA's scoped-VMEM budget, which shifts fusion/tiling choices
+# (and therefore f32 reduction order) without changing any math.
+_TILING_FLAG = '--xla_tpu_scoped_vmem_limit_kib=8192'
 
 
-def solo() -> None:
+def solo(stable: bool) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,7 +52,8 @@ def solo() -> None:
     cfg = SGPConfig(max_iter=500, stop_criterion=3, tol_convergence=1e-5,
                     init_recon=2, proj_type=1, has_flux=False,
                     has_sat_level=False, dtype='float32', track_discr=False,
-                    warm_projection=True)
+                    warm_projection=True,
+                    stable_sums=(True if stable else False))
     dt = jnp.float32
     gn = jax.device_put(jnp.asarray(img, dt))
     psf_d = jax.device_put(jnp.asarray(psf, dt))
@@ -44,35 +62,62 @@ def solo() -> None:
     res = solve(gn, psf_d, bkg, z, 0.0, z, 1.0, 1e-3, 0.0, cfg)
     iters = int(np.asarray(res.iters))
     fv = float(np.asarray(res.fv))
-    print(f'DETERMINISM iters={iters} fv={fv:.9e}')
+    print(f'DETERMINISM stable={stable} iters={iters} fv={fv:.9e}')
+
+
+def _run_solo(stable: bool, extra_xla: str) -> str | None:
+    env = dict(os.environ)
+    # independent compiles: no persistent cache reuse between runs
+    env['JAX_ENABLE_COMPILATION_CACHE'] = 'false'
+    env['TPU_SGP_NO_COMPILE_CACHE'] = '1'
+    if extra_xla:
+        env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '') + ' ' + extra_xla
+                            ).strip()
+    args = [sys.executable, os.path.abspath(__file__), '--solo']
+    if not stable:
+        args.append('--unstable')
+    out = subprocess.run(args, env=env, capture_output=True, text=True,
+                         cwd=_REPO)
+    marker = [l for l in out.stdout.splitlines()
+              if l.startswith('DETERMINISM')]
+    if not marker:
+        print(f'solo run FAILED (stable={stable}, flags={extra_xla!r}):\n'
+              f'{out.stdout}\n{out.stderr[-2000:]}')
+        return None
+    return marker[0]
 
 
 def orchestrate() -> int:
-    env = dict(os.environ)
-    # independent compiles: no persistent cache reuse between the two runs
-    env['JAX_ENABLE_COMPILATION_CACHE'] = 'false'
-    env['TPU_SGP_NO_COMPILE_CACHE'] = '1'
-    lines = []
-    for i in (1, 2):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), '--solo'],
-            env=env, capture_output=True, text=True, cwd='/root/repo')
-        marker = [l for l in out.stdout.splitlines()
-                  if l.startswith('DETERMINISM')]
-        if not marker:
-            print(f'run {i} FAILED:\n{out.stdout}\n{out.stderr[-2000:]}')
-            return 1
-        print(f'run {i}: {marker[0]}')
-        lines.append(marker[0])
-    if lines[0] == lines[1]:
-        print('OK: independently-compiled runs agree (iters + fv identical)')
+    results = {}
+    for stable in (True, False):
+        pair = []
+        for flags in ('', _TILING_FLAG):
+            line = _run_solo(stable, flags)
+            if line is None:
+                return 1
+            print(f'stable={stable} flags={flags or "(default)"}: {line}')
+            pair.append(line)
+        results[stable] = pair[0] == pair[1]
+
+    if results[False]:
+        print('NEGATIVE CONTROL INCONCLUSIVE: stable_sums=False agreed '
+              f'across {_TILING_FLAG} — the flag did not perturb this '
+              'reduction order; the stable-arm pass below is necessary '
+              'but weaker evidence')
+    else:
+        print('negative control OK: stable_sums=False DIFFERS across the '
+              'tiling flag (the perturbation is real)')
+    if results[True]:
+        print('OK: stable_sums=True runs agree across independent compiles '
+              'AND the tiling-flag perturbation')
         return 0
-    print('MISMATCH between independently-compiled runs')
+    print('MISMATCH: stable_sums=True differs between independently-'
+          'compiled runs')
     return 2
 
 
 if __name__ == '__main__':
     if '--solo' in sys.argv:
-        solo()
+        solo(stable='--unstable' not in sys.argv)
     else:
         sys.exit(orchestrate())

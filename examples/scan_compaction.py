@@ -25,10 +25,12 @@ def main():
     from tpu_sgp.parallel.batch import restore_stamps
     from tpu_sgp.simulate import synthetic_star_stamps
 
-    B = 12288
-    np_stamps, np_psf, np_bkgs, _ = synthetic_star_stamps(B, size=31,
+    B, size = 12288, 31
+    np_stamps, np_psf, np_bkgs, _ = synthetic_star_stamps(B, size=size,
                                                           seed=42)
-    np_fluxes = np_stamps.sum(axis=(1, 2)) - 31 * 31 * np_bkgs
+    # bench.py's flux convention: background-subtracted sum (the catalog-
+    # flux analog), NOT the generator's noise-free truth fluxes
+    np_fluxes = np_stamps.sum(axis=(1, 2)) - size * size * np_bkgs
     stamps = jax.device_put(jnp.asarray(np_stamps, jnp.float32))
     psf = jax.device_put(jnp.asarray(np_psf, jnp.float32))
     bkgs = jax.device_put(jnp.asarray(np_bkgs, jnp.float32))
@@ -48,7 +50,12 @@ def main():
                         divergence='beta', adapt_beta=True, schedule_lr=True,
                         track_discr=False)
         extra = dict(beta0=1.005, lr0=1e-3)
-        grid = [(28, 2048), (26, 2048), (27, 3072), (26, 4096), (28, 3072)]
+        # the round-5 iteration census put unconv@28 at ~2350 of 12288 —
+        # over the 2048 tail, so (28, 2048) always pays the second tail
+        # round; probe higher p1 (shrinks the tail population) and wider
+        # single-round tails alongside the r3-era setting
+        grid = [(28, 2048), (29, 2048), (30, 2048), (28, 3072),
+                (30, 1024), (26, 2048), (27, 3072)]
 
     for p1, tail in grid:
         fused = jax.jit(lambda s, p, b, f, p1=p1, tail=tail: restore_stamps(
