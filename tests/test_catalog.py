@@ -602,3 +602,39 @@ def test_native_deblend_fuzz_matches_python():
         np.testing.assert_array_equal(a.data, b.data)
         n_checked += 1
     assert n_checked >= 4  # the fuzz actually exercised fields
+
+
+def test_detection_floor_keeps_restored_counts_sane():
+    """Deconvolved frames have near-zero background RMS, so the sigma
+    threshold collapses and ripple pixels register as sources — the
+    reference fails the same way (/root/reference/restoration/utils.py:
+    219-247 has no floor; its workaround is --add_bkg_to_deconvolved).
+    The CLI anchors threshold_floor to the ORIGINAL image's noise
+    (cli.py:236-239); this pins that the floor restores sane counts on a
+    sparse synthetic field where the floorless pass blows up."""
+    from tpu_sgp.api import sgp
+    from tpu_sgp.catalog import source_info
+    from tpu_sgp.simulate import synthetic_star_field
+
+    img, psf, truth = synthetic_star_field(200, 200, n_stars=12,
+                                           psf_size=31, fwhm=3.0, seed=11)
+    ocat, obkg = source_info(img)
+    n_orig = len(ocat)
+    assert 6 <= n_orig <= 18  # the sparse field detects near-truth counts
+
+    x, *_ = sgp(img, psf, np.full(img.shape, float(np.median(img))),
+                init_recon=2, proj_type=1, stop_criterion=3,
+                tol_convergence=1e-4, MAXIT=100)
+
+    floorless_cat, _ = source_info(x)
+    n_floorless = 0 if floorless_cat is None else len(floorless_cat)
+    floored_cat, _ = source_info(
+        x, threshold_floor=1.5 * obkg.background_rms_median)
+    n_floored = 0 if floored_cat is None else len(floored_cat)
+
+    # the blowup this guards against: floorless counts explode on the
+    # near-zero restored background
+    assert n_floorless > 2 * n_orig, (n_floorless, n_orig)
+    # the floor brings restored counts back to the original's scale
+    assert abs(n_floored - n_orig) <= max(2, n_orig // 3), \
+        (n_floored, n_orig)
