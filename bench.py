@@ -206,10 +206,17 @@ def bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
     """beta-SGP (the paper's headline algorithm) with in-backtrack beta
     adaptation + lr schedule, workload hyperparameters."""
     s, b, f = (a[:BETA_BATCH] for a in (stamps, bkgs, fluxes))
+    # projection_method='section': the round-5 interleaved A/B (bench.py
+    # ab-beta) measured the guided-secant default 1.056x SLOWER than the
+    # r3 cold sectioning on THIS batch (median of 20 pair ratios,
+    # iqr 0.028, contention-immune) — the r04 beta drop was partly real.
+    # KL keeps guided-secant (where the same A/B methodology measured it
+    # faster); the knob is public config.
     cfg = SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
                     init_recon=2, proj_type=1, has_flux=True,
                     has_sat_level=True, dtype='float32', divergence='beta',
-                    adapt_beta=True, schedule_lr=True, track_discr=False)
+                    adapt_beta=True, schedule_lr=True,
+                    projection_method='section', track_discr=False)
     # p1/tail retuned in round 3: (32,512)->49.1k, (28,1024)->53.1k at
     # B=6144; B=12288 needs tail 2048 (~1650 beta lanes unconverged at
     # 28). With the two-round tail, p1=26 measured 57.0k vs 57.8k at 28
@@ -306,6 +313,30 @@ def bench_ab_wire(np_stamps, np_psf, np_bkgs, np_fluxes, pairs=12):
 
     _ab_ratio('stream_u16_wire_vs_f32', stream(sess16, su16, f16),
               stream(sess32, s32, f), 'u16-wire', 'f32', pairs=pairs)
+
+
+def bench_kl_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf, bkgs,
+                   fluxes):
+    """KL stamps with the opt-in compensated split-bf16 matvec
+    (operator='matmul_split') at the primary metric's exact workload
+    config — the measured fast mode (round-5 interleaved A/B: 0.83x the
+    f32-exact wall, ~2^-17 matvec residual, science quality pinned equal
+    by tests/test_operator.py). Secondary metric; the primary stays
+    f32-exact for round-over-round comparability."""
+    cfg = SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
+                    init_recon=2, proj_type=1, has_flux=True,
+                    has_sat_level=True, dtype='float32', divergence='kl',
+                    operator='matmul_split', track_discr=False)
+    compact = dict(phase1_iters=26, tail_bucket=2048) if COMPACT else {}
+    fused = jax.jit(lambda s, p, b, f: restore_stamps(
+        s, p, b, cfg, fluxes=f, sat_level=65000.0, flatten=True, **compact))
+    wall = _min_wall(lambda: _sync(fused(stamps, psf, bkgs, fluxes)))
+    rate = BATCH / wall
+    _emit(f'kl_sgp_split_bf16_stamp_restorations_per_second_b{BATCH}'
+          f'_{SUFFIX}', rate, 'stamps/s', rate * BASELINE_STAMP_SECONDS)
+    _emit_chip_only(f'kl_sgp_split_bf16_stamp_restorations_per_second'
+                    f'_b{BATCH}', wall, BATCH, 'dispatch',
+                    BASELINE_STAMP_SECONDS)
 
 
 def bench_whole_frame(jnp, jax, SGPConfig):
@@ -537,6 +568,8 @@ def main():
     try:
         bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
                           bkgs, fluxes)
+        bench_kl_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
+                       bkgs, fluxes)
         bench_whole_frame(jnp, jax, SGPConfig)
         bench_serving_p50(np_stamps, np_psf, np_bkgs, np_fluxes)
         bench_serving_stream(np_stamps, np_psf, np_bkgs, np_fluxes)

@@ -44,11 +44,15 @@ def main():
         extra = {}
         grid = [(26, 2048), (25, 4096), (24, 4096), (25, 3072), (26, 3072)]
     else:
+        # projection_method='section': the round-5 interleaved A/B measured
+        # guided-secant 1.056x SLOWER than cold sectioning on the beta
+        # batch (median of 20 pair ratios, iqr 0.028) — beta keeps the r3
+        # projection, KL keeps guided-secant
         cfg = SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
                         init_recon=2, proj_type=1, has_flux=True,
                         has_sat_level=True, dtype='float32',
                         divergence='beta', adapt_beta=True, schedule_lr=True,
-                        track_discr=False)
+                        projection_method='section', track_discr=False)
         extra = dict(beta0=1.005, lr0=1e-3)
         # the round-5 iteration census put unconv@28 at ~2350 of 12288 —
         # over the 2048 tail, so (28, 2048) always pays the second tail
