@@ -47,7 +47,9 @@ def main():
     out = {}
     for egress in ('float32', 'uint16'):
         sess = RestorationSession(psf, egress_dtype=egress)
-        sess.warmup(buckets=(n,))
+        # 256 is a bench-warmed bucket size (requests pad host-side), so
+        # reruns reuse the persistent compile cache
+        sess.warmup(buckets=(256,))
         out[egress] = np.asarray(
             sess.restore(stamps, bkgs, fluxes=fluxes), np.float64)
         sess.close()
