@@ -287,6 +287,31 @@ def bench_ab_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf, bkgs,
               fused('matmul_flat'), 'split-bf16', 'f32-exact', pairs=pairs)
 
 
+def bench_ab_beta_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
+                        bkgs, fluxes, pairs=20):
+    """Interleaved A/B of the compensated split-bf16 matvec on the BETA
+    config (section projection, adaptation on) — the KL A/B measured the
+    lever at 0.83x; beta's heavier elementwise share (pow/log chains)
+    dilutes the matvec fraction, so its ratio must be measured, not
+    assumed. Fixed iteration count for identical per-lane work."""
+    s, b, f = (a[:BETA_BATCH] for a in (stamps, bkgs, fluxes))
+
+    def fused(op):
+        cfg = SGPConfig(max_iter=25, stop_criterion=1, init_recon=2,
+                        proj_type=1, has_flux=True, has_sat_level=True,
+                        dtype='float32', divergence='beta',
+                        adapt_beta=True, schedule_lr=True,
+                        projection_method='section', track_discr=False,
+                        operator=op)
+        fn = jax.jit(lambda s_, p_, b_, f_: restore_stamps(
+            s_, p_, b_, cfg, fluxes=f_, beta0=1.005, lr0=1e-3,
+            sat_level=65000.0, flatten=True))
+        return lambda: _sync(fn(s, psf, b, f))
+
+    _ab_ratio('beta_split_bf16_vs_f32', fused('matmul_split'),
+              fused('matmul_flat'), 'split-bf16', 'f32-exact', pairs=pairs)
+
+
 def bench_ab_wire(np_stamps, np_psf, np_bkgs, np_fluxes, pairs=12):
     """Interleaved A/B: f32 serving stream vs u16 full-wire stream in one
     window (VERDICT r4 next-1b) — the per-pair ratio is immune to the
@@ -555,6 +580,9 @@ def main():
     if mode in ('ab', 'ab-split'):
         bench_ab_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
                        bkgs, fluxes)
+    if mode in ('ab', 'ab-beta-split'):
+        bench_ab_beta_split(jnp, jax, SGPConfig, restore_stamps, stamps,
+                            psf, bkgs, fluxes)
     if mode in ('ab', 'ab-wire'):
         bench_ab_wire(np_stamps, np_psf, np_bkgs, np_fluxes)
     if mode != 'full':
