@@ -46,6 +46,7 @@ def worker(rss_limit_mb: float) -> None:
                            on_limit=lambda stats: None)  # supervisor decides
 
     submitted = completed = 0
+    errors = []
     rss_curve = []
     stop = threading.Event()
     lock = threading.Lock()
@@ -53,23 +54,28 @@ def worker(rss_limit_mb: float) -> None:
     def client(i):
         nonlocal submitted, completed
         rng = np.random.default_rng(i)
-        while not stop.is_set():
-            k = int(rng.integers(8, 65))
-            with lock:
-                submitted += 1
-            fut = srv.submit(stamps[:k].astype(np.float32), bkgs[:k],
-                             fluxes=fluxes[:k])
-            x = fut.result(timeout=600)
-            assert np.isfinite(x).all()
-            with lock:
-                completed += 1
+        try:
+            while not stop.is_set():
+                k = int(rng.integers(8, 65))
+                with lock:
+                    submitted += 1
+                fut = srv.submit(stamps[:k].astype(np.float32), bkgs[:k],
+                                 fluxes=fluxes[:k])
+                res = fut.result(timeout=600)   # an SGPResult slice
+                assert np.isfinite(res.x).all()
+                with lock:
+                    completed += 1
+        except BaseException as exc:  # noqa: BLE001 — a dead client must
+            with lock:                # be visible in the report, not a
+                errors.append(repr(exc))   # silent thread exit
+            stop.set()
 
     threads = [threading.Thread(target=client, args=(i,), daemon=True)
                for i in range(6)]
     for t in threads:
         t.start()
     t0 = time.monotonic()
-    while not srv.recycle_recommended:
+    while not srv.recycle_recommended and not stop.is_set():
         time.sleep(2.0)
         rss_curve.append(round(MicroBatchServer.process_rss_mb(), 1))
         if time.monotonic() - t0 > 900:   # safety: never soak one process
@@ -81,7 +87,7 @@ def worker(rss_limit_mb: float) -> None:
     stats = srv.watchdog_stats()
     srv.close()
     print('WORKER ' + json.dumps({
-        'submitted': submitted, 'completed': completed,
+        'submitted': submitted, 'completed': completed, 'errors': errors,
         'recycled': bool(stats['recycle_recommended']),
         'batches': stats['batches_served'],
         'requests': stats['requests_served'],
@@ -115,6 +121,9 @@ def supervise(minutes: float, rss_delta_mb: float) -> int:
               f"{rep['recycled']}, rss {rep['base_rss_mb']} -> "
               f"{rep['rss_curve_mb'][-1] if rep['rss_curve_mb'] else '?'}"
               f" MB in {rep['wall_s']}s")
+        if rep['errors']:
+            print(f"  client errors: {rep['errors']}")
+            return 3
     ok = total_done == total_sub and recycles >= 1
     print(f'SOAK {"OK" if ok else "FAIL"}: {cycles} process cycles, '
           f'{recycles} watchdog recycles, {total_done}/{total_sub} '
