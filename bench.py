@@ -364,6 +364,34 @@ def bench_kl_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf, bkgs,
                     BASELINE_STAMP_SECONDS)
 
 
+def bench_beta_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
+                     bkgs, fluxes):
+    """beta stamps with the opt-in split-bf16 matvec at the beta metric's
+    exact workload config (section projection, r3 compaction constants) —
+    round-5 interleaved A/B measured 0.776x the f32-exact wall (iqr
+    0.004, n=20); science quality pinned equal for the beta path by
+    tests/test_operator.py::test_solver_matmul_split_quality_matches_exact.
+    Secondary metric; the primary beta metric stays f32-exact."""
+    s, b, f = (a[:BETA_BATCH] for a in (stamps, bkgs, fluxes))
+    cfg = SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
+                    init_recon=2, proj_type=1, has_flux=True,
+                    has_sat_level=True, dtype='float32', divergence='beta',
+                    adapt_beta=True, schedule_lr=True,
+                    projection_method='section', operator='matmul_split',
+                    track_discr=False)
+    compact = dict(phase1_iters=28, tail_bucket=2048) if COMPACT else {}
+    fused = jax.jit(lambda s_, p_, b_, f_: restore_stamps(
+        s_, p_, b_, cfg, fluxes=f_, beta0=1.005, lr0=1e-3,
+        sat_level=65000.0, flatten=True, **compact))
+    wall = _min_wall(lambda: _sync(fused(s, psf, b, f)))
+    rate = BETA_BATCH / wall
+    _emit(f'beta_sgp_split_bf16_stamp_restorations_per_second_b{BETA_BATCH}'
+          f'_{SUFFIX}', rate, 'stamps/s', rate * BASELINE_BETA_STAMP_SECONDS)
+    _emit_chip_only(f'beta_sgp_split_bf16_stamp_restorations_per_second'
+                    f'_b{BETA_BATCH}', wall, BETA_BATCH, 'dispatch',
+                    BASELINE_BETA_STAMP_SECONDS)
+
+
 def bench_whole_frame(jnp, jax, SGPConfig):
     """410x410 whole-frame solve (reference subdivision benchmark geometry:
     PSF 31x31 != image, linear operator).
@@ -598,6 +626,8 @@ def main():
                           bkgs, fluxes)
         bench_kl_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
                        bkgs, fluxes)
+        bench_beta_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
+                         bkgs, fluxes)
         bench_whole_frame(jnp, jax, SGPConfig)
         bench_serving_p50(np_stamps, np_psf, np_bkgs, np_fluxes)
         bench_serving_stream(np_stamps, np_psf, np_bkgs, np_fluxes)

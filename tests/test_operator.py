@@ -2,6 +2,7 @@
 linear path == scipy fftconvolve."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.signal import fftconvolve
 
 from tpu_sgp.ops.psf_operator import (
@@ -130,13 +131,16 @@ def test_matmul_split_matches_exact_to_split_residual(rng):
     assert abs(lhs - rhs) < 3e-5 * abs(lhs)
 
 
-def test_solver_matmul_split_quality_matches_exact(rng):
+@pytest.mark.parametrize('divergence', ['kl', 'beta'])
+def test_solver_matmul_split_quality_matches_exact(rng, divergence):
     """End-to-end f32 stamp solve with the split-bf16 operator reaches the
-    SAME SCIENCE QUALITY as the exact operator. Iterate-vs-iterate is the
-    wrong assertion: the ~1e-5 matvec residual shifts discrete stop-rule /
-    backtracking decisions, and two valid converged f32 trajectories can
-    differ by percents on single pixels. What must match is the error
-    against ground truth and flux conservation."""
+    SAME SCIENCE QUALITY as the exact operator — for BOTH divergences (the
+    beta path adds in-backtrack beta adaptation on top of the same
+    operator). Iterate-vs-iterate is the wrong assertion: the ~1e-5 matvec
+    residual shifts discrete stop-rule / backtracking decisions, and two
+    valid converged f32 trajectories can differ by percents on single
+    pixels. What must match is the error against ground truth and flux
+    conservation."""
     from tpu_sgp import SGPConfig
     from tpu_sgp.parallel.batch import restore_stamps
     from tpu_sgp.simulate import _circular_degrade, gaussian_psf
@@ -165,12 +169,15 @@ def test_solver_matmul_split_quality_matches_exact(rng):
         # fixed iteration count: crit-3's data-dependent stop would let the
         # two trajectories stop at different iterations, turning roundoff-
         # level divergence into per-lane rel_err scatter
+        beta_kw = (dict(adapt_beta=True, schedule_lr=True)
+                   if divergence == 'beta' else {})
         cfg = SGPConfig(max_iter=25, stop_criterion=1,
                         init_recon=2, proj_type=1, has_flux=True,
                         has_sat_level=True, dtype='float32', operator=op,
-                        track_discr=False)
+                        divergence=divergence, track_discr=False, **beta_kw)
         res = restore_stamps(*args, cfg,
                              fluxes=jnp.asarray(fluxes, jnp.float32),
+                             beta0=(1.005 if divergence == 'beta' else 1.0),
                              sat_level=65000.0, flatten=True)
         x = np.asarray(res.x, np.float64).reshape(n, -1)
         assert np.isfinite(x).all()
