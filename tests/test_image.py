@@ -651,6 +651,84 @@ def test_wcs_shifted_cutout_preserves_projection():
                                    rtol=0, atol=1e-12)
 
 
+def test_wcs_cylindrical_projections_laws_and_round_trip():
+    """The cylindrical family (CAR/CEA/MER) through the general
+    native<->celestial rotation (CG02 eq. 2/5, pole from eq. 8-10):
+    latitude laws on the all-sky grid, analytic anchors on a ROTATED
+    grid, float64 round-trips, header/cutout preservation (replaces the
+    reference's astropy.wcs for these survey headers,
+    /root/reference/restoration/sgp.py:957)."""
+    d2r = np.pi / 180.0
+    allsky = {'CRPIX1': 181.0, 'CRPIX2': 91.0, 'CRVAL1': 0.0,
+              'CRVAL2': 0.0, 'CDELT1': -1.0, 'CDELT2': 1.0}
+    # latitude law at eta = +50 deg on the all-sky (CRVAL=0) grid
+    laws = {'CAR': 50.0,
+            'CEA': np.degrees(np.arcsin(50.0 * d2r)),
+            'MER': np.degrees(2 * np.arctan(np.exp(50.0 * d2r)) - np.pi / 2)}
+    for code, dec_want in laws.items():
+        w = WCS(dict(allsky, CTYPE1=f'RA---{code}', CTYPE2=f'DEC--{code}'))
+        ra, dec = w.pixel_to_world(180.0, 90.0)         # fiducial
+        np.testing.assert_allclose((ra, dec), (0.0, 0.0), rtol=0,
+                                   atol=1e-12, err_msg=code)
+        ra, dec = w.pixel_to_world(170.0, 140.0)        # xi=+10, eta=+50
+        np.testing.assert_allclose(ra, 10.0, rtol=0, atol=1e-10,
+                                   err_msg=code)
+        np.testing.assert_allclose(dec, dec_want, rtol=0, atol=1e-10,
+                                   err_msg=code)
+        # round-trips across the frame (avoiding the pole rows, where
+        # native longitude is degenerate — same sky point for every xi —
+        # and staying inside CEA's |eta| <= 1/lam radian domain)
+        for xy in [(10.0, 41.0), (359.0, 139.0), (123.4, 95.6)]:
+            ra, dec = w.pixel_to_world(*xy)
+            np.testing.assert_allclose(w.world_to_pixel(ra, dec), xy,
+                                       rtol=0, atol=1e-8, err_msg=code)
+
+    # CEA PV2_1 (lambda = 0.5): sin(theta) = lambda * eta_rad
+    w = WCS(dict(allsky, CTYPE1='RA---CEA', CTYPE2='DEC--CEA', PV2_1=0.5))
+    _, dec = w.pixel_to_world(180.0, 140.0)
+    np.testing.assert_allclose(dec, np.degrees(np.arcsin(0.5 * 50 * d2r)),
+                               rtol=0, atol=1e-10)
+    x, y = w.world_to_pixel(0.0, float(dec))
+    np.testing.assert_allclose((x, y), (180.0, 140.0), rtol=0, atol=1e-8)
+
+    # rotated CAR, CRVAL=(30,45): the celestial pole solution is
+    # (alpha_p, delta_p) = (210, 45) with LONPOLE default 0, so the
+    # native pole (eta=+90) must land there, the fiducial at CRVAL, and
+    # 90 deg along the native equator at the analytic (120, 0)
+    rot = WCS(dict(allsky, CRVAL1=30.0, CRVAL2=45.0,
+                   CTYPE1='RA---CAR', CTYPE2='DEC--CAR'))
+    np.testing.assert_allclose(rot.pixel_to_world(180.0, 90.0),
+                               (30.0, 45.0), rtol=0, atol=1e-10)
+    np.testing.assert_allclose(rot.pixel_to_world(180.0, 180.0),
+                               (210.0, 45.0), rtol=0, atol=1e-10)
+    np.testing.assert_allclose(rot.world_to_pixel(120.0, 0.0),
+                               (90.0, 90.0), rtol=0, atol=1e-8)
+    for xy in [(100.5, 20.25), (300.0, 160.0), (250.0, 91.0)]:
+        ra, dec = rot.pixel_to_world(*xy)
+        np.testing.assert_allclose(rot.world_to_pixel(ra, dec), xy,
+                                   rtol=0, atol=1e-8)
+    # header round-trip and cutout preserve the rotated projection
+    rot2 = WCS(dict(rot.to_header().items()))
+    cut = rot.shifted(40.0, 30.0)
+    for xy in [(100.5, 20.25), (300.0, 160.0)]:
+        want = rot.pixel_to_world(*xy)
+        np.testing.assert_allclose(rot2.pixel_to_world(*xy), want,
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(
+            cut.pixel_to_world(xy[0] - 40.0, xy[1] - 30.0), want,
+            rtol=0, atol=1e-12)
+
+    # southern fiducial exercises the LONPOLE-default-180 branch
+    south = WCS(dict(allsky, CRVAL1=80.0, CRVAL2=-30.0,
+                     CTYPE1='RA---MER', CTYPE2='DEC--MER'))
+    np.testing.assert_allclose(south.pixel_to_world(180.0, 90.0),
+                               (80.0, -30.0), rtol=0, atol=1e-10)
+    for xy in [(150.0, 60.0), (220.0, 120.0)]:
+        ra, dec = south.pixel_to_world(*xy)
+        np.testing.assert_allclose(south.world_to_pixel(ra, dec), xy,
+                                   rtol=0, atol=1e-8)
+
+
 def _tan_wcs(crpix1, crpix2, crval1=150.0, crval2=2.0, scale=2.8e-4,
              rot_deg=0.0):
     c, s = np.cos(np.radians(rot_deg)), np.sin(np.radians(rot_deg))

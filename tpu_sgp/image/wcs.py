@@ -1,15 +1,19 @@
-"""Minimal FITS WCS: linear CD/CDELT transforms + zenithal projections + SIP.
+"""Minimal FITS WCS: linear CD/CDELT transforms + sky projections + SIP.
 
 Replaces the reference's astropy.wcs usage (pixel_to_skycoord in the CLI,
 Cutout2D-carried WCS — reference sgp.py:957, 1041-1060) for the headers this
 framework reads/writes. Supports CRPIX/CRVAL/CD (or CDELT+PC / CDELT-only),
 the zenithal projection family of Calabretta & Greisen (2002) — TAN
 (gnomonic), SIN (orthographic), ARC (equidistant), STG (stereographic),
-ZEA (equal-area) — and SIP distortion polynomials (Shupe et al. 2005:
-A_p_q/B_p_q forward terms applied to intermediate pixel offsets; AP/BP
-inverse terms used when present, Newton fixed-point inversion otherwise) —
-the cases used by survey imaging; falls back to linear world coordinates
-for other CTYPEs with a loud warning.
+ZEA (equal-area) — the cylindrical family — CAR (plate carree), CEA
+(cylindrical equal area, PV2_1), MER (Mercator) — via the general
+native↔celestial spherical rotation (CG02 section 2.3-2.4, with the
+celestial-pole solution of eq. 8-10 for equatorial-fiducial projections),
+and SIP distortion polynomials (Shupe et al. 2005: A_p_q/B_p_q forward
+terms applied to intermediate pixel offsets; AP/BP inverse terms used when
+present, Newton fixed-point inversion otherwise) — the cases used by
+survey imaging; falls back to linear world coordinates for other CTYPEs
+with a loud warning.
 """
 from __future__ import annotations
 
@@ -37,6 +41,95 @@ _ZENITHAL = {
             lambda r: np.pi / 2 - 2.0 * np.arcsin(
                 np.clip(r / 2.0, -1.0, 1.0))),
 }
+
+# Cylindrical projections (CG02 section 5.2): native (phi, theta) from the
+# intermediate world coordinates (xi, eta) in DEGREES; phi = xi for all.
+# Each entry is (theta(eta_deg, lam), eta_deg(theta, lam)) with lam the
+# CEA PV2_1 parameter (ignored by the others).
+_R2D = 180.0 / np.pi
+
+
+def _cea_theta(eta, lam):
+    s = eta * (np.pi / 180.0) * lam
+    # |s| > 1 is off the projection (CEA covers |eta| <= 1/lam radians);
+    # NaN like astropy, not a silent clip to the pole
+    with np.errstate(invalid='ignore'):
+        return np.arcsin(np.where(np.abs(s) <= 1.0, s, np.nan))
+
+
+_CYLINDRICAL = {
+    'CAR': (lambda eta, lam: eta * (np.pi / 180.0),
+            lambda th, lam: th * _R2D),
+    'CEA': (_cea_theta,
+            lambda th, lam: np.sin(th) / lam * _R2D),
+    'MER': (lambda eta, lam: 2.0 * np.arctan(np.exp(eta * (np.pi / 180.0)))
+            - np.pi / 2,
+            lambda th, lam: np.log(np.tan(np.pi / 4 + th / 2.0)) * _R2D),
+}
+
+
+def _cyl_pole(ra0, dec0, phi_p, latpole):
+    """Celestial pole (alpha_p, delta_p) for an equatorial-fiducial
+    projection (phi0 = theta0 = 0): CG02 eq. 8-10 specialized. All
+    arguments/returns in RADIANS. Raises on headers with no solution
+    (|sin dec0| > |cos phi_p|)."""
+    cosp = np.cos(phi_p)
+    a = np.arctan2(0.0, cosp)          # 0 or pi
+    denom = abs(cosp)
+    if abs(np.sin(dec0)) > denom + 1e-12:
+        raise ValueError(
+            f'WCS: no celestial pole solution for CRVAL2={dec0 / _D2R:.3f} '
+            f'deg with LONPOLE={phi_p / _D2R:.1f} deg (|sin CRVAL2| > '
+            f'|cos LONPOLE|) — invalid header')
+    b = np.arccos(np.clip(np.sin(dec0) / max(denom, 1e-300), -1.0, 1.0))
+    # two solutions; take the one nearer LATPOLE (default +90 deg)
+    cands = [a + b, a - b]
+    # normalize into [-pi/2, pi/2] (a pole latitude)
+    cands = [np.arcsin(np.clip(np.sin(c), -1.0, 1.0)) for c in cands]
+    dec_p = min(cands, key=lambda c: abs(c - latpole))
+    if abs(np.cos(dec0)) < 1e-12:       # fiducial at a celestial pole
+        ra_p = ra0
+    elif abs(np.cos(dec_p)) < 1e-12:    # celestial pole solution at +-90
+        if dec_p > 0:
+            ra_p = ra0 + phi_p - np.pi
+        else:
+            ra_p = ra0 - phi_p
+    else:
+        ra_p = ra0 - np.arctan2(
+            np.sin(phi_p),
+            -np.sin(dec_p) * np.sin(dec0) / np.cos(dec_p))
+    return ra_p, dec_p
+
+
+def _native_to_celestial(phi, theta, pole):
+    """CG02 eq. 2: native spherical (phi, theta) -> (ra, dec), radians."""
+    ra_p, dec_p, phi_p = pole
+    sin_t, cos_t = np.sin(theta), np.cos(theta)
+    sin_dp, cos_dp = np.sin(dec_p), np.cos(dec_p)
+    dphi = phi - phi_p
+    dec = np.arcsin(np.clip(sin_t * sin_dp + cos_t * cos_dp * np.cos(dphi),
+                            -1.0, 1.0))
+    ra = ra_p + np.arctan2(-cos_t * np.sin(dphi),
+                           sin_t * cos_dp - cos_t * sin_dp * np.cos(dphi))
+    return ra, dec
+
+
+def _celestial_to_native(ra, dec, pole):
+    """CG02 eq. 5 inverse: (ra, dec) -> native (phi, theta), radians.
+    theta comes from atan2(sin theta, |cos theta|) — arcsin would lose
+    half the f64 digits near theta = 90 deg (every small separation from
+    a zenithal fiducial)."""
+    ra_p, dec_p, phi_p = pole
+    sin_d, cos_d = np.sin(dec), np.cos(dec)
+    sin_dp, cos_dp = np.sin(dec_p), np.cos(dec_p)
+    dra = ra - ra_p
+    sin_t = sin_d * sin_dp + cos_d * cos_dp * np.cos(dra)
+    y_ = -cos_d * np.sin(dra)
+    x_ = sin_d * cos_dp - cos_d * sin_dp * np.cos(dra)
+    h = np.hypot(y_, x_)
+    theta = np.arctan2(sin_t, h)
+    phi = phi_p + np.arctan2(y_, x_)
+    return phi, theta, h
 
 
 def _read_sip_block(h, prefix: str):
@@ -89,23 +182,38 @@ class WCS:
         if not code and 'TAN' in self.ctype[0]:
             code = 'TAN'  # tolerate short/nonstandard TAN ctypes
         self._zen = code if code in _ZENITHAL else None
+        self._cyl = code if code in _CYLINDRICAL else None
+        self._lam = float(h.get('PV2_1', 1.0))  # CEA scale parameter
         # Loud (once per projection code) instead of silently-linear: the
-        # native WCS implements the zenithal family and linear only; real
-        # survey headers can carry cylindrical/conic codes (AIT, CAR,
-        # MOL...) where astropy (the reference path, sgp.py:957) would be
-        # correct and a silent linear fallback subtly wrong.
-        if code and code not in ('LIN',) and self._zen is None:
+        # native WCS implements the zenithal + cylindrical families and
+        # linear only; real survey headers can carry conic/pseudo codes
+        # (AIT, MOL, COO...) where astropy (the reference path, sgp.py:957)
+        # would be correct and a silent linear fallback subtly wrong.
+        if (code and code not in ('LIN',) and self._zen is None
+                and self._cyl is None):
             if code not in _WARNED_CTYPES:
                 _WARNED_CTYPES.add(code)
                 warnings.warn(
                     f'WCS: unsupported projection CTYPE {self.ctype[0]!r} '
                     f'— falling back to LINEAR world coordinates; use '
                     f'astropy for exact {code} transforms', stacklevel=2)
-        lonpole = h.get('LONPOLE', None)
-        if lonpole is not None and float(lonpole) != 180.0:
-            warnings.warn(f'WCS: LONPOLE={lonpole} ignored (only the '
-                          'zenithal default 180 is implemented)',
-                          stacklevel=2)
+        # Native<->celestial rotation pole (CG02 sec. 2.4). Zenithal: the
+        # fiducial IS the native pole, so (ra_p, dec_p) = CRVAL for any
+        # LONPOLE (default 180). Cylindrical (theta0 = 0): solve eq. 8-10,
+        # LONPOLE defaulting to 0 (CRVAL2 >= 0) / 180 (CRVAL2 < 0),
+        # LATPOLE picking between the two pole solutions (default +90).
+        ra0, dec0 = self.crval * _D2R
+        self._latpole_deg = float(h.get('LATPOLE', 90.0))
+        latpole = self._latpole_deg * _D2R
+        if self._zen is not None:
+            phi_p = float(h.get('LONPOLE', 180.0)) * _D2R
+            self._pole = (ra0, dec0, phi_p)
+        elif self._cyl is not None:
+            phi_p = float(h.get('LONPOLE',
+                                0.0 if dec0 >= 0.0 else 180.0)) * _D2R
+            self._pole = _cyl_pole(ra0, dec0, phi_p, latpole) + (phi_p,)
+        else:
+            self._pole = None
         # SIP distortion (Shupe et al. 2005; astropy reads the same keys).
         # Forward: A_p_q/B_p_q corrections on intermediate pixel offsets
         # (u, v) = (x, y) - (CRPIX - 1). Inverse: AP/BP when the header
@@ -133,50 +241,43 @@ class WCS:
                       dy + _sip_eval(self.sip_b, dx, dy))
         xi = self.cd[0, 0] * dx + self.cd[0, 1] * dy   # deg
         eta = self.cd[1, 0] * dx + self.cd[1, 1] * dy
-        if self._zen is None:
+        if self._pole is None:
             return self.crval[0] + xi, self.crval[1] + eta
-        # zenithal deprojection: native polar (phi, R) -> native latitude
-        # theta -> celestial rotation about the native pole = CRVAL with
-        # LONPOLE phi_p = 180 deg (Calabretta & Greisen 2002, eq. 2/14/15)
-        _, th_of = _ZENITHAL[self._zen]
-        xi_r, eta_r = xi * _D2R, eta * _D2R
-        rr = np.hypot(xi_r, eta_r)
-        phi = np.arctan2(xi_r, -eta_r)
-        theta = th_of(rr)
-        ra0, dec0 = self.crval * _D2R
-        sin_t, cos_t = np.sin(theta), np.cos(theta)
-        sin_d0, cos_d0 = np.sin(dec0), np.cos(dec0)
-        cos_p = np.cos(phi)
-        dec = np.arcsin(np.clip(sin_t * sin_d0 - cos_t * cos_d0 * cos_p,
-                                -1.0, 1.0))
-        ra = ra0 + np.arctan2(cos_t * np.sin(phi),
-                              sin_t * cos_d0 + cos_t * sin_d0 * cos_p)
+        if self._zen is not None:
+            # zenithal deprojection: native polar (phi, R) -> native
+            # latitude theta (CG02 eq. 14/15: x = R sin phi, y = -R cos phi)
+            _, th_of = _ZENITHAL[self._zen]
+            xi_r, eta_r = xi * _D2R, eta * _D2R
+            rr = np.hypot(xi_r, eta_r)
+            phi = np.arctan2(xi_r, -eta_r)
+            theta = th_of(rr)
+        else:
+            # cylindrical: phi = xi directly, theta from the eta law
+            th_of, _ = _CYLINDRICAL[self._cyl]
+            phi = xi * _D2R
+            theta = th_of(eta, self._lam)
+        ra, dec = _native_to_celestial(phi, theta, self._pole)
         return (np.mod(ra / _D2R, 360.0), dec / _D2R)
 
     def world_to_pixel(self, ra, dec):
         ra = np.asarray(ra, np.float64)
         dec = np.asarray(dec, np.float64)
-        if self._zen is not None:
-            r_of, _ = _ZENITHAL[self._zen]
-            ra_r, dec_r = ra * _D2R, dec * _D2R
-            ra0, dec0 = self.crval * _D2R
-            dra = ra_r - ra0
-            sin_d, cos_d = np.sin(dec_r), np.cos(dec_r)
-            sin_d0, cos_d0 = np.sin(dec0), np.cos(dec0)
-            sin_t = sin_d * sin_d0 + cos_d * cos_d0 * np.cos(dra)
-            # native-azimuth direction (phi = 180 deg + atan2(y_, x_));
-            # |(y_, x_)| = cos(theta), zero exactly at the reference point
-            # where R = 0 too — the intermediate coords are (0, 0) there
-            y_ = -cos_d * np.sin(dra)
-            x_ = sin_d * cos_d0 - cos_d * sin_d0 * np.cos(dra)
-            h = np.hypot(y_, x_)
-            # theta via atan2(sin, cos): arcsin(sin_t) would lose half the
-            # float64 digits near theta = 90 deg (every small separation)
-            theta = np.arctan2(sin_t, h)
-            hs = np.where(h > 0, h, 1.0)
-            rr = r_of(theta)
-            xi = np.where(h > 0, -rr * y_ / hs, 0.0) / _D2R
-            eta = np.where(h > 0, rr * x_ / hs, 0.0) / _D2R
+        if self._pole is not None:
+            phi, theta, h = _celestial_to_native(ra * _D2R, dec * _D2R,
+                                                 self._pole)
+            if self._zen is not None:
+                r_of, _ = _ZENITHAL[self._zen]
+                rr = r_of(theta)
+                # |(y_, x_)| = cos(theta) is zero exactly at the reference
+                # point where R = 0 too — the plane coords are (0, 0) there
+                xi = np.where(h > 0, rr * np.sin(phi), 0.0) / _D2R
+                eta = np.where(h > 0, -rr * np.cos(phi), 0.0) / _D2R
+            else:
+                _, eta_of = _CYLINDRICAL[self._cyl]
+                # wrap native longitude to (-180, 180] deg
+                phi = np.arctan2(np.sin(phi), np.cos(phi))
+                xi = phi / _D2R
+                eta = eta_of(theta, self._lam)
         else:
             xi = ra - self.crval[0]
             eta = dec - self.crval[1]
@@ -213,6 +314,10 @@ class WCS:
         w.cd = self.cd.copy()
         w.ctype = self.ctype
         w._zen = self._zen
+        w._cyl = self._cyl
+        w._lam = self._lam
+        w._pole = self._pole
+        w._latpole_deg = self._latpole_deg
         # SIP offsets are measured from CRPIX, which shifts with the
         # cutout, so the polynomials carry over unchanged
         w.sip_a, w.sip_b = self.sip_a, self.sip_b
@@ -228,6 +333,11 @@ class WCS:
         h['CRVAL1'], h['CRVAL2'] = float(self.crval[0]), float(self.crval[1])
         h['CD1_1'], h['CD1_2'] = float(self.cd[0, 0]), float(self.cd[0, 1])
         h['CD2_1'], h['CD2_2'] = float(self.cd[1, 0]), float(self.cd[1, 1])
+        if self._pole is not None:
+            h['LONPOLE'] = float(self._pole[2] / _D2R)
+            h['LATPOLE'] = float(self._latpole_deg)
+        if self._cyl == 'CEA':
+            h['PV2_1'] = float(self._lam)
         if self._sip:
             for prefix, block in (('A', self.sip_a), ('B', self.sip_b),
                                   ('AP', self.sip_ap), ('BP', self.sip_bp)):
