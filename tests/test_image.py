@@ -492,7 +492,7 @@ def test_wcs_warns_on_unsupported_projection_and_sip():
     from tpu_sgp.image import wcs as wcsmod
 
     wcsmod._WARNED_CTYPES.clear()
-    hdr = {'CTYPE1': 'RA---AIT', 'CTYPE2': 'DEC--AIT',
+    hdr = {'CTYPE1': 'RA---COP', 'CTYPE2': 'DEC--COP',
            'CRVAL1': 150.0, 'CRVAL2': 2.0, 'CRPIX1': 10.0, 'CRPIX2': 10.0,
            'CD1_1': -1e-4, 'CD2_2': 1e-4}
     with warnings.catch_warnings(record=True) as rec:
@@ -500,7 +500,7 @@ def test_wcs_warns_on_unsupported_projection_and_sip():
         wcsmod.WCS(hdr)
         wcsmod.WCS(hdr)          # second instance: warned once per code
     msgs = [str(r.message) for r in rec]
-    assert sum('AIT' in m for m in msgs) == 1, msgs
+    assert sum('COP' in m for m in msgs) == 1, msgs
 
     # supported zenithal family (with or without SIP): silent
     with warnings.catch_warnings():
@@ -727,6 +727,64 @@ def test_wcs_cylindrical_projections_laws_and_round_trip():
         ra, dec = south.pixel_to_world(*xy)
         np.testing.assert_allclose(south.world_to_pixel(ra, dec), xy,
                                    rtol=0, atol=1e-8)
+
+
+def test_wcs_pseudo_cylindrical_projections():
+    """The all-sky pseudo-cylindrical family: SFL/GLS (Sanson-Flamsteed),
+    AIT (Hammer-Aitoff), MOL (Mollweide) — CG02 section 5.4 anchors plus
+    world<->pixel round-trips on the all-sky CRVAL=(0,0) grid."""
+    d2r = np.pi / 180.0
+    allsky = {'CRPIX1': 181.0, 'CRPIX2': 91.0, 'CRVAL1': 0.0,
+              'CRVAL2': 0.0, 'CDELT1': -1.0, 'CDELT2': 1.0}
+
+    for code in ('SFL', 'GLS', 'AIT', 'MOL'):
+        w = WCS(dict(allsky, CTYPE1=f'RA---{code}', CTYPE2=f'DEC--{code}'))
+        # fiducial is exact; world round-trips hold across the map
+        np.testing.assert_allclose(w.pixel_to_world(180.0, 90.0),
+                                   (0.0, 0.0), rtol=0, atol=1e-12,
+                                   err_msg=code)
+        for radec in [(20.0, 35.0), (310.0, -55.0), (123.4, 5.6)]:
+            x, y = w.world_to_pixel(*radec)
+            ra, dec = w.pixel_to_world(float(x), float(y))
+            np.testing.assert_allclose((np.mod(ra, 360), dec),
+                                       (np.mod(radec[0], 360), radec[1]),
+                                       rtol=0, atol=1e-8, err_msg=code)
+
+    # SFL law: xi = phi * cos(theta) — at dec=60, a world point 10 deg
+    # east sits at xi = 10 cos(60 deg) = 5 deg -> 5 px left of CRPIX
+    w = WCS(dict(allsky, CTYPE1='RA---SFL', CTYPE2='DEC--SFL'))
+    x, y = w.world_to_pixel(10.0, 60.0)
+    np.testing.assert_allclose((x, y), (180.0 - 10 * np.cos(60 * d2r),
+                                        90.0 + 60.0), rtol=0, atol=1e-9)
+
+    # AIT analytic anchor (CG02 eq. 105-106): (phi, theta) = (90, 0) ->
+    # gamma = sqrt(2/(1 + cos 45)), x = 2 gamma sin(45 deg), y = 0
+    w = WCS(dict(allsky, CTYPE1='RA---AIT', CTYPE2='DEC--AIT'))
+    gamma = np.sqrt(2.0 / (1.0 + np.cos(np.pi / 4)))
+    x, y = w.world_to_pixel(90.0, 0.0)
+    np.testing.assert_allclose(
+        (x, y), (180.0 - 2 * gamma * np.sin(np.pi / 4) / d2r, 90.0),
+        rtol=0, atol=1e-9)
+    # off-projection pixels NaN instead of folding onto the map
+    ra, dec = w.pixel_to_world(0.0, 0.0)   # far outside the AIT ellipse
+    assert np.isnan(ra) and np.isnan(dec)
+
+    # MOL anchors: the equator maps at x = 2 sqrt(2)/pi * phi (gamma=0),
+    # the pole at y = sqrt(2) radians; Newton inverse round-trips near
+    # both (the pole is where the Kepler-like equation degenerates)
+    w = WCS(dict(allsky, CTYPE1='RA---MOL', CTYPE2='DEC--MOL'))
+    x, y = w.world_to_pixel(45.0, 0.0)
+    np.testing.assert_allclose(
+        (x, y), (180.0 - 2 * np.sqrt(2) / np.pi * 45.0, 90.0),
+        rtol=0, atol=1e-9)
+    x, y = w.world_to_pixel(0.0, 90.0)
+    np.testing.assert_allclose(y, 90.0 + np.sqrt(2) / d2r, rtol=0,
+                               atol=1e-7)
+    for dec in (89.9, -89.9, 0.001):
+        x, y = w.world_to_pixel(15.0, dec)
+        ra2, dec2 = w.pixel_to_world(float(x), float(y))
+        np.testing.assert_allclose((ra2, dec2), (15.0, dec), rtol=0,
+                                   atol=1e-7)
 
 
 def _tan_wcs(crpix1, crpix2, crval1=150.0, crval2=2.0, scale=2.8e-4,

@@ -5,10 +5,12 @@ Cutout2D-carried WCS — reference sgp.py:957, 1041-1060) for the headers this
 framework reads/writes. Supports CRPIX/CRVAL/CD (or CDELT+PC / CDELT-only),
 the zenithal projection family of Calabretta & Greisen (2002) — TAN
 (gnomonic), SIN (orthographic), ARC (equidistant), STG (stereographic),
-ZEA (equal-area) — the cylindrical family — CAR (plate carree), CEA
-(cylindrical equal area, PV2_1), MER (Mercator) — via the general
-native↔celestial spherical rotation (CG02 section 2.3-2.4, with the
-celestial-pole solution of eq. 8-10 for equatorial-fiducial projections),
+ZEA (equal-area) — the cylindrical and pseudo-cylindrical families — CAR
+(plate carree), CEA (cylindrical equal area, PV2_1), MER (Mercator),
+SFL/GLS (Sanson-Flamsteed), AIT (Hammer-Aitoff), MOL (Mollweide) — via
+the general native↔celestial spherical rotation (CG02 section 2.3-2.4,
+with the celestial-pole solution of eq. 8-10 for equatorial-fiducial
+projections),
 and SIP distortion polynomials (Shupe et al. 2005: A_p_q/B_p_q forward
 terms applied to intermediate pixel offsets; AP/BP inverse terms used when
 present, Newton fixed-point inversion otherwise) — the cases used by
@@ -42,29 +44,123 @@ _ZENITHAL = {
                 np.clip(r / 2.0, -1.0, 1.0))),
 }
 
-# Cylindrical projections (CG02 section 5.2): native (phi, theta) from the
-# intermediate world coordinates (xi, eta) in DEGREES; phi = xi for all.
-# Each entry is (theta(eta_deg, lam), eta_deg(theta, lam)) with lam the
-# CEA PV2_1 parameter (ignored by the others).
+# Cylindrical + pseudo-cylindrical projections (CG02 sections 5.2/5.4).
+# All have the fiducial on the native equator (phi0 = theta0 = 0). Each
+# entry maps native spherical (phi, theta) [radians] <-> intermediate
+# world coordinates (xi, eta) [degrees]:
+#   (native_of(xi, eta, lam) -> (phi, theta),
+#    plane_of(phi, theta, lam) -> (xi, eta))
+# lam is the CEA PV2_1 parameter (ignored by the others).
 _R2D = 180.0 / np.pi
+_D2R_ = np.pi / 180.0
 
 
-def _cea_theta(eta, lam):
-    s = eta * (np.pi / 180.0) * lam
-    # |s| > 1 is off the projection (CEA covers |eta| <= 1/lam radians);
-    # NaN like astropy, not a silent clip to the pole
+def _arcsin_or_nan(s):
+    """arcsin that NaNs out-of-domain points (off-projection pixels) like
+    astropy, instead of silently clipping to the pole."""
     with np.errstate(invalid='ignore'):
-        return np.arcsin(np.where(np.abs(s) <= 1.0, s, np.nan))
+        return np.arcsin(np.where(np.abs(np.asarray(s, np.float64)) <= 1.0,
+                                  s, np.nan))
+
+
+def _car(xi, eta, lam):
+    return xi * _D2R_, eta * _D2R_
+
+
+def _car_inv(phi, theta, lam):
+    return phi * _R2D, theta * _R2D
+
+
+def _cea(xi, eta, lam):
+    return xi * _D2R_, _arcsin_or_nan(eta * _D2R_ * lam)
+
+
+def _cea_inv(phi, theta, lam):
+    return phi * _R2D, np.sin(theta) / lam * _R2D
+
+
+def _mer(xi, eta, lam):
+    return xi * _D2R_, 2.0 * np.arctan(np.exp(eta * _D2R_)) - np.pi / 2
+
+
+def _mer_inv(phi, theta, lam):
+    return phi * _R2D, np.log(np.tan(np.pi / 4 + theta / 2.0)) * _R2D
+
+
+def _sfl(xi, eta, lam):
+    theta = eta * _D2R_
+    with np.errstate(divide='ignore', invalid='ignore'):
+        phi = xi * _D2R_ / np.cos(theta)
+    return phi, theta
+
+
+def _sfl_inv(phi, theta, lam):
+    return phi * np.cos(theta) * _R2D, theta * _R2D
+
+
+def _ait(xi, eta, lam):
+    # Hammer-Aitoff inverse (CG02 section 5.4, eq. 107-108)
+    x_r, y_r = xi * _D2R_, eta * _D2R_
+    z2 = 1.0 - (x_r / 4.0) ** 2 - (y_r / 2.0) ** 2
+    # the map's boundary is Z^2 = 1/2; outside is off-projection
+    with np.errstate(invalid='ignore'):
+        z = np.sqrt(np.where(z2 >= 0.5, z2, np.nan))
+    phi = 2.0 * np.arctan2(z * x_r / 2.0, 2.0 * z * z - 1.0)
+    theta = _arcsin_or_nan(y_r * z)
+    return phi, theta
+
+
+def _ait_inv(phi, theta, lam):
+    gamma = np.sqrt(2.0 / (1.0 + np.cos(theta) * np.cos(phi / 2.0)))
+    xi = 2.0 * gamma * np.cos(theta) * np.sin(phi / 2.0) * _R2D
+    eta = gamma * np.sin(theta) * _R2D
+    return xi, eta
+
+
+def _mol(xi, eta, lam):
+    # Mollweide inverse (CG02 eq. 113-115)
+    x_r, y_r = xi * _D2R_, eta * _D2R_
+    g = _arcsin_or_nan(y_r / np.sqrt(2.0))
+    theta = _arcsin_or_nan((2.0 * g + np.sin(2.0 * g)) / np.pi)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        phi = np.pi * x_r / (2.0 * np.sqrt(2.0) * np.cos(g))
+    return phi, theta
+
+
+def _mol_inv(phi, theta, lam):
+    # solve 2g + sin 2g = pi sin(theta) by Newton. The root is TRIPLE at
+    # the poles (f ~ -(4/3) eps^3 with eps = pi/2 - g), where Newton
+    # degrades to linear convergence at factor 2/3 — so start from the
+    # pole-asymptotic eps = cbrt(3 (pi - |t|) / 4) blended with g = theta,
+    # and run to the f64 fixed point (60 iterations bound the worst case
+    # at (2/3)^60 ~ 3e-11 of the start error; far from the poles Newton
+    # is quadratic and the steps underflow long before that — this is
+    # cheap vectorized host trig, not device code)
+    st = np.sin(np.asarray(theta, np.float64))
+    target = np.pi * st
+    g0 = np.arcsin(np.clip(st, -1.0, 1.0))
+    eps = np.cbrt(3.0 * np.maximum(np.pi - np.abs(target), 0.0) / 4.0)
+    g_pole = np.sign(target) * (np.pi / 2 - eps)
+    g = np.where(np.abs(st) > 0.9, g_pole, g0)
+    for _ in range(60):
+        f = 2.0 * g + np.sin(2.0 * g) - target
+        df = 2.0 + 2.0 * np.cos(2.0 * g)
+        step = np.where(df > 1e-12, f / np.where(df > 1e-12, df, 1.0), 0.0)
+        g = g - step
+    g = np.where(np.abs(st) >= 1.0 - 1e-15, np.arcsin(np.clip(st, -1, 1)), g)
+    xi = 2.0 * np.sqrt(2.0) / np.pi * phi * np.cos(g) * _R2D
+    eta = np.sqrt(2.0) * np.sin(g) * _R2D
+    return xi, eta
 
 
 _CYLINDRICAL = {
-    'CAR': (lambda eta, lam: eta * (np.pi / 180.0),
-            lambda th, lam: th * _R2D),
-    'CEA': (_cea_theta,
-            lambda th, lam: np.sin(th) / lam * _R2D),
-    'MER': (lambda eta, lam: 2.0 * np.arctan(np.exp(eta * (np.pi / 180.0)))
-            - np.pi / 2,
-            lambda th, lam: np.log(np.tan(np.pi / 4 + th / 2.0)) * _R2D),
+    'CAR': (_car, _car_inv),
+    'CEA': (_cea, _cea_inv),
+    'MER': (_mer, _mer_inv),
+    'SFL': (_sfl, _sfl_inv),
+    'GLS': (_sfl, _sfl_inv),   # historical alias of SFL
+    'AIT': (_ait, _ait_inv),
+    'MOL': (_mol, _mol_inv),
 }
 
 
@@ -185,10 +281,11 @@ class WCS:
         self._cyl = code if code in _CYLINDRICAL else None
         self._lam = float(h.get('PV2_1', 1.0))  # CEA scale parameter
         # Loud (once per projection code) instead of silently-linear: the
-        # native WCS implements the zenithal + cylindrical families and
-        # linear only; real survey headers can carry conic/pseudo codes
-        # (AIT, MOL, COO...) where astropy (the reference path, sgp.py:957)
-        # would be correct and a silent linear fallback subtly wrong.
+        # native WCS implements the zenithal + (pseudo-)cylindrical
+        # families and linear only; real survey headers can carry conic /
+        # quad-cube codes (COP, COE, TSC...) where astropy (the reference
+        # path, sgp.py:957) would be correct and a silent linear fallback
+        # subtly wrong.
         if (code and code not in ('LIN',) and self._zen is None
                 and self._cyl is None):
             if code not in _WARNED_CTYPES:
@@ -252,10 +349,9 @@ class WCS:
             phi = np.arctan2(xi_r, -eta_r)
             theta = th_of(rr)
         else:
-            # cylindrical: phi = xi directly, theta from the eta law
-            th_of, _ = _CYLINDRICAL[self._cyl]
-            phi = xi * _D2R
-            theta = th_of(eta, self._lam)
+            # cylindrical / pseudo-cylindrical plane -> native sphere
+            native_of, _ = _CYLINDRICAL[self._cyl]
+            phi, theta = native_of(xi, eta, self._lam)
         ra, dec = _native_to_celestial(phi, theta, self._pole)
         return (np.mod(ra / _D2R, 360.0), dec / _D2R)
 
@@ -273,11 +369,10 @@ class WCS:
                 xi = np.where(h > 0, rr * np.sin(phi), 0.0) / _D2R
                 eta = np.where(h > 0, -rr * np.cos(phi), 0.0) / _D2R
             else:
-                _, eta_of = _CYLINDRICAL[self._cyl]
+                _, plane_of = _CYLINDRICAL[self._cyl]
                 # wrap native longitude to (-180, 180] deg
                 phi = np.arctan2(np.sin(phi), np.cos(phi))
-                xi = phi / _D2R
-                eta = eta_of(theta, self._lam)
+                xi, eta = plane_of(phi, theta, self._lam)
         else:
             xi = ra - self.crval[0]
             eta = dec - self.crval[1]
