@@ -212,11 +212,7 @@ def bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
     # iqr 0.028, contention-immune) — the r04 beta drop was partly real.
     # KL keeps guided-secant (where the same A/B methodology measured it
     # faster); the knob is public config.
-    cfg = SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
-                    init_recon=2, proj_type=1, has_flux=True,
-                    has_sat_level=True, dtype='float32', divergence='beta',
-                    adapt_beta=True, schedule_lr=True,
-                    projection_method='section', track_discr=False)
+    cfg = _beta_cfg(SGPConfig, projection_method='section')
     # p1/tail retuned in round 3: (32,512)->49.1k, (28,1024)->53.1k at
     # B=6144; B=12288 needs tail 2048 (~1650 beta lanes unconverged at
     # 28). With the two-round tail, p1=26 measured 57.0k vs 57.8k at 28
@@ -234,11 +230,15 @@ def bench_beta_stamps(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
 
 
 def _beta_cfg(SGPConfig, **kw):
-    return SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
-                     init_recon=2, proj_type=1, has_flux=True,
-                     has_sat_level=True, dtype='float32', divergence='beta',
-                     adapt_beta=True, schedule_lr=True, track_discr=False,
-                     **kw)
+    """THE beta workload config — every beta bench metric/A/B must build
+    on this one helper so a hyperparameter retune can't leave a stale
+    copy measuring a different workload. kw entries override."""
+    base = dict(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
+                init_recon=2, proj_type=1, has_flux=True,
+                has_sat_level=True, dtype='float32', divergence='beta',
+                adapt_beta=True, schedule_lr=True, track_discr=False)
+    base.update(kw)
+    return SGPConfig(**base)
 
 
 def bench_ab_beta_projection(jnp, jax, SGPConfig, restore_stamps, stamps,
@@ -297,12 +297,8 @@ def bench_ab_beta_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
     s, b, f = (a[:BETA_BATCH] for a in (stamps, bkgs, fluxes))
 
     def fused(op):
-        cfg = SGPConfig(max_iter=25, stop_criterion=1, init_recon=2,
-                        proj_type=1, has_flux=True, has_sat_level=True,
-                        dtype='float32', divergence='beta',
-                        adapt_beta=True, schedule_lr=True,
-                        projection_method='section', track_discr=False,
-                        operator=op)
+        cfg = _beta_cfg(SGPConfig, projection_method='section',
+                        operator=op, max_iter=25, stop_criterion=1)
         fn = jax.jit(lambda s_, p_, b_, f_: restore_stamps(
             s_, p_, b_, cfg, fluxes=f_, beta0=1.005, lr0=1e-3,
             sat_level=65000.0, flatten=True))
@@ -373,12 +369,8 @@ def bench_beta_split(jnp, jax, SGPConfig, restore_stamps, stamps, psf,
     tests/test_operator.py::test_solver_matmul_split_quality_matches_exact.
     Secondary metric; the primary beta metric stays f32-exact."""
     s, b, f = (a[:BETA_BATCH] for a in (stamps, bkgs, fluxes))
-    cfg = SGPConfig(max_iter=100, stop_criterion=3, tol_convergence=1e-4,
-                    init_recon=2, proj_type=1, has_flux=True,
-                    has_sat_level=True, dtype='float32', divergence='beta',
-                    adapt_beta=True, schedule_lr=True,
-                    projection_method='section', operator='matmul_split',
-                    track_discr=False)
+    cfg = _beta_cfg(SGPConfig, projection_method='section',
+                    operator='matmul_split')
     compact = dict(phase1_iters=28, tail_bucket=2048) if COMPACT else {}
     fused = jax.jit(lambda s_, p_, b_, f_: restore_stamps(
         s_, p_, b_, cfg, fluxes=f_, beta0=1.005, lr0=1e-3,

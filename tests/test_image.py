@@ -718,6 +718,17 @@ def test_wcs_cylindrical_projections_laws_and_round_trip():
             cut.pixel_to_world(xy[0] - 40.0, xy[1] - 30.0), want,
             rtol=0, atol=1e-12)
 
+    # invalid headers raise instead of silently transforming wrong:
+    # (a) LONPOLE whose cos has the opposite sign to sin(CRVAL2) leaves
+    # no celestial-pole solution of CG02 eq. 8 (the fold onto [-90, 90]
+    # used to reflect onto a constraint-violating pole — the fiducial
+    # then mapped 180 deg away); (b) CEA PV2_1 outside (0, 1]
+    with pytest.raises(ValueError, match='no celestial pole'):
+        WCS(dict(allsky, CRVAL1=100.0, CRVAL2=-30.0, LONPOLE=0.0,
+                 CTYPE1='RA---CAR', CTYPE2='DEC--CAR'))
+    with pytest.raises(ValueError, match='PV2_1'):
+        WCS(dict(allsky, CTYPE1='RA---CEA', CTYPE2='DEC--CEA', PV2_1=0.0))
+
     # southern fiducial exercises the LONPOLE-default-180 branch
     south = WCS(dict(allsky, CRVAL1=80.0, CRVAL2=-30.0,
                      CTYPE1='RA---MER', CTYPE2='DEC--MER'))

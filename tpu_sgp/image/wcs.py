@@ -51,8 +51,7 @@ _ZENITHAL = {
 #   (native_of(xi, eta, lam) -> (phi, theta),
 #    plane_of(phi, theta, lam) -> (xi, eta))
 # lam is the CEA PV2_1 parameter (ignored by the others).
-_R2D = 180.0 / np.pi
-_D2R_ = np.pi / 180.0
+_R2D = 1.0 / _D2R
 
 
 def _arcsin_or_nan(s):
@@ -64,7 +63,7 @@ def _arcsin_or_nan(s):
 
 
 def _car(xi, eta, lam):
-    return xi * _D2R_, eta * _D2R_
+    return xi * _D2R, eta * _D2R
 
 
 def _car_inv(phi, theta, lam):
@@ -72,7 +71,7 @@ def _car_inv(phi, theta, lam):
 
 
 def _cea(xi, eta, lam):
-    return xi * _D2R_, _arcsin_or_nan(eta * _D2R_ * lam)
+    return xi * _D2R, _arcsin_or_nan(eta * _D2R * lam)
 
 
 def _cea_inv(phi, theta, lam):
@@ -80,7 +79,7 @@ def _cea_inv(phi, theta, lam):
 
 
 def _mer(xi, eta, lam):
-    return xi * _D2R_, 2.0 * np.arctan(np.exp(eta * _D2R_)) - np.pi / 2
+    return xi * _D2R, 2.0 * np.arctan(np.exp(eta * _D2R)) - np.pi / 2
 
 
 def _mer_inv(phi, theta, lam):
@@ -88,9 +87,9 @@ def _mer_inv(phi, theta, lam):
 
 
 def _sfl(xi, eta, lam):
-    theta = eta * _D2R_
+    theta = eta * _D2R
     with np.errstate(divide='ignore', invalid='ignore'):
-        phi = xi * _D2R_ / np.cos(theta)
+        phi = xi * _D2R / np.cos(theta)
     return phi, theta
 
 
@@ -100,7 +99,7 @@ def _sfl_inv(phi, theta, lam):
 
 def _ait(xi, eta, lam):
     # Hammer-Aitoff inverse (CG02 section 5.4, eq. 107-108)
-    x_r, y_r = xi * _D2R_, eta * _D2R_
+    x_r, y_r = xi * _D2R, eta * _D2R
     z2 = 1.0 - (x_r / 4.0) ** 2 - (y_r / 2.0) ** 2
     # the map's boundary is Z^2 = 1/2; outside is off-projection
     with np.errstate(invalid='ignore'):
@@ -119,7 +118,7 @@ def _ait_inv(phi, theta, lam):
 
 def _mol(xi, eta, lam):
     # Mollweide inverse (CG02 eq. 113-115)
-    x_r, y_r = xi * _D2R_, eta * _D2R_
+    x_r, y_r = xi * _D2R, eta * _D2R
     g = _arcsin_or_nan(y_r / np.sqrt(2.0))
     theta = _arcsin_or_nan((2.0 * g + np.sin(2.0 * g)) / np.pi)
     with np.errstate(divide='ignore', invalid='ignore'):
@@ -147,6 +146,8 @@ def _mol_inv(phi, theta, lam):
         df = 2.0 + 2.0 * np.cos(2.0 * g)
         step = np.where(df > 1e-12, f / np.where(df > 1e-12, df, 1.0), 0.0)
         g = g - step
+        if not np.any(np.abs(step) > 1e-15):   # fixed point everywhere
+            break
     g = np.where(np.abs(st) >= 1.0 - 1e-15, np.arcsin(np.clip(st, -1, 1)), g)
     xi = 2.0 * np.sqrt(2.0) / np.pi * phi * np.cos(g) * _R2D
     eta = np.sqrt(2.0) * np.sin(g) * _R2D
@@ -178,10 +179,22 @@ def _cyl_pole(ra0, dec0, phi_p, latpole):
             f'deg with LONPOLE={phi_p / _D2R:.1f} deg (|sin CRVAL2| > '
             f'|cos LONPOLE|) — invalid header')
     b = np.arccos(np.clip(np.sin(dec0) / max(denom, 1e-300), -1.0, 1.0))
-    # two solutions; take the one nearer LATPOLE (default +90 deg)
-    cands = [a + b, a - b]
-    # normalize into [-pi/2, pi/2] (a pole latitude)
-    cands = [np.arcsin(np.clip(np.sin(c), -1.0, 1.0)) for c in cands]
+    # two solutions, folded into [-pi/2, pi/2]; each must still satisfy
+    # the eq.-8 constraint cos(dec_p) cos(phi_p) = sin(dec0) — the fold
+    # flips the sign of cos for candidates outside the range, so e.g.
+    # sin(dec0) < 0 with cos(phi_p) > 0 leaves NO valid pole (wcslib
+    # rejects such headers too)
+    cands = [np.arcsin(np.clip(np.sin(c), -1.0, 1.0)) for c in (a + b,
+                                                                a - b)]
+    cands = [c for c in cands
+             if abs(np.cos(c) * cosp - np.sin(dec0)) < 1e-9]
+    if not cands:
+        raise ValueError(
+            f'WCS: no celestial pole satisfies CRVAL2='
+            f'{dec0 / _D2R:.3f} deg with LONPOLE={phi_p / _D2R:.1f} deg '
+            f'(cos LONPOLE and sin CRVAL2 have opposite signs) — '
+            f'invalid header')
+    # take the one nearer LATPOLE (default +90 deg)
     dec_p = min(cands, key=lambda c: abs(c - latpole))
     if abs(np.cos(dec0)) < 1e-12:       # fiducial at a celestial pole
         ra_p = ra0
@@ -280,6 +293,9 @@ class WCS:
         self._zen = code if code in _ZENITHAL else None
         self._cyl = code if code in _CYLINDRICAL else None
         self._lam = float(h.get('PV2_1', 1.0))  # CEA scale parameter
+        if self._cyl == 'CEA' and not 0.0 < self._lam <= 1.0:
+            raise ValueError(f'WCS: CEA PV2_1={self._lam} outside (0, 1] '
+                             '— invalid header (lambda scales sin(theta))')
         # Loud (once per projection code) instead of silently-linear: the
         # native WCS implements the zenithal + (pseudo-)cylindrical
         # families and linear only; real survey headers can carry conic /
