@@ -894,3 +894,34 @@ def test_reproject_and_coadd_cross_grid(rng):
     # the matched mosaic is offset by the (gauge) mean of the two errors,
     # spatially FLAT: the seam between the +3 and -2 tiles is gone
     assert np.nanstd(resid) < 6e-3, np.nanstd(resid)
+
+
+def test_reproject_tan_tile_onto_allsky_car_grid():
+    """Cross-PROJECTION reprojection: a TAN survey tile resampled onto an
+    all-sky CAR grid (the new cylindrical family composing with the
+    mosaicking machinery) recovers a smooth sky field on the overlap."""
+    from tpu_sgp.image import reproject_to_grid
+
+    w_tan = _tan_wcs(30.0, 30.0, crval1=150.0, crval2=2.0, scale=0.05)
+    # 0.05 deg/px CAR grid centered on the same sky patch
+    w_car = WCS({'CTYPE1': 'RA---CAR', 'CTYPE2': 'DEC--CAR',
+                 'CRPIX1': 31.0, 'CRPIX2': 31.0,
+                 'CRVAL1': 150.0, 'CRVAL2': 0.0,
+                 'CDELT1': -0.05, 'CDELT2': 0.05})
+
+    def sky(wcs, shape):
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(float)
+        ra, dec = wcs.pixel_to_world(xx, yy)
+        return np.sin((ra - 150.0) * 2.0) + np.cos((dec - 2.0) * 1.7) + 10.0
+
+    tile = sky(w_tan, (60, 60))
+    proj, foot = reproject_to_grid(tile, w_tan, w_car, (90, 90),
+                                   oversample=2)
+    want = sky(w_car, (90, 90))
+    # pixel AREAS differ between the projections (TAN vs CAR at dec~2):
+    # compare per-unit-area values on well-covered pixels
+    core = foot > 0.99
+    assert core.sum() > 300
+    resid = (proj / foot - want)[core]
+    assert np.nanstd(resid) < 2e-3, np.nanstd(resid)
+    assert abs(np.nanmean(resid)) < 2e-3
