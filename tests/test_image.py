@@ -740,6 +740,64 @@ def test_wcs_cylindrical_projections_laws_and_round_trip():
                                    rtol=0, atol=1e-8)
 
 
+def test_wcs_zpn_and_azp():
+    """Parameterized zenithal projections: ZPN (zenithal polynomial, the
+    INT-WFC-style header family) and untilted AZP (zenithal perspective).
+    Anchors: ZPN with PV2_1=1 alone IS ARC; AZP mu=0 IS TAN and mu=1 IS
+    STG (projection from sphere center / far pole); a realistic cubic
+    ZPN obeys its own radius law s + c3 s^3 = R at float64; all
+    round-trip; invalid parameter headers raise."""
+    base = {'CRPIX1': 200.0, 'CRPIX2': 150.0, 'CRVAL1': 210.5,
+            'CRVAL2': -33.25, 'CD1_1': -2.8e-4, 'CD2_2': 2.8e-4}
+
+    def w(code, **pv):
+        return WCS(dict(base, CTYPE1=f'RA---{code}',
+                        CTYPE2=f'DEC--{code}', **pv))
+
+    pts = [(0.0, 0.0), (399.0, 299.0), (123.4, 276.8), (199.0, 149.0)]
+    for a, b in ((w('ZPN', PV2_1=1.0), w('ARC')),
+                 (w('AZP', PV2_1=0.0), w('TAN')),
+                 (w('AZP', PV2_1=1.0), w('STG'))):
+        for xy in pts:
+            np.testing.assert_allclose(a.pixel_to_world(*xy),
+                                       b.pixel_to_world(*xy), rtol=0,
+                                       atol=1e-11)
+            ra, dec = a.pixel_to_world(*xy)
+            np.testing.assert_allclose(a.world_to_pixel(ra, dec), xy,
+                                       rtol=0, atol=1e-7)
+
+    # realistic WFC-style cubic: R = gamma + 220 gamma^3 (radians). A
+    # point 500 px north of the reference pixel sits at colatitude gamma
+    # solving the law for R = 500 * scale — checked along the meridian
+    # where dec = CRVAL2 + gamma exactly
+    zpn3 = w('ZPN', PV2_1=1.0, PV2_3=220.0)
+    d2r = np.pi / 180.0
+    _, dec = zpn3.pixel_to_world(199.0, 149.0 + 500.0)
+    g = (dec - (-33.25)) * d2r
+    np.testing.assert_allclose(g + 220.0 * g ** 3, 500 * 2.8e-4 * d2r,
+                               rtol=0, atol=1e-15)
+    for xy in pts:
+        ra, dec = zpn3.pixel_to_world(*xy)
+        np.testing.assert_allclose(zpn3.world_to_pixel(ra, dec), xy,
+                                   rtol=0, atol=1e-7)
+    # header + cutout round-trips keep the polynomial
+    zpn3b = WCS(dict(zpn3.to_header().items()))
+    cut = zpn3.shifted(40.0, 30.0)
+    want = zpn3.pixel_to_world(123.4, 276.8)
+    np.testing.assert_allclose(zpn3b.pixel_to_world(123.4, 276.8), want,
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(cut.pixel_to_world(83.4, 246.8), want,
+                               rtol=0, atol=1e-12)
+
+    # invalid parameters raise
+    with pytest.raises(ValueError, match='ZPN'):
+        w('ZPN')                        # no PV2_1
+    with pytest.raises(ValueError, match='tilted'):
+        w('AZP', PV2_1=2.0, PV2_2=30.0)
+    with pytest.raises(ValueError, match='degenerate'):
+        w('AZP', PV2_1=-1.0)
+
+
 def test_wcs_pseudo_cylindrical_projections():
     """The all-sky pseudo-cylindrical family: SFL/GLS (Sanson-Flamsteed),
     AIT (Hammer-Aitoff), MOL (Mollweide) — CG02 section 5.4 anchors plus

@@ -5,7 +5,8 @@ Cutout2D-carried WCS — reference sgp.py:957, 1041-1060) for the headers this
 framework reads/writes. Supports CRPIX/CRVAL/CD (or CDELT+PC / CDELT-only),
 the zenithal projection family of Calabretta & Greisen (2002) — TAN
 (gnomonic), SIN (orthographic), ARC (equidistant), STG (stereographic),
-ZEA (equal-area) — the cylindrical and pseudo-cylindrical families — CAR
+ZEA (equal-area), ZPN (polynomial, PV2_m), AZP (untilted perspective,
+PV2_1) — the cylindrical and pseudo-cylindrical families — CAR
 (plate carree), CEA (cylindrical equal area, PV2_1), MER (Mercator),
 SFL/GLS (Sanson-Flamsteed), AIT (Hammer-Aitoff), MOL (Mollweide) — via
 the general native↔celestial spherical rotation (CG02 section 2.3-2.4,
@@ -43,6 +44,72 @@ _ZENITHAL = {
             lambda r: np.pi / 2 - 2.0 * np.arcsin(
                 np.clip(r / 2.0, -1.0, 1.0))),
 }
+
+def _zpn_pair(pv):
+    """ZPN (zenithal polynomial, CG02 section 5.1.2): R = sum_m PV2_m
+    gamma^m with gamma = pi/2 - theta the native colatitude, both in
+    radians (the wcslib convention). Returns (r_of(theta), theta_of(r)).
+    The inverse solves the polynomial by vectorized bisection on
+    [0, gamma_max], gamma_max the first stationary point of the
+    polynomial (the projection is single-valued only up to it)."""
+    pv = np.asarray(pv, np.float64)
+    dpv = pv[1:] * np.arange(1, len(pv))
+
+    def p(g):
+        return np.polyval(pv[::-1], g)
+
+    def dp(g):
+        return np.polyval(dpv[::-1], g) if len(dpv) else np.zeros_like(g)
+
+    # first stationary point on (0, pi] bounds the invertible domain
+    gs = np.linspace(0.0, np.pi, 4097)
+    neg = np.nonzero(dp(gs[1:]) <= 0.0)[0]
+    g_max = gs[1:][neg[0]] if len(neg) else np.pi
+    r_max = float(p(g_max))
+
+    def r_of(theta):
+        return p(np.pi / 2 - theta)
+
+    def theta_of(r):
+        r = np.asarray(r, np.float64)
+        lo = np.zeros_like(r)
+        hi = np.full_like(r, g_max)
+        for _ in range(80):            # 80 halvings: f64-exact on [0, pi]
+            mid = 0.5 * (lo + hi)
+            below = p(mid) < r
+            lo = np.where(below, mid, lo)
+            hi = np.where(below, hi, mid)
+        g = 0.5 * (lo + hi)
+        with np.errstate(invalid='ignore'):
+            g = np.where((r >= p(np.zeros_like(r))) & (r <= r_max), g,
+                         np.nan)
+        return np.pi / 2 - g
+
+    return r_of, theta_of
+
+
+def _azp_pair(mu):
+    """AZP (zenithal perspective, CG02 section 5.1.1, untilted
+    gamma = 0): R = (mu + 1) cos(theta) / (mu + sin(theta)) — projection
+    of the sphere from a point mu radii behind its center. Exact special
+    cases anchor the tests: mu = 0 is TAN (center), mu = 1 is STG (far
+    pole), mu -> inf approaches SIN (infinity). Inverse via
+    cos(theta) - rho sin(theta) = mu rho, rho = R / (mu + 1):
+    theta = arccos(mu rho / sqrt(1 + rho^2)) - arctan(rho), the branch
+    through theta = 90 at R = 0."""
+
+    def r_of(theta):
+        return (mu + 1.0) * np.cos(theta) / (mu + np.sin(theta))
+
+    def theta_of(r):
+        rho = np.asarray(r, np.float64) / (mu + 1.0)
+        s = mu * rho / np.sqrt(1.0 + rho * rho)
+        with np.errstate(invalid='ignore'):
+            s = np.where(np.abs(s) <= 1.0, s, np.nan)
+        return np.arccos(s) - np.arctan(rho)
+
+    return r_of, theta_of
+
 
 # Cylindrical + pseudo-cylindrical projections (CG02 sections 5.2/5.4).
 # All have the fiducial on the native equator (phi0 = theta0 = 0). Each
@@ -296,6 +363,32 @@ class WCS:
         if self._cyl == 'CEA' and not 0.0 < self._lam <= 1.0:
             raise ValueError(f'WCS: CEA PV2_1={self._lam} outside (0, 1] '
                              '— invalid header (lambda scales sin(theta))')
+        # parameterized zenithal projections (per-instance PV2_m)
+        self._pv2 = {m: float(h[f'PV2_{m}']) for m in range(21)
+                     if f'PV2_{m}' in h}
+        if code in _ZENITHAL:
+            self._zen_fwd, self._zen_inv = _ZENITHAL[code]
+        elif code == 'ZPN':
+            order = max(self._pv2, default=-1)
+            pv = [self._pv2.get(m, 0.0) for m in range(order + 1)]
+            if len(pv) < 2 or pv[1] <= 0.0:
+                raise ValueError('WCS: ZPN requires PV2_1 > 0 '
+                                 f'(got PV2_m={pv}) — invalid header')
+            self._zen = 'ZPN'
+            self._zen_fwd, self._zen_inv = _zpn_pair(pv)
+        elif code == 'AZP':
+            mu = self._pv2.get(1, 0.0)
+            if self._pv2.get(2, 0.0) != 0.0:
+                raise ValueError('WCS: tilted AZP (PV2_2 != 0) is not '
+                                 'implemented — use astropy for tilted '
+                                 'perspective headers')
+            if mu == -1.0:
+                raise ValueError('WCS: AZP PV2_1 = -1 is degenerate '
+                                 '(projection point on the sphere surface)')
+            self._zen = 'AZP'
+            self._zen_fwd, self._zen_inv = _azp_pair(mu)
+        else:
+            self._zen_fwd = self._zen_inv = None
         # Loud (once per projection code) instead of silently-linear: the
         # native WCS implements the zenithal + (pseudo-)cylindrical
         # families and linear only; real survey headers can carry conic /
@@ -359,11 +452,10 @@ class WCS:
         if self._zen is not None:
             # zenithal deprojection: native polar (phi, R) -> native
             # latitude theta (CG02 eq. 14/15: x = R sin phi, y = -R cos phi)
-            _, th_of = _ZENITHAL[self._zen]
             xi_r, eta_r = xi * _D2R, eta * _D2R
             rr = np.hypot(xi_r, eta_r)
             phi = np.arctan2(xi_r, -eta_r)
-            theta = th_of(rr)
+            theta = self._zen_inv(rr)
         else:
             # cylindrical / pseudo-cylindrical plane -> native sphere
             native_of, _ = _CYLINDRICAL[self._cyl]
@@ -378,8 +470,7 @@ class WCS:
             phi, theta, h = _celestial_to_native(ra * _D2R, dec * _D2R,
                                                  self._pole)
             if self._zen is not None:
-                r_of, _ = _ZENITHAL[self._zen]
-                rr = r_of(theta)
+                rr = self._zen_fwd(theta)
                 # |(y_, x_)| = cos(theta) is zero exactly at the reference
                 # point where R = 0 too — the plane coords are (0, 0) there
                 xi = np.where(h > 0, rr * np.sin(phi), 0.0) / _D2R
@@ -429,6 +520,8 @@ class WCS:
         w._lam = self._lam
         w._pole = self._pole
         w._latpole_deg = self._latpole_deg
+        w._pv2 = self._pv2
+        w._zen_fwd, w._zen_inv = self._zen_fwd, self._zen_inv
         # SIP offsets are measured from CRPIX, which shifts with the
         # cutout, so the polynomials carry over unchanged
         w.sip_a, w.sip_b = self.sip_a, self.sip_b
@@ -449,6 +542,9 @@ class WCS:
             h['LATPOLE'] = float(self._latpole_deg)
         if self._cyl == 'CEA':
             h['PV2_1'] = float(self._lam)
+        if self._zen in ('ZPN', 'AZP'):
+            for m, v in sorted(self._pv2.items()):
+                h[f'PV2_{m}'] = float(v)
         if self._sip:
             for prefix, block in (('A', self.sip_a), ('B', self.sip_b),
                                   ('AP', self.sip_ap), ('BP', self.sip_bp)):
