@@ -492,7 +492,7 @@ def test_wcs_warns_on_unsupported_projection_and_sip():
     from tpu_sgp.image import wcs as wcsmod
 
     wcsmod._WARNED_CTYPES.clear()
-    hdr = {'CTYPE1': 'RA---COP', 'CTYPE2': 'DEC--COP',
+    hdr = {'CTYPE1': 'RA---TSC', 'CTYPE2': 'DEC--TSC',
            'CRVAL1': 150.0, 'CRVAL2': 2.0, 'CRPIX1': 10.0, 'CRPIX2': 10.0,
            'CD1_1': -1e-4, 'CD2_2': 1e-4}
     with warnings.catch_warnings(record=True) as rec:
@@ -500,7 +500,7 @@ def test_wcs_warns_on_unsupported_projection_and_sip():
         wcsmod.WCS(hdr)
         wcsmod.WCS(hdr)          # second instance: warned once per code
     msgs = [str(r.message) for r in rec]
-    assert sum('COP' in m for m in msgs) == 1, msgs
+    assert sum('TSC' in m for m in msgs) == 1, msgs
 
     # supported zenithal family (with or without SIP): silent
     with warnings.catch_warnings():
@@ -796,6 +796,79 @@ def test_wcs_zpn_and_azp():
         w('AZP', PV2_1=2.0, PV2_2=30.0)
     with pytest.raises(ValueError, match='degenerate'):
         w('AZP', PV2_1=-1.0)
+
+
+def test_wcs_conic_projections():
+    """The conic family (COP/COE/COD/COO, CG02 section 5.3): every type
+    is true-scale along BOTH standard parallels (C * R(theta_a -+ eta) ==
+    cos(theta)); each obeys its defining differential law at arbitrary
+    theta — COD equidistant |dR/dtheta| = 1, COE equal-area
+    C R |dR/dtheta| = cos(theta), COO conformal C R / cos(theta) =
+    |dR/dtheta|, COP linear in tan(theta - theta_a); WCS-level fiducial
+    exactness and round-trips for northern, southern and eta = 0 cones;
+    invalid parameters raise."""
+    from tpu_sgp.image.wcs import _conic_pair
+
+    d2r = np.pi / 180.0
+    for ta_deg, eta_deg in [(45.0, 15.0), (-30.0, 10.0), (60.0, 0.0)]:
+        ta, eta = ta_deg * d2r, eta_deg * d2r
+        for code in ('COP', 'COE', 'COD', 'COO'):
+            r_of, th_of, c_fac = _conic_pair(code, ta, eta)
+            for tk in (ta - eta, ta + eta):
+                np.testing.assert_allclose(c_fac * r_of(tk), np.cos(tk),
+                                           rtol=0, atol=1e-13,
+                                           err_msg=f'{code} {ta_deg}')
+            ths = ta + np.array([-0.3, -0.05, 0.0, 0.08, 0.25])
+            dd = 1e-7
+            dR = (r_of(ths + dd) - r_of(ths - dd)) / (2 * dd)
+            if code == 'COD':
+                np.testing.assert_allclose(np.abs(dR), 1.0, atol=1e-6)
+            elif code == 'COE':
+                np.testing.assert_allclose(c_fac * r_of(ths) * np.abs(dR),
+                                           np.cos(ths), atol=1e-5)
+            elif code == 'COO':
+                np.testing.assert_allclose(
+                    np.abs(c_fac * r_of(ths) / np.cos(ths)), np.abs(dR),
+                    rtol=1e-5)
+            else:   # COP: R(theta_a + x) - R(theta_a) = -cos(eta) tan(x)
+                x = np.array([-0.2, 0.1, 0.3])
+                np.testing.assert_allclose(
+                    r_of(ta + x) - r_of(ta),
+                    -np.cos(eta) * np.tan(x), rtol=1e-12)
+            np.testing.assert_allclose(th_of(r_of(ths)), ths, rtol=0,
+                                       atol=1e-9, err_msg=code)
+
+    for crval2, pv1, pv2 in [(47.0, 45.0, 15.0), (-25.0, -30.0, 10.0),
+                             (60.0, 60.0, 0.0)]:
+        for code in ('COP', 'COE', 'COD', 'COO'):
+            w = WCS({'CTYPE1': f'RA---{code}', 'CTYPE2': f'DEC--{code}',
+                     'CRPIX1': 200.0, 'CRPIX2': 150.0,
+                     'CRVAL1': 120.0, 'CRVAL2': crval2,
+                     'CD1_1': -2.8e-3, 'CD2_2': 2.8e-3,
+                     'PV2_1': pv1, 'PV2_2': pv2})
+            np.testing.assert_allclose(w.pixel_to_world(199.0, 149.0),
+                                       (120.0, crval2), rtol=0, atol=1e-9,
+                                       err_msg=code)
+            for xy in [(0.0, 0.0), (399.0, 299.0), (123.4, 276.8)]:
+                ra, dec = w.pixel_to_world(*xy)
+                np.testing.assert_allclose(w.world_to_pixel(ra, dec), xy,
+                                           rtol=0, atol=1e-7,
+                                           err_msg=f'{code} {crval2}')
+            # header + cutout round-trips keep the cone
+            w2 = WCS(dict(w.to_header().items()))
+            cut = w.shifted(40.0, 30.0)
+            want = w.pixel_to_world(123.4, 276.8)
+            np.testing.assert_allclose(w2.pixel_to_world(123.4, 276.8),
+                                       want, rtol=0, atol=1e-11)
+            np.testing.assert_allclose(cut.pixel_to_world(83.4, 246.8),
+                                       want, rtol=0, atol=1e-11)
+
+    with pytest.raises(ValueError, match='PV2_1'):
+        WCS({'CTYPE1': 'RA---COP', 'CTYPE2': 'DEC--COP',
+             'CRVAL1': 120.0, 'CRVAL2': 45.0})     # missing theta_a
+    with pytest.raises(ValueError, match='standard parallels'):
+        WCS({'CTYPE1': 'RA---COE', 'CTYPE2': 'DEC--COE', 'CRVAL1': 120.0,
+             'CRVAL2': 45.0, 'PV2_1': 80.0, 'PV2_2': 15.0})
 
 
 def test_wcs_pseudo_cylindrical_projections():

@@ -8,10 +8,12 @@ the zenithal projection family of Calabretta & Greisen (2002) — TAN
 ZEA (equal-area), ZPN (polynomial, PV2_m), AZP (untilted perspective,
 PV2_1) — the cylindrical and pseudo-cylindrical families — CAR
 (plate carree), CEA (cylindrical equal area, PV2_1), MER (Mercator),
-SFL/GLS (Sanson-Flamsteed), AIT (Hammer-Aitoff), MOL (Mollweide) — via
-the general native↔celestial spherical rotation (CG02 section 2.3-2.4,
-with the celestial-pole solution of eq. 8-10 for equatorial-fiducial
-projections),
+SFL/GLS (Sanson-Flamsteed), AIT (Hammer-Aitoff), MOL (Mollweide) — and
+the conic family — COP (perspective), COE (equal area), COD
+(equidistant), COO (conformal), all with PV2_1/PV2_2 standard
+parallels — via the general native↔celestial spherical rotation (CG02
+section 2.3-2.4, with the celestial-pole solution of eq. 8-10 for
+non-polar fiducials),
 and SIP distortion polynomials (Shupe et al. 2005: A_p_q/B_p_q forward
 terms applied to intermediate pixel offsets; AP/BP inverse terms used when
 present, Newton fixed-point inversion otherwise) — the cases used by
@@ -232,35 +234,106 @@ _CYLINDRICAL = {
 }
 
 
-def _cyl_pole(ra0, dec0, phi_p, latpole):
-    """Celestial pole (alpha_p, delta_p) for an equatorial-fiducial
-    projection (phi0 = theta0 = 0): CG02 eq. 8-10 specialized. All
-    arguments/returns in RADIANS. Raises on headers with no solution
-    (|sin dec0| > |cos phi_p|)."""
-    cosp = np.cos(phi_p)
-    a = np.arctan2(0.0, cosp)          # 0 or pi
-    denom = abs(cosp)
+def _conic_pair(code, theta_a, eta):
+    """Conic projections (CG02 section 5.3): COP (perspective), COE
+    (equal area), COD (equidistant), COO (orthomorphic/conformal).
+    theta_a = PV2_1 (midpoint latitude, != 0), eta = PV2_2 >= 0
+    (half-separation of the standard parallels theta_a -+ eta). All four
+    share the plane geometry x = R sin(C phi), y = -R cos(C phi) + Y0
+    with Y0 = R(theta_a) and differ in (C, R(theta)); each is true-scale
+    along BOTH standard parallels: C * R(theta_1,2) = cos(theta_1,2) —
+    the law the unit tests pin per type. Returns
+    (r_of(theta) -> R [radians], theta_of(R), C). Southern cones
+    (theta_a < 0) carry C < 0 and R < 0 through the same formulas."""
+    t1, t2 = theta_a - eta, theta_a + eta
+    s1, s2 = np.sin(t1), np.sin(t2)
+    if code == 'COP':
+        c = np.sin(theta_a)
+        cos_eta = np.cos(eta)
+
+        def r_of(th):
+            return cos_eta * (1.0 / np.tan(theta_a) - np.tan(th - theta_a))
+
+        def theta_of(r):
+            return theta_a + np.arctan(1.0 / np.tan(theta_a) - r / cos_eta)
+    elif code == 'COD':
+        if eta == 0.0:
+            c, w = np.sin(theta_a), 1.0
+        else:
+            c = np.sin(theta_a) * np.sin(eta) / eta
+            w = eta / np.tan(eta)
+        y0 = w / np.tan(theta_a)
+
+        def r_of(th):
+            return theta_a - th + y0
+
+        def theta_of(r):
+            return theta_a + y0 - r
+    elif code == 'COE':
+        gam = s1 + s2
+        c = gam / 2.0
+
+        def r_of(th):
+            return (2.0 / gam) * np.sqrt(
+                np.maximum(1.0 + s1 * s2 - gam * np.sin(th), 0.0))
+
+        def theta_of(r):
+            return _arcsin_or_nan((1.0 + s1 * s2 - (gam * r / 2.0) ** 2)
+                                  / gam)
+    elif code == 'COO':
+        psi1 = np.tan((np.pi / 2 - t1) / 2.0)
+        psi2 = np.tan((np.pi / 2 - t2) / 2.0)
+        if eta == 0.0:
+            c = np.sin(theta_a)
+        else:
+            c = np.log(np.cos(t2) / np.cos(t1)) / np.log(psi2 / psi1)
+        psi = np.cos(t1) / (c * psi1 ** c)
+
+        def r_of(th):
+            return psi * np.tan((np.pi / 2 - th) / 2.0) ** c
+
+        def theta_of(r):
+            with np.errstate(invalid='ignore'):
+                tau = (np.asarray(r, np.float64) / psi) ** (1.0 / c)
+            return np.pi / 2 - 2.0 * np.arctan(tau)
+    else:  # pragma: no cover - guarded by the caller
+        raise KeyError(code)
+    return r_of, theta_of, c
+
+
+_CONIC = ('COP', 'COE', 'COD', 'COO')
+
+
+def _fiducial_pole(ra0, dec0, phi_p, latpole, theta0=0.0):
+    """Celestial pole (alpha_p, delta_p) for a projection whose fiducial
+    sits at native (phi0, theta0) = (0, theta0): CG02 eq. 8-10. theta0 is
+    0 for the (pseudo-)cylindrical family, theta_a for conics. All
+    arguments/returns in RADIANS. Raises on headers with no solution."""
+    st0, ct0 = np.sin(theta0), np.cos(theta0)
+    cosp, sinp = np.cos(phi_p), np.sin(phi_p)
+    a = np.arctan2(st0, ct0 * cosp)
+    denom = np.sqrt(max(1.0 - ct0 * ct0 * sinp * sinp, 0.0))
     if abs(np.sin(dec0)) > denom + 1e-12:
         raise ValueError(
             f'WCS: no celestial pole solution for CRVAL2={dec0 / _D2R:.3f} '
-            f'deg with LONPOLE={phi_p / _D2R:.1f} deg (|sin CRVAL2| > '
-            f'|cos LONPOLE|) — invalid header')
+            f'deg with LONPOLE={phi_p / _D2R:.1f} deg — invalid header')
     b = np.arccos(np.clip(np.sin(dec0) / max(denom, 1e-300), -1.0, 1.0))
     # two solutions, folded into [-pi/2, pi/2]; each must still satisfy
-    # the eq.-8 constraint cos(dec_p) cos(phi_p) = sin(dec0) — the fold
-    # flips the sign of cos for candidates outside the range, so e.g.
-    # sin(dec0) < 0 with cos(phi_p) > 0 leaves NO valid pole (wcslib
-    # rejects such headers too)
+    # the eq.-8 constraint sin(dec0) = sin(dec_p) sin(theta0) +
+    # cos(dec_p) cos(theta0) cos(phi_p) — the fold flips the sign of cos
+    # for candidates outside the range, so e.g. theta0 = 0, sin(dec0) < 0
+    # with cos(phi_p) > 0 leaves NO valid pole (wcslib rejects such
+    # headers too)
     cands = [np.arcsin(np.clip(np.sin(c), -1.0, 1.0)) for c in (a + b,
                                                                 a - b)]
     cands = [c for c in cands
-             if abs(np.cos(c) * cosp - np.sin(dec0)) < 1e-9]
+             if abs(np.sin(c) * st0 + np.cos(c) * ct0 * cosp
+                    - np.sin(dec0)) < 1e-9]
     if not cands:
         raise ValueError(
             f'WCS: no celestial pole satisfies CRVAL2='
             f'{dec0 / _D2R:.3f} deg with LONPOLE={phi_p / _D2R:.1f} deg '
-            f'(cos LONPOLE and sin CRVAL2 have opposite signs) — '
-            f'invalid header')
+            f'— invalid header')
     # take the one nearer LATPOLE (default +90 deg)
     dec_p = min(cands, key=lambda c: abs(c - latpole))
     if abs(np.cos(dec0)) < 1e-12:       # fiducial at a celestial pole
@@ -271,9 +344,10 @@ def _cyl_pole(ra0, dec0, phi_p, latpole):
         else:
             ra_p = ra0 - phi_p
     else:
+        # CG02 eq. 9-10 (both atan2 arguments scaled by cos(dec0) > 0)
         ra_p = ra0 - np.arctan2(
-            np.sin(phi_p),
-            -np.sin(dec_p) * np.sin(dec0) / np.cos(dec_p))
+            sinp * ct0,
+            (st0 - np.sin(dec_p) * np.sin(dec0)) / np.cos(dec_p))
     return ra_p, dec_p
 
 
@@ -359,6 +433,7 @@ class WCS:
             code = 'TAN'  # tolerate short/nonstandard TAN ctypes
         self._zen = code if code in _ZENITHAL else None
         self._cyl = code if code in _CYLINDRICAL else None
+        self._con = code if code in _CONIC else None
         self._lam = float(h.get('PV2_1', 1.0))  # CEA scale parameter
         if self._cyl == 'CEA' and not 0.0 < self._lam <= 1.0:
             raise ValueError(f'WCS: CEA PV2_1={self._lam} outside (0, 1] '
@@ -389,14 +464,30 @@ class WCS:
             self._zen_fwd, self._zen_inv = _azp_pair(mu)
         else:
             self._zen_fwd = self._zen_inv = None
+        self._con_fns = None
+        if self._con is not None:
+            theta_a = self._pv2.get(1, 0.0) * _D2R
+            eta = abs(self._pv2.get(2, 0.0)) * _D2R
+            if theta_a == 0.0:
+                raise ValueError(f'WCS: {code} requires PV2_1 != 0 (the '
+                                 'cone degenerates to a cylinder) — '
+                                 'invalid header')
+            if not (-np.pi / 2 < theta_a - eta
+                    and theta_a + eta < np.pi / 2):
+                raise ValueError(f'WCS: {code} standard parallels '
+                                 'PV2_1 -+ PV2_2 outside (-90, 90) deg — '
+                                 'invalid header')
+            r_of, th_of, c_fac = _conic_pair(code, theta_a, eta)
+            self._con_fns = (r_of, th_of, c_fac, float(r_of(theta_a)),
+                             theta_a)
         # Loud (once per projection code) instead of silently-linear: the
-        # native WCS implements the zenithal + (pseudo-)cylindrical
-        # families and linear only; real survey headers can carry conic /
-        # quad-cube codes (COP, COE, TSC...) where astropy (the reference
-        # path, sgp.py:957) would be correct and a silent linear fallback
-        # subtly wrong.
+        # native WCS implements the zenithal, (pseudo-)cylindrical and
+        # conic families and linear only; real survey headers can carry
+        # other codes (quad-cube TSC/CSC/QSC, HEALPix HPX...) where
+        # astropy (the reference path, sgp.py:957) would be correct and a
+        # silent linear fallback subtly wrong.
         if (code and code not in ('LIN',) and self._zen is None
-                and self._cyl is None):
+                and self._cyl is None and self._con is None):
             if code not in _WARNED_CTYPES:
                 _WARNED_CTYPES.add(code)
                 warnings.warn(
@@ -417,7 +508,14 @@ class WCS:
         elif self._cyl is not None:
             phi_p = float(h.get('LONPOLE',
                                 0.0 if dec0 >= 0.0 else 180.0)) * _D2R
-            self._pole = _cyl_pole(ra0, dec0, phi_p, latpole) + (phi_p,)
+            self._pole = (_fiducial_pole(ra0, dec0, phi_p, latpole)
+                          + (phi_p,))
+        elif self._con is not None:
+            theta_a = self._con_fns[4]
+            phi_p = float(h.get('LONPOLE',
+                                0.0 if dec0 >= theta_a else 180.0)) * _D2R
+            self._pole = (_fiducial_pole(ra0, dec0, phi_p, latpole,
+                                         theta0=theta_a) + (phi_p,))
         else:
             self._pole = None
         # SIP distortion (Shupe et al. 2005; astropy reads the same keys).
@@ -456,6 +554,16 @@ class WCS:
             rr = np.hypot(xi_r, eta_r)
             phi = np.arctan2(xi_r, -eta_r)
             theta = self._zen_inv(rr)
+        elif self._con is not None:
+            # conic deprojection (CG02 eq. 119-121): R is measured from
+            # the cone point at (0, Y0); native azimuth is phi = arg / C
+            _, th_of, c_fac, y0, theta_a = self._con_fns
+            xi_r, eta_r = xi * _D2R, eta * _D2R
+            rr = np.sign(theta_a) * np.hypot(xi_r, y0 - eta_r)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                phi = np.arctan2(xi_r / rr, (y0 - eta_r) / rr) / c_fac
+            phi = np.where(rr == 0.0, 0.0, phi)
+            theta = th_of(rr)
         else:
             # cylindrical / pseudo-cylindrical plane -> native sphere
             native_of, _ = _CYLINDRICAL[self._cyl]
@@ -475,6 +583,12 @@ class WCS:
                 # point where R = 0 too — the plane coords are (0, 0) there
                 xi = np.where(h > 0, rr * np.sin(phi), 0.0) / _D2R
                 eta = np.where(h > 0, -rr * np.cos(phi), 0.0) / _D2R
+            elif self._con is not None:
+                r_of, _, c_fac, y0, _ = self._con_fns
+                phi = np.arctan2(np.sin(phi), np.cos(phi))  # (-pi, pi]
+                rr = r_of(theta)
+                xi = rr * np.sin(c_fac * phi) / _D2R
+                eta = (y0 - rr * np.cos(c_fac * phi)) / _D2R
             else:
                 _, plane_of = _CYLINDRICAL[self._cyl]
                 # wrap native longitude to (-180, 180] deg
@@ -522,6 +636,7 @@ class WCS:
         w._latpole_deg = self._latpole_deg
         w._pv2 = self._pv2
         w._zen_fwd, w._zen_inv = self._zen_fwd, self._zen_inv
+        w._con, w._con_fns = self._con, self._con_fns
         # SIP offsets are measured from CRPIX, which shifts with the
         # cutout, so the polynomials carry over unchanged
         w.sip_a, w.sip_b = self.sip_a, self.sip_b
@@ -542,7 +657,7 @@ class WCS:
             h['LATPOLE'] = float(self._latpole_deg)
         if self._cyl == 'CEA':
             h['PV2_1'] = float(self._lam)
-        if self._zen in ('ZPN', 'AZP'):
+        if self._zen in ('ZPN', 'AZP') or self._con is not None:
             for m, v in sorted(self._pv2.items()):
                 h[f'PV2_{m}'] = float(v)
         if self._sip:
