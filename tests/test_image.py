@@ -871,6 +871,90 @@ def test_wcs_conic_projections():
              'CRVAL2': 45.0, 'PV2_1': 80.0, 'PV2_2': 15.0})
 
 
+def test_wcs_tpv_distorted_tan():
+    """TPV (the registered SCAMP/SWarp distorted-TAN convention): the
+    40-entry term table is pinned index-by-index; default coefficients
+    reproduce plain TAN exactly; the analytic Jacobian matches finite
+    differences (incl. the radial r/r^3/r^5/r^7 cusp terms); a realistic
+    distortion set round-trips through the Newton inverse; legacy
+    CTYPE-TAN headers carrying PV keys behave identically; header and
+    cutout round-trips carry the distortion."""
+    from tpu_sgp.image.wcs import _tpv_eval, _tpv_jac, _TPV_TERMS
+
+    # the published TPV sequence: degrees 0..7 in (x^a y^b) lexicographic
+    # descent with the odd radial terms at indices 3, 11, 23, 39
+    assert len(_TPV_TERMS) == 40
+    assert _TPV_TERMS[0] == (0, 0, 0) and _TPV_TERMS[1] == (1, 0, 0)
+    assert _TPV_TERMS[2] == (0, 1, 0) and _TPV_TERMS[3] == (0, 0, 1)
+    assert _TPV_TERMS[4] == (2, 0, 0) and _TPV_TERMS[7] == (3, 0, 0)
+    assert _TPV_TERMS[10] == (0, 3, 0) and _TPV_TERMS[11] == (0, 0, 3)
+    assert _TPV_TERMS[12] == (4, 0, 0) and _TPV_TERMS[17] == (5, 0, 0)
+    assert _TPV_TERMS[23] == (0, 0, 5) and _TPV_TERMS[24] == (6, 0, 0)
+    assert _TPV_TERMS[31] == (7, 0, 0) and _TPV_TERMS[38] == (0, 7, 0)
+    assert _TPV_TERMS[39] == (0, 0, 7)
+
+    # each basis coefficient evaluates to its own term
+    x0, y0 = 0.3, -0.7
+    r0 = np.hypot(x0, y0)
+    for m, (a, b, d) in enumerate(_TPV_TERMS):
+        pv = np.zeros(40)
+        pv[m] = 1.0
+        want = r0 ** d if d else x0 ** a * y0 ** b
+        np.testing.assert_allclose(_tpv_eval(pv, x0, y0), want, rtol=1e-15)
+
+    # analytic Jacobian == finite differences on a random dense vector
+    rng = np.random.default_rng(7)
+    pvr = np.zeros(40)
+    pvr[[0, 1, 2, 3, 5, 7, 11, 16, 23, 31, 39]] = rng.normal(size=11)
+    gx, gy = _tpv_jac(pvr, x0, y0)
+    dd = 1e-7
+    np.testing.assert_allclose(
+        gx, (_tpv_eval(pvr, x0 + dd, y0) - _tpv_eval(pvr, x0 - dd, y0))
+        / (2 * dd), atol=1e-6)
+    np.testing.assert_allclose(
+        gy, (_tpv_eval(pvr, x0, y0 + dd) - _tpv_eval(pvr, x0, y0 - dd))
+        / (2 * dd), atol=1e-6)
+
+    base = {'CRPIX1': 100.0, 'CRPIX2': 120.0, 'CRVAL1': 210.3,
+            'CRVAL2': -12.5, 'CD1_1': -7e-5, 'CD1_2': 3e-6,
+            'CD2_1': 2e-6, 'CD2_2': 7.2e-5}
+    xs = np.array([0.0, 50.0, 99.5, 199.0])
+    ys = np.array([0.0, 111.0, 119.0, 230.0])
+
+    # no PV keys: TPV IS TAN
+    tan = WCS(dict(base, CTYPE1='RA---TAN', CTYPE2='DEC--TAN'))
+    tpv0 = WCS(dict(base, CTYPE1='RA---TPV', CTYPE2='DEC--TPV'))
+    np.testing.assert_allclose(tpv0.pixel_to_world(xs, ys),
+                               tan.pixel_to_world(xs, ys), rtol=0,
+                               atol=1e-13)
+
+    # realistic survey-scale distortion incl. constant + radial terms
+    pv = {'PV1_0': 1e-5, 'PV1_1': 1.0003, 'PV1_2': -2.1e-4, 'PV1_4': 3e-4,
+          'PV1_5': -1.5e-4, 'PV1_7': 8e-4, 'PV1_11': -6e-4,
+          'PV2_0': -2e-5, 'PV2_1': 0.9997, 'PV2_2': 1.8e-4, 'PV2_6': 2e-4,
+          'PV2_10': -5e-4, 'PV2_11': 4e-4}
+    tpv = WCS(dict(base, CTYPE1='RA---TPV', CTYPE2='DEC--TPV', **pv))
+    ra, dec = tpv.pixel_to_world(xs, ys)
+    assert np.abs(np.asarray(tpv.pixel_to_world(xs[1], ys[1]))
+                  - np.asarray(tan.pixel_to_world(xs[1], ys[1]))).max() > 0
+    bx, by = tpv.world_to_pixel(ra, dec)
+    np.testing.assert_allclose(bx, xs, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(by, ys, rtol=0, atol=1e-8)
+
+    # legacy convention: CTYPE 'TAN' + PV keys == TPV
+    leg = WCS(dict(base, CTYPE1='RA---TAN', CTYPE2='DEC--TAN', **pv))
+    np.testing.assert_allclose(leg.pixel_to_world(xs, ys), (ra, dec),
+                               rtol=0, atol=1e-13)
+
+    # header write/read and cutout shift carry the distortion
+    t2 = WCS(dict(tpv.to_header().items()))
+    np.testing.assert_allclose(t2.pixel_to_world(xs, ys), (ra, dec),
+                               rtol=0, atol=1e-13)
+    cut = tpv.shifted(10.0, 20.0)
+    np.testing.assert_allclose(cut.pixel_to_world(xs - 10.0, ys - 20.0),
+                               (ra, dec), rtol=0, atol=1e-13)
+
+
 def test_wcs_pseudo_cylindrical_projections():
     """The all-sky pseudo-cylindrical family: SFL/GLS (Sanson-Flamsteed),
     AIT (Hammer-Aitoff), MOL (Mollweide) — CG02 section 5.4 anchors plus

@@ -14,6 +14,9 @@ the conic family — COP (perspective), COE (equal area), COD
 parallels — via the general native↔celestial spherical rotation (CG02
 section 2.3-2.4, with the celestial-pole solution of eq. 8-10 for
 non-polar fiducials),
+TPV distorted gnomonic (the SCAMP/SWarp convention: degree-7 PVi_m
+plane polynomials incl. radial terms before the TAN deprojection, also
+honored on legacy CTYPE-TAN headers carrying PV keys),
 and SIP distortion polynomials (Shupe et al. 2005: A_p_q/B_p_q forward
 terms applied to intermediate pixel offsets; AP/BP inverse terms used when
 present, Newton fixed-point inversion otherwise) — the cases used by
@@ -111,6 +114,69 @@ def _azp_pair(mu):
         return np.arccos(s) - np.arctan(rho)
 
     return r_of, theta_of
+
+
+# TPV distorted gnomonic (the registered FITS "TPV" convention: the
+# SCAMP/SWarp distorted TAN carried by most ground-based survey
+# astrometry, e.g. DECam/PTF/ZTF pipelines — headers the reference reads
+# through astropy, sgp.py:957). The linear intermediate world
+# coordinates are warped by degree-7 bivariate polynomials — including
+# the odd RADIAL terms r, r^3, r^5, r^7 that make TPV more than SIP —
+# BEFORE the standard TAN deprojection:
+#   xi'  = sum_m PV1_m T_m(xi,  eta, r)
+#   eta' = sum_m PV2_m T_m(eta, xi,  r)     (the axis-2 sequence swaps
+#                                            the roles of xi and eta)
+# with r = hypot(xi, eta) and T_m the 40-term sequence below; the
+# defaults PV1_1 = PV2_1 = 1 reproduce plain TAN exactly. Each table
+# entry is (a, b, d): the monomial x^a y^b when d == 0, else r^d.
+def _tpv_term_table():
+    terms = []
+    for deg in range(8):
+        terms.extend((deg - k, k, 0) for k in range(deg + 1))
+        if deg % 2 == 1:
+            terms.append((0, 0, deg))   # r, r^3, r^5, r^7
+    return tuple(terms)
+
+
+_TPV_TERMS = _tpv_term_table()          # 40 terms: indices 0..39
+
+
+def _tpv_eval(pv, x, y):
+    """sum_m pv[m] T_m(x, y, r) for a dense length-40 coefficient array
+    (zero terms skipped — real headers carry ~10 of the 40)."""
+    r = np.hypot(x, y)
+    out = np.zeros(np.broadcast(x, y).shape, np.float64)
+    for m, (a, b, d) in enumerate(_TPV_TERMS):
+        c = pv[m]
+        if c != 0.0:
+            out = out + c * (r ** d if d else (x ** a) * (y ** b))
+    return out
+
+
+def _tpv_jac(pv, x, y):
+    """(d/dx, d/dy) of _tpv_eval, for the Newton inverse. Radial terms
+    differentiate to d r^(d-2) (x, y) — undefined at the origin for the
+    cusp term r (d = 1), where the gradient is taken as 0 (the Newton
+    start never sits exactly there for distorted headers)."""
+    r = np.hypot(x, y)
+    shape = np.broadcast(x, y).shape
+    gx = np.zeros(shape, np.float64)
+    gy = np.zeros(shape, np.float64)
+    for m, (a, b, d) in enumerate(_TPV_TERMS):
+        c = pv[m]
+        if c == 0.0:
+            continue
+        if d:
+            with np.errstate(divide='ignore', invalid='ignore'):
+                rm2 = np.where(r > 0.0, r ** (d - 2), 0.0)
+            gx = gx + c * d * rm2 * x
+            gy = gy + c * d * rm2 * y
+        else:
+            if a:
+                gx = gx + c * a * (x ** (a - 1)) * (y ** b)
+            if b:
+                gy = gy + c * b * (x ** a) * (y ** (b - 1))
+    return gx, gy
 
 
 # Cylindrical + pseudo-cylindrical projections (CG02 sections 5.2/5.4).
@@ -462,8 +528,26 @@ class WCS:
                                  '(projection point on the sphere surface)')
             self._zen = 'AZP'
             self._zen_fwd, self._zen_inv = _azp_pair(mu)
+        elif code == 'TPV':
+            self._zen = 'TPV'       # distorted gnomonic: TAN deprojection
+            self._zen_fwd, self._zen_inv = _ZENITHAL['TAN']
         else:
             self._zen_fwd = self._zen_inv = None
+        # TPV plane distortion — also honored on legacy SCAMP headers
+        # that keep CTYPE 'TAN' while carrying PVi_m distortion keys
+        # (the pre-registration convention astropy/wcslib still read)
+        self._tpv = None
+        if code == 'TPV' or (code == 'TAN' and any(
+                f'PV{i}_{m}' in h for i in (1, 2) for m in range(40))):
+            pv1 = np.zeros(40)
+            pv2 = np.zeros(40)
+            pv1[1] = pv2[1] = 1.0
+            for m in range(40):
+                if f'PV1_{m}' in h:
+                    pv1[m] = float(h[f'PV1_{m}'])
+                if f'PV2_{m}' in h:
+                    pv2[m] = float(h[f'PV2_{m}'])
+            self._tpv = (pv1, pv2)
         self._con_fns = None
         if self._con is not None:
             theta_a = self._pv2.get(1, 0.0) * _D2R
@@ -547,6 +631,9 @@ class WCS:
         eta = self.cd[1, 0] * dx + self.cd[1, 1] * dy
         if self._pole is None:
             return self.crval[0] + xi, self.crval[1] + eta
+        if self._tpv is not None:
+            pv1, pv2 = self._tpv
+            xi, eta = (_tpv_eval(pv1, xi, eta), _tpv_eval(pv2, eta, xi))
         if self._zen is not None:
             # zenithal deprojection: native polar (phi, R) -> native
             # latitude theta (CG02 eq. 14/15: x = R sin phi, y = -R cos phi)
@@ -597,12 +684,40 @@ class WCS:
         else:
             xi = ra - self.crval[0]
             eta = dec - self.crval[1]
+        if self._tpv is not None:
+            xi, eta = self._tpv_invert(xi, eta)
         inv = np.linalg.inv(self.cd)
         dx = inv[0, 0] * xi + inv[0, 1] * eta
         dy = inv[1, 0] * xi + inv[1, 1] * eta
         if self._sip:
             dx, dy = self._sip_invert(dx, dy)
         return dx + self.crpix[0] - 1.0, dy + self.crpix[1] - 1.0
+
+    def _tpv_invert(self, xi_t, eta_t):
+        """Invert the TPV plane distortion: solve (P1(x, y), P2(y, x)) =
+        (xi_t, eta_t) for the undistorted intermediate coordinates by a
+        vectorized 2x2 Newton. Survey distortions are identity-dominated
+        (PVi_1 ~ 1, corrections <<1 across a frame in degrees), so the
+        target itself is the natural start and convergence is quadratic;
+        the iteration cap only bounds pathological headers."""
+        pv1, pv2 = self._tpv
+        x = np.array(xi_t, np.float64, copy=True)
+        y = np.array(eta_t, np.float64, copy=True)
+        for _ in range(25):
+            f1 = _tpv_eval(pv1, x, y) - xi_t
+            f2 = _tpv_eval(pv2, y, x) - eta_t
+            j11, j12 = _tpv_jac(pv1, x, y)
+            j22, j21 = _tpv_jac(pv2, y, x)    # P2's first argument is y
+            det = j11 * j22 - j12 * j21
+            with np.errstate(divide='ignore', invalid='ignore'):
+                det = np.where(np.abs(det) > 1e-300, det, np.nan)
+                dx = (j22 * f1 - j12 * f2) / det
+                dy = (j11 * f2 - j21 * f1) / det
+            x -= dx
+            y -= dy
+            if not np.any(np.abs(dx) + np.abs(dy) > 1e-14):
+                break
+        return x, y
 
     def _sip_invert(self, U, V):
         """Invert (u, v) + SIP(u, v) = (U, V) for the raw offsets (u, v).
@@ -637,6 +752,7 @@ class WCS:
         w._pv2 = self._pv2
         w._zen_fwd, w._zen_inv = self._zen_fwd, self._zen_inv
         w._con, w._con_fns = self._con, self._con_fns
+        w._tpv = self._tpv
         # SIP offsets are measured from CRPIX, which shifts with the
         # cutout, so the polynomials carry over unchanged
         w.sip_a, w.sip_b = self.sip_a, self.sip_b
@@ -660,6 +776,11 @@ class WCS:
         if self._zen in ('ZPN', 'AZP') or self._con is not None:
             for m, v in sorted(self._pv2.items()):
                 h[f'PV2_{m}'] = float(v)
+        if self._tpv is not None:
+            for i, pv in ((1, self._tpv[0]), (2, self._tpv[1])):
+                for m, v in enumerate(pv):
+                    if v != (1.0 if m == 1 else 0.0):   # skip defaults
+                        h[f'PV{i}_{m}'] = float(v)
         if self._sip:
             for prefix, block in (('A', self.sip_a), ('B', self.sip_b),
                                   ('AP', self.sip_ap), ('BP', self.sip_bp)):
