@@ -492,7 +492,7 @@ def test_wcs_warns_on_unsupported_projection_and_sip():
     from tpu_sgp.image import wcs as wcsmod
 
     wcsmod._WARNED_CTYPES.clear()
-    hdr = {'CTYPE1': 'RA---TSC', 'CTYPE2': 'DEC--TSC',
+    hdr = {'CTYPE1': 'RA---CSC', 'CTYPE2': 'DEC--CSC',
            'CRVAL1': 150.0, 'CRVAL2': 2.0, 'CRPIX1': 10.0, 'CRPIX2': 10.0,
            'CD1_1': -1e-4, 'CD2_2': 1e-4}
     with warnings.catch_warnings(record=True) as rec:
@@ -500,7 +500,7 @@ def test_wcs_warns_on_unsupported_projection_and_sip():
         wcsmod.WCS(hdr)
         wcsmod.WCS(hdr)          # second instance: warned once per code
     msgs = [str(r.message) for r in rec]
-    assert sum('TSC' in m for m in msgs) == 1, msgs
+    assert sum('CSC' in m for m in msgs) == 1, msgs
 
     # supported zenithal family (with or without SIP): silent
     with warnings.catch_warnings():
@@ -869,6 +869,99 @@ def test_wcs_conic_projections():
     with pytest.raises(ValueError, match='standard parallels'):
         WCS({'CTYPE1': 'RA---COE', 'CTYPE2': 'DEC--COE', 'CRVAL1': 120.0,
              'CRVAL2': 45.0, 'PV2_1': 80.0, 'PV2_2': 15.0})
+
+
+def test_wcs_allsky_grid_projections():
+    """HPX (HEALPix, Calabretta & Roukema 2007, standard H=4/K=3) and
+    TSC (tangential spherical cube, CG02 section 5.6.1): full-sky
+    round-trips at f64 precision; HPX pinned to its defining laws —
+    equatorial band y = (3 pi / 8) sin(theta), the 45-deg transition at
+    sin(theta) = 2/3, and a CONSTANT area Jacobian 3 pi / 8 per unit
+    solid angle in both zones (HEALPix's raison d'etre); off-facet polar
+    pixels NaN. TSC pinned to per-face gnomonic (face 1 is exactly
+    x = 45 m / l, y = 45 n / l) and to plane continuity across the
+    interior cross edges; WCS-level round-trips for both."""
+    from tpu_sgp.image.wcs import _hpx, _hpx_inv, _tsc, _tsc_inv
+
+    d2r = np.pi / 180.0
+    rng = np.random.default_rng(1)
+    phi = rng.uniform(-np.pi, np.pi, 2000)
+    theta = np.arcsin(rng.uniform(-1.0, 1.0, 2000))
+    for name, fwd, inv in (('HPX', _hpx, _hpx_inv),
+                           ('TSC', _tsc, _tsc_inv)):
+        xi, eta = inv(phi, theta, 1.0)
+        p2, t2 = fwd(xi, eta, 1.0)
+        dphi = np.abs(np.arctan2(np.sin(p2 - phi), np.cos(p2 - phi)))
+        assert (dphi * np.cos(theta)).max() < 1e-9, name
+        assert np.abs(t2 - theta).max() < 1e-9, name
+
+    # HPX equatorial law + transition + pole
+    th = np.arcsin(np.array([-0.6, -0.2, 0.0, 0.3, 2.0 / 3.0]))
+    xi, eta = _hpx_inv(np.full(5, 0.5), th, 1.0)
+    np.testing.assert_allclose(eta * d2r, 3 * np.pi / 8 * np.sin(th),
+                               rtol=0, atol=1e-14)
+    np.testing.assert_allclose(xi * d2r, 0.5, rtol=0, atol=1e-14)
+    np.testing.assert_allclose(eta[-1], 45.0, rtol=0, atol=1e-10)
+    _, eta_p = _hpx_inv(np.array([np.pi / 4]),
+                        np.array([np.pi / 2 - 1e-9]), 1.0)
+    np.testing.assert_allclose(eta_p, 90.0, rtol=0, atol=1e-5)
+
+    # HPX equal-area: |d(x, y) / d(phi, theta)| / cos(theta) == 3 pi / 8
+    # at latitudes spanning both zones (finite-difference Jacobian)
+    def hpx_jac(phi0, th0):
+        d = 1e-6
+        pts = [(phi0 + d, th0), (phi0 - d, th0),
+               (phi0, th0 + d), (phi0, th0 - d)]
+        (x1, y1), (x0, y0), (x2, y2), (x3, y3) = [
+            _hpx_inv(np.array([p]), np.array([t]), 1.0) for p, t in pts]
+        J = ((x1 - x0) * (y2 - y3) - (x2 - x3) * (y1 - y0)) / (4 * d * d)
+        return (J * d2r * d2r / np.cos(th0)).item()
+
+    js = [hpx_jac(0.3, t) for t in (0.1, 0.5, 0.75, 1.0, 1.3, 1.5)]
+    np.testing.assert_allclose(js, 3 * np.pi / 8, rtol=1e-4)
+
+    # off-facet polar pixels are off-projection
+    p_bad, t_bad = _hpx(np.array([89.9]), np.array([89.0]), 1.0)
+    assert np.isnan(p_bad).all() and np.isnan(t_bad).all()
+
+    # TSC face 1 is the gnomonic about (0, 0)
+    ph = np.array([0.2, -0.3])
+    th0 = np.array([0.1, 0.4])
+    xi, eta = _tsc_inv(ph, th0, 1.0)
+    l = np.cos(th0) * np.cos(ph)
+    np.testing.assert_allclose(xi, 45 * np.cos(th0) * np.sin(ph) / l,
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(eta, 45 * np.sin(th0) / l, rtol=0,
+                               atol=1e-12)
+
+    # continuity across the interior cross edges (1|2, 1|0, 1|5)
+    def tsc_xy(phi0, th0):
+        x, y = _tsc_inv(np.array([phi0]), np.array([th0]), 1.0)
+        return x.item(), y.item()
+
+    eps = 1e-9
+    for (pa, ta), (pb, tb) in [
+            ((np.pi / 4 - eps, 0.3), (np.pi / 4 + eps, 0.3)),
+            ((0.2, np.pi / 4 - eps), (0.2, np.pi / 4 + eps)),
+            ((-0.15, -np.pi / 4 + eps), (-0.15, -np.pi / 4 - eps))]:
+        a, b = tsc_xy(pa, ta), tsc_xy(pb, tb)
+        assert abs(a[0] - b[0]) < 1e-5 and abs(a[1] - b[1]) < 1e-5, (a, b)
+
+    # WCS level: all-sky header round-trips + exact fiducial
+    for code in ('HPX', 'TSC'):
+        w = WCS({'CTYPE1': f'RA---{code}', 'CTYPE2': f'DEC--{code}',
+                 'CRPIX1': 500.5, 'CRPIX2': 400.5, 'CRVAL1': 0.0,
+                 'CRVAL2': 0.0, 'CD1_1': -0.36, 'CD2_2': 0.36})
+        for xy in [(0.0, 0.0), (400.0, 300.0), (999.0, 100.0),
+                   (123.0, 700.0)]:
+            ra, dec = w.pixel_to_world(*xy)
+            if np.isnan(np.asarray(ra)).any():
+                continue
+            np.testing.assert_allclose(w.world_to_pixel(ra, dec), xy,
+                                       rtol=0, atol=1e-7,
+                                       err_msg=f'{code} {xy}')
+        np.testing.assert_allclose(w.pixel_to_world(499.5, 399.5),
+                                   (0.0, 0.0), rtol=0, atol=1e-9)
 
 
 def test_wcs_tpv_distorted_tan():

@@ -8,7 +8,9 @@ the zenithal projection family of Calabretta & Greisen (2002) — TAN
 ZEA (equal-area), ZPN (polynomial, PV2_m), AZP (untilted perspective,
 PV2_1) — the cylindrical and pseudo-cylindrical families — CAR
 (plate carree), CEA (cylindrical equal area, PV2_1), MER (Mercator),
-SFL/GLS (Sanson-Flamsteed), AIT (Hammer-Aitoff), MOL (Mollweide) — and
+SFL/GLS (Sanson-Flamsteed), AIT (Hammer-Aitoff), MOL (Mollweide) — the
+all-sky grid projections — HPX (HEALPix, Calabretta & Roukema 2007) and
+TSC (tangential spherical cube) — and
 the conic family — COP (perspective), COE (equal area), COD
 (equidistant), COO (conformal), all with PV2_1/PV2_2 standard
 parallels — via the general native↔celestial spherical rotation (CG02
@@ -289,6 +291,125 @@ def _mol_inv(phi, theta, lam):
     return xi, eta
 
 
+def _hpx(xi, eta, lam):
+    """HPX (HEALPix, Calabretta & Roukema 2007) inverse, standard
+    H = 4, K = 3 grid: the equatorial zone |y| <= 45 deg is a CEA-like
+    band sin(theta) = (8 / (3 pi)) y; the polar zones are the interrupted
+    facet triangles with sigma = 2 - 4|y|/pi, sin(theta) =
+    sign(y) (1 - sigma^2 / 3) and the longitude stretched about each
+    facet center phi_c by 1/sigma. Pixels outside the facet triangles
+    (|x - x_c| > 45 sigma in the polar caps) are off-projection NaN, as
+    are |y| > 90."""
+    x_r, y_r = xi * _D2R, eta * _D2R
+    ay = np.abs(y_r)
+    eq = ay <= np.pi / 4
+    # facet-center longitude of the polar quadrant containing x
+    k = np.floor((x_r + np.pi) * 2.0 / np.pi)
+    k = np.clip(k, 0.0, 3.0)
+    x_c = -np.pi + (2.0 * k + 1.0) * np.pi / 4
+    sig = 2.0 - 4.0 * ay / np.pi
+    with np.errstate(divide='ignore', invalid='ignore'):
+        phi_pol = x_c + (x_r - x_c) / np.where(sig > 0.0, sig, 1.0)
+        phi_pol = np.where(sig > 0.0, phi_pol, x_c)   # exact pole
+    st_pol = np.sign(y_r) * (1.0 - sig * sig / 3.0)
+    ok_pol = (ay <= np.pi / 2 + 1e-12) & (np.abs(x_r - x_c)
+                                          <= sig * np.pi / 4 + 1e-12)
+    phi = np.where(eq, x_r, np.where(ok_pol, phi_pol, np.nan))
+    st = np.where(eq, y_r * 8.0 / (3.0 * np.pi),
+                  np.where(ok_pol, st_pol, np.nan))
+    return phi, _arcsin_or_nan(st)
+
+
+def _hpx_inv(phi, theta, lam):
+    st = np.sin(theta)
+    eq = np.abs(st) <= 2.0 / 3.0
+    y_eq = 3.0 * np.pi / 8.0 * st
+    sig = np.sqrt(np.maximum(3.0 * (1.0 - np.abs(st)), 0.0))
+    y_pol = np.sign(st) * (np.pi / 2 - sig * np.pi / 4)
+    k = np.floor((phi + np.pi) * 2.0 / np.pi)
+    k = np.clip(k, 0.0, 3.0)
+    x_c = -np.pi + (2.0 * k + 1.0) * np.pi / 4
+    x_pol = x_c + (phi - x_c) * sig
+    xi = np.where(eq, phi, x_pol) * _R2D
+    eta = np.where(eq, y_eq, y_pol) * _R2D
+    return xi, eta
+
+
+# TSC (tangential spherical cube, CG02 section 5.6.1): gnomonic
+# projection onto the six cube faces, laid out as the sideways cross of
+# CG02 fig. 10 — equatorial faces centered at x = 0/90/180/270 (y = 0),
+# the north face above face 1 at (0, +90), south below at (0, -90), each
+# face spanning +-45 deg of plane. Per-face direction-cosine frames
+# (zeta the face normal, xi_f rightward, eta_f upward) chosen so
+# adjacent faces are continuous across shared edges (pinned by tests).
+#   l = cos(theta) cos(phi), m = cos(theta) sin(phi), n = sin(theta)
+_TSC_FACES = (
+    # (x_c deg, y_c deg, zeta, xi_f, eta_f) as index/sign into (l, m, n)
+    (0.0, 90.0, (2, +1), (1, +1), (0, -1)),    # face 0: north polar cap
+    (0.0, 0.0, (0, +1), (1, +1), (2, +1)),     # face 1: phi = 0
+    (90.0, 0.0, (1, +1), (0, -1), (2, +1)),    # face 2: phi = 90
+    (180.0, 0.0, (0, -1), (1, -1), (2, +1)),   # face 3: phi = 180
+    (270.0, 0.0, (1, -1), (0, +1), (2, +1)),   # face 4: phi = 270
+    (0.0, -90.0, (2, -1), (1, +1), (0, +1)),   # face 5: south polar cap
+)
+
+
+def _tsc_inv(phi, theta, lam):
+    """(phi, theta) -> plane: gnomonic onto the cube face whose normal
+    has the largest direction cosine; offsets are 45 deg * (xi_f / zeta,
+    eta_f / zeta) from the face center."""
+    lmn = (np.cos(theta) * np.cos(phi), np.cos(theta) * np.sin(phi),
+           np.sin(theta))
+    shape = np.broadcast(*lmn).shape
+    xi = np.zeros(shape, np.float64)
+    eta = np.zeros(shape, np.float64)
+    best = np.full(shape, -np.inf)
+    for x_c, y_c, (zi, zs), (ai, asn), (bi, bs) in _TSC_FACES:
+        zeta = zs * lmn[zi]
+        pick = zeta > best
+        with np.errstate(divide='ignore', invalid='ignore'):
+            fx = x_c + 45.0 * asn * lmn[ai] / zeta
+            fy = y_c + 45.0 * bs * lmn[bi] / zeta
+        xi = np.where(pick, fx, xi)
+        eta = np.where(pick, fy, eta)
+        best = np.maximum(best, zeta)
+    # face 4 spans x in (225, 315]; wrap phi-near-(-pi) points positive
+    return xi, eta
+
+
+def _tsc(xi, eta, lam):
+    """Plane -> (phi, theta): locate the face from the 45-deg cross
+    layout, invert the per-face gnomonic. Off-layout pixels NaN."""
+    x = np.mod(np.asarray(xi, np.float64) + 45.0, 360.0) - 45.0
+    y = np.asarray(eta, np.float64)
+    polar = np.abs(y) > 45.0
+    north = y > 45.0
+    face = np.where(polar, np.where(north, 0, 5),
+                    np.clip(np.floor((x + 45.0) / 90.0), 0, 3) + 1)
+    shape = np.broadcast(x, y).shape
+    phi = np.full(shape, np.nan)
+    theta = np.full(shape, np.nan)
+    for f, (x_c, y_c, (zi, zs), (ai, asn), (bi, bs)) in enumerate(
+            _TSC_FACES):
+        sel = face == f
+        if not np.any(sel):
+            continue
+        a = (x - x_c) / 45.0
+        b = (y - y_c) / 45.0
+        ok = sel & (np.abs(a) <= 1.0 + 1e-12) & (np.abs(b) <= 1.0 + 1e-12)
+        zeta = 1.0 / np.sqrt(1.0 + a * a + b * b)
+        lmn = [None, None, None]
+        lmn[zi] = zs * zeta
+        lmn[ai] = asn * a * zeta
+        lmn[bi] = bs * b * zeta
+        phi = np.where(ok, np.arctan2(lmn[1], lmn[0]), phi)
+        theta = np.where(ok, np.arcsin(np.clip(lmn[2], -1.0, 1.0)), theta)
+    return phi, theta
+
+
+# Equatorial-fiducial projections (phi0 = theta0 = 0): the cylindrical /
+# pseudo-cylindrical families plus the all-sky grids (HEALPix HPX,
+# quad-cube TSC) that share the same fiducial convention.
 _CYLINDRICAL = {
     'CAR': (_car, _car_inv),
     'CEA': (_cea, _cea_inv),
@@ -297,6 +418,8 @@ _CYLINDRICAL = {
     'GLS': (_sfl, _sfl_inv),   # historical alias of SFL
     'AIT': (_ait, _ait_inv),
     'MOL': (_mol, _mol_inv),
+    'HPX': (_hpx, _hpx_inv),
+    'TSC': (_tsc, _tsc_inv),
 }
 
 
@@ -565,11 +688,11 @@ class WCS:
             self._con_fns = (r_of, th_of, c_fac, float(r_of(theta_a)),
                              theta_a)
         # Loud (once per projection code) instead of silently-linear: the
-        # native WCS implements the zenithal, (pseudo-)cylindrical and
-        # conic families and linear only; real survey headers can carry
-        # other codes (quad-cube TSC/CSC/QSC, HEALPix HPX...) where
-        # astropy (the reference path, sgp.py:957) would be correct and a
-        # silent linear fallback subtly wrong.
+        # native WCS implements the zenithal, (pseudo-)cylindrical,
+        # conic and all-sky-grid (HPX/TSC) families and linear only; a
+        # header can still carry other codes (quad-cube CSC/QSC, ZPN
+        # siblings...) where astropy (the reference path, sgp.py:957)
+        # would be correct and a silent linear fallback subtly wrong.
         if (code and code not in ('LIN',) and self._zen is None
                 and self._cyl is None and self._con is None):
             if code not in _WARNED_CTYPES:
