@@ -947,19 +947,35 @@ def test_wcs_allsky_grid_projections():
         a, b = tsc_xy(pa, ta), tsc_xy(pb, tb)
         assert abs(a[0] - b[0]) < 1e-5 and abs(a[1] - b[1]) < 1e-5, (a, b)
 
-    # WCS level: all-sky header round-trips + exact fiducial
-    for code in ('HPX', 'TSC'):
+    # WCS level: all-sky header round-trips + exact fiducial. Points are
+    # split into on-projection (must round-trip) and off-projection
+    # (must be NaN — silently skipping NaNs would hide a forward/inverse
+    # branch mismatch).
+    cases = {
+        # 0.36 deg/px, CRPIX (500.5, 400.5): xi = -(x - 499.5) * 0.36
+        'HPX': {'good': [(400.0, 300.0), (123.0, 500.0), (700.0, 350.0)],
+                'bad': [(0.0, 0.0)]},      # xi=179.8, eta=-143.8: |y|>90
+        # TSC cross layout: xi in [-45, 315], |eta| <= 45 equatorial
+        'TSC': {'good': [(400.0, 300.0), (620.0, 420.0), (390.0, 520.0)],
+                # xi = -99.9 (past the x = -45 layout edge: wcslib NaNs
+                # here; a 360-deg wrap onto face 4 would desync the
+                # forward from world_to_pixel by 1800 px), and a corner
+                # outside every face
+                'bad': [(777.0, 400.0), (0.0, 0.0)]},
+    }
+    for code, pts in cases.items():
         w = WCS({'CTYPE1': f'RA---{code}', 'CTYPE2': f'DEC--{code}',
                  'CRPIX1': 500.5, 'CRPIX2': 400.5, 'CRVAL1': 0.0,
                  'CRVAL2': 0.0, 'CD1_1': -0.36, 'CD2_2': 0.36})
-        for xy in [(0.0, 0.0), (400.0, 300.0), (999.0, 100.0),
-                   (123.0, 700.0)]:
+        for xy in pts['good']:
             ra, dec = w.pixel_to_world(*xy)
-            if np.isnan(np.asarray(ra)).any():
-                continue
+            assert np.isfinite(ra) and np.isfinite(dec), (code, xy)
             np.testing.assert_allclose(w.world_to_pixel(ra, dec), xy,
                                        rtol=0, atol=1e-7,
                                        err_msg=f'{code} {xy}')
+        for xy in pts['bad']:
+            ra, dec = w.pixel_to_world(*xy)
+            assert np.isnan(ra) and np.isnan(dec), (code, xy, ra, dec)
         np.testing.assert_allclose(w.pixel_to_world(499.5, 399.5),
                                    (0.0, 0.0), rtol=0, atol=1e-9)
 
@@ -1038,6 +1054,31 @@ def test_wcs_tpv_distorted_tan():
     leg = WCS(dict(base, CTYPE1='RA---TAN', CTYPE2='DEC--TAN', **pv))
     np.testing.assert_allclose(leg.pixel_to_world(xs, ys), (ra, dec),
                                rtol=0, atol=1e-13)
+
+    # ...but NOT when the keys cannot be a TPV distortion: a zero linear
+    # term (e.g. a writer dumping PV2_1 = 0.0, or non-TPV PV
+    # conventions) must be ignored with a warning — wcslib's tanset
+    # behavior — not collapse the latitude axis to a degenerate
+    # polynomial; all-default keys are silently plain TAN
+    import warnings
+
+    from tpu_sgp.image import wcs as wcsmod
+    wcsmod._WARNED_CTYPES.discard('TAN+PV')
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter('always')
+        degen = WCS(dict(base, CTYPE1='RA---TAN', CTYPE2='DEC--TAN',
+                         PV2_1=0.0, PV1_7=8e-4))
+    assert sum('PV' in str(r.message) for r in rec) == 1
+    np.testing.assert_allclose(degen.pixel_to_world(xs, ys),
+                               tan.pixel_to_world(xs, ys), rtol=0,
+                               atol=1e-13)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        triv = WCS(dict(base, CTYPE1='RA---TAN', CTYPE2='DEC--TAN',
+                        PV1_1=1.0))
+    np.testing.assert_allclose(triv.pixel_to_world(xs, ys),
+                               tan.pixel_to_world(xs, ys), rtol=0,
+                               atol=1e-13)
 
     # header write/read and cutout shift carry the distortion
     t2 = WCS(dict(tpv.to_header().items()))

@@ -143,15 +143,28 @@ def _tpv_term_table():
 _TPV_TERMS = _tpv_term_table()          # 40 terms: indices 0..39
 
 
+def _pow_table(v, n=8):
+    """[v^0, v^1, ..., v^(n-1)] by cumulative products — one multiply per
+    power instead of one exponentiation per polynomial term. Keeps the
+    reprojection hot path (full image grids through _tpv_invert's Newton
+    loop) cheap."""
+    out = [np.ones_like(v)]
+    for _ in range(n - 1):
+        out.append(out[-1] * v)
+    return out
+
+
 def _tpv_eval(pv, x, y):
     """sum_m pv[m] T_m(x, y, r) for a dense length-40 coefficient array
     (zero terms skipped — real headers carry ~10 of the 40)."""
-    r = np.hypot(x, y)
+    xp = _pow_table(np.asarray(x, np.float64))
+    yp = _pow_table(np.asarray(y, np.float64))
+    rp = _pow_table(np.hypot(x, y))
     out = np.zeros(np.broadcast(x, y).shape, np.float64)
     for m, (a, b, d) in enumerate(_TPV_TERMS):
         c = pv[m]
         if c != 0.0:
-            out = out + c * (r ** d if d else (x ** a) * (y ** b))
+            out = out + c * (rp[d] if d else xp[a] * yp[b])
     return out
 
 
@@ -160,7 +173,14 @@ def _tpv_jac(pv, x, y):
     differentiate to d r^(d-2) (x, y) — undefined at the origin for the
     cusp term r (d = 1), where the gradient is taken as 0 (the Newton
     start never sits exactly there for distorted headers)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
     r = np.hypot(x, y)
+    xp = _pow_table(x)
+    yp = _pow_table(y)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        rinv = np.where(r > 0.0, 1.0 / r, 0.0)
+    rp = _pow_table(r)
     shape = np.broadcast(x, y).shape
     gx = np.zeros(shape, np.float64)
     gy = np.zeros(shape, np.float64)
@@ -169,15 +189,14 @@ def _tpv_jac(pv, x, y):
         if c == 0.0:
             continue
         if d:
-            with np.errstate(divide='ignore', invalid='ignore'):
-                rm2 = np.where(r > 0.0, r ** (d - 2), 0.0)
+            rm2 = rp[d - 1] * rinv      # r^(d-2), 0 at the origin cusp
             gx = gx + c * d * rm2 * x
             gy = gy + c * d * rm2 * y
         else:
             if a:
-                gx = gx + c * a * (x ** (a - 1)) * (y ** b)
+                gx = gx + c * a * xp[a - 1] * yp[b]
             if b:
-                gy = gy + c * b * (x ** a) * (y ** (b - 1))
+                gy = gy + c * b * xp[a] * yp[b - 1]
     return gx, gy
 
 
@@ -379,8 +398,10 @@ def _tsc_inv(phi, theta, lam):
 
 def _tsc(xi, eta, lam):
     """Plane -> (phi, theta): locate the face from the 45-deg cross
-    layout, invert the per-face gnomonic. Off-layout pixels NaN."""
-    x = np.mod(np.asarray(xi, np.float64) + 45.0, 360.0) - 45.0
+    layout, invert the per-face gnomonic. Pixels outside the cross
+    (incl. x outside [-45, 315], which _tsc_inv never emits) are
+    off-projection NaN, matching wcslib's tscx2s."""
+    x = np.asarray(xi, np.float64)
     y = np.asarray(eta, np.float64)
     polar = np.abs(y) > 45.0
     north = y > 45.0
@@ -658,7 +679,12 @@ class WCS:
             self._zen_fwd = self._zen_inv = None
         # TPV plane distortion — also honored on legacy SCAMP headers
         # that keep CTYPE 'TAN' while carrying PVi_m distortion keys
-        # (the pre-registration convention astropy/wcslib still read)
+        # (the pre-registration convention). For legacy TAN the keys must
+        # describe an actual invertible TPV polynomial: a zero linear
+        # term (PVi_1 = 0) or all-default coefficients mean the keys
+        # follow some other convention (writers dumping defaults, old
+        # ESO radial-distortion headers) — then they are IGNORED like
+        # wcslib's tanset does, instead of collapsing the transform.
         self._tpv = None
         if code == 'TPV' or (code == 'TAN' and any(
                 f'PV{i}_{m}' in h for i in (1, 2) for m in range(40))):
@@ -670,7 +696,19 @@ class WCS:
                     pv1[m] = float(h[f'PV1_{m}'])
                 if f'PV2_{m}' in h:
                     pv2[m] = float(h[f'PV2_{m}'])
-            self._tpv = (pv1, pv2)
+            identity = (pv1[1] == 1.0 and pv2[1] == 1.0
+                        and not np.any(np.delete(pv1, 1))
+                        and not np.any(np.delete(pv2, 1)))
+            if code == 'TAN' and (pv1[1] == 0.0 or pv2[1] == 0.0
+                                  or identity):
+                if not identity and 'TAN+PV' not in _WARNED_CTYPES:
+                    _WARNED_CTYPES.add('TAN+PV')
+                    warnings.warn(
+                        'WCS: TAN header carries PVi_m keys with a zero '
+                        'linear term — not a TPV distortion; ignoring '
+                        'the PV keys (plain TAN)', stacklevel=2)
+            elif not identity or code == 'TPV':
+                self._tpv = (pv1, pv2)
         self._con_fns = None
         if self._con is not None:
             theta_a = self._pv2.get(1, 0.0) * _D2R
