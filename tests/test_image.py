@@ -871,6 +871,137 @@ def test_wcs_conic_projections():
              'CRVAL2': 45.0, 'PV2_1': 80.0, 'PV2_2': 15.0})
 
 
+def test_wcs_perspective_and_pseudoconic_projections():
+    """CYP (cylindrical perspective, PV2_1=mu / PV2_2=lambda), PAR
+    (Craster parabolic), BON (Bonne pseudo-conic, PV2_1=theta_1) and PCO
+    (polyconic): f64 full-sky round-trips; CYP pinned to its exact
+    special cases (Gall stereographic y = (1 + lambda) tan(theta/2) at
+    mu = 1, central cylindrical y = lambda tan(theta) at mu = 0); PAR
+    and BON pinned EQUAL-AREA (unit Jacobian per solid angle); BON and
+    PCO pinned to true scale along every parallel and the central
+    meridian, PCO additionally to its defining circular-arc parallels
+    (radius cot(theta) about (0, theta + cot(theta))) and the exact
+    straight equator; WCS-level rotated-fiducial round-trips,
+    header/cutout carry, invalid parameters raise."""
+    from tpu_sgp.image.wcs import (_bon, _bon_inv, _cyp, _cyp_inv, _par,
+                                   _par_inv, _pco, _pco_inv)
+
+    d2r = np.pi / 180.0
+    rng = np.random.default_rng(3)
+    phi = rng.uniform(-np.pi, np.pi, 3000)
+    theta = np.arcsin(rng.uniform(-1.0, 1.0, 3000))
+    for name, fwd, inv, lam in [
+            ('CYP', _cyp, _cyp_inv, (1.0, np.sqrt(2) / 2)),
+            ('PAR', _par, _par_inv, None),
+            ('BON', _bon, _bon_inv, 40 * d2r),
+            ('BON-south', _bon, _bon_inv, -30 * d2r),
+            ('PCO', _pco, _pco_inv, None)]:
+        xi, eta = inv(phi, theta, lam)
+        p2, t2 = fwd(xi, eta, lam)
+        dphi = np.abs(np.arctan2(np.sin(p2 - phi), np.cos(p2 - phi)))
+        assert (dphi * np.cos(theta)).max() < 1e-7, name
+        assert np.abs(t2 - theta).max() < 1e-7, name
+
+    # CYP exact special cases + the x = lambda phi law
+    th = np.array([-1.1, -0.3, 0.0, 0.5, 1.2])
+    x, y = _cyp_inv(np.full(5, 0.7), th, (1.0, np.sqrt(2) / 2))
+    np.testing.assert_allclose(y * d2r,
+                               (1 + np.sqrt(2) / 2) * np.tan(th / 2),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(x * d2r, np.sqrt(2) / 2 * 0.7, rtol=0,
+                               atol=1e-13)
+    x, y = _cyp_inv(np.full(5, 0.7), th, (0.0, 1.0))
+    np.testing.assert_allclose(y * d2r, np.tan(th), rtol=0, atol=1e-12)
+
+    # PAR forward law
+    x, y = _par_inv(np.array([0.7]), np.array([0.9]), None)
+    np.testing.assert_allclose(y * d2r, 3 * np.sin(0.3), rtol=0,
+                               atol=1e-14)
+    np.testing.assert_allclose(x * d2r, 0.7 * (2 * np.cos(0.6) - 1),
+                               rtol=0, atol=1e-14)
+
+    # equal-area: |d(x,y)/d(phi,theta)| / cos(theta) == 1
+    def area_jac(inv, lam, phi0, th0):
+        d = 1e-6
+        pts = [(phi0 + d, th0), (phi0 - d, th0),
+               (phi0, th0 + d), (phi0, th0 - d)]
+        (x1, y1), (x0, y0), (x2, y2), (x3, y3) = [
+            inv(np.array([p]), np.array([t]), lam) for p, t in pts]
+        J = ((x1 - x0) * (y2 - y3) - (x2 - x3) * (y1 - y0)) / (4 * d * d)
+        return (J * d2r * d2r / np.cos(th0)).item()
+
+    for t0 in (0.1, 0.6, 1.2, 1.45):
+        assert abs(area_jac(_par_inv, None, 0.4, t0) - 1.0) < 1e-4
+        assert abs(area_jac(_bon_inv, 40 * d2r, 0.4, t0) - 1.0) < 1e-4
+
+    # BON: true scale along parallels; central meridian is y = theta
+    lam = 40 * d2r
+    d = 1e-6
+    for t0 in (-0.5, 0.2, 1.0):
+        xa, ya = _bon_inv(np.array([0.3 + d]), np.array([t0]), lam)
+        xb, yb = _bon_inv(np.array([0.3 - d]), np.array([t0]), lam)
+        np.testing.assert_allclose(
+            np.hypot(xa - xb, ya - yb) * d2r / (2 * d), np.cos(t0),
+            rtol=1e-6)
+    x, y = _bon_inv(np.zeros(3), np.array([-0.4, 0.3, 1.0]), lam)
+    np.testing.assert_allclose(y * d2r, [-0.4, 0.3, 1.0], rtol=0,
+                               atol=1e-13)
+    np.testing.assert_allclose(x, 0.0, rtol=0, atol=1e-13)
+
+    # PCO: circular-arc parallels at true scale; exact straight equator
+    for t0 in (-0.8, 0.3, 1.1):
+        ph = np.linspace(-2.0, 2.0, 9)
+        x, y = _pco_inv(ph, np.full(9, t0), None)
+        cot = 1 / np.tan(t0)
+        np.testing.assert_allclose(np.hypot(x * d2r, t0 + cot - y * d2r),
+                                   abs(cot), rtol=1e-12)
+        xa, ya = _pco_inv(np.array([0.3 + d]), np.array([t0]), None)
+        xb, yb = _pco_inv(np.array([0.3 - d]), np.array([t0]), None)
+        np.testing.assert_allclose(
+            np.hypot(xa - xb, ya - yb) * d2r / (2 * d), np.cos(t0),
+            rtol=1e-6)
+    x, y = _pco_inv(np.zeros(3), np.array([-0.7, 0.0, 1.2]), None)
+    np.testing.assert_allclose(y * d2r, [-0.7, 0.0, 1.2], rtol=0,
+                               atol=1e-12)
+    np.testing.assert_allclose(x, 0.0, rtol=0, atol=1e-13)
+    x, y = _pco_inv(np.array([1.3]), np.array([0.0]), None)
+    np.testing.assert_allclose(np.concatenate([x, y]) * d2r, [1.3, 0.0],
+                               rtol=0, atol=1e-12)
+
+    # WCS level: rotated fiducial, exact CRVAL, header/cutout carry
+    for code, extra in [('CYP', {'PV2_1': 1.0, 'PV2_2': 0.8}),
+                        ('PAR', {}), ('BON', {'PV2_1': 35.0}),
+                        ('BON', {'PV2_1': -25.0}), ('PCO', {})]:
+        w = WCS(dict({'CTYPE1': f'RA---{code}', 'CTYPE2': f'DEC--{code}',
+                      'CRPIX1': 200.0, 'CRPIX2': 150.0, 'CRVAL1': 123.0,
+                      'CRVAL2': 8.0, 'CD1_1': -2e-2, 'CD2_2': 2e-2},
+                     **extra))
+        for xy in [(0.0, 0.0), (399.0, 299.0), (150.5, 200.5)]:
+            ra, dec = w.pixel_to_world(*xy)
+            if not np.isfinite(ra):
+                continue
+            np.testing.assert_allclose(w.world_to_pixel(ra, dec), xy,
+                                       rtol=0, atol=2e-6,
+                                       err_msg=f'{code} {extra} {xy}')
+        np.testing.assert_allclose(w.pixel_to_world(199.0, 149.0),
+                                   (123.0, 8.0), rtol=0, atol=1e-8,
+                                   err_msg=code)
+        w2 = WCS(dict(w.to_header().items()))
+        want = w.pixel_to_world(150.5, 200.5)
+        np.testing.assert_allclose(w2.pixel_to_world(150.5, 200.5), want,
+                                   rtol=0, atol=1e-10)
+        cut = w.shifted(40.0, 30.0)
+        np.testing.assert_allclose(cut.pixel_to_world(110.5, 170.5),
+                                   want, rtol=0, atol=1e-10)
+
+    with pytest.raises(ValueError, match='BON'):
+        WCS({'CTYPE1': 'RA---BON', 'CTYPE2': 'DEC--BON',
+             'CRVAL1': 10.0, 'CRVAL2': 5.0})      # theta_1 = 0 is SFL
+    with pytest.raises(ValueError, match='CYP'):
+        WCS({'CTYPE1': 'RA---CYP', 'CTYPE2': 'DEC--CYP', 'CRVAL1': 10.0,
+             'CRVAL2': 5.0, 'PV2_1': -0.8, 'PV2_2': 0.8})  # mu = -lambda
+
+
 def test_wcs_allsky_grid_projections():
     """HPX (HEALPix, Calabretta & Roukema 2007, standard H=4/K=3) and
     TSC (tangential spherical cube, CG02 section 5.6.1): full-sky

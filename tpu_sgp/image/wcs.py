@@ -8,12 +8,14 @@ the zenithal projection family of Calabretta & Greisen (2002) — TAN
 ZEA (equal-area), ZPN (polynomial, PV2_m), AZP (untilted perspective,
 PV2_1) — the cylindrical and pseudo-cylindrical families — CAR
 (plate carree), CEA (cylindrical equal area, PV2_1), MER (Mercator),
-SFL/GLS (Sanson-Flamsteed), AIT (Hammer-Aitoff), MOL (Mollweide) — the
-all-sky grid projections — HPX (HEALPix, Calabretta & Roukema 2007) and
-TSC (tangential spherical cube) — and
-the conic family — COP (perspective), COE (equal area), COD
-(equidistant), COO (conformal), all with PV2_1/PV2_2 standard
-parallels — via the general native↔celestial spherical rotation (CG02
+SFL/GLS (Sanson-Flamsteed), AIT (Hammer-Aitoff), MOL (Mollweide),
+CYP (cylindrical perspective, PV2_1/PV2_2), PAR (Craster parabolic) —
+the all-sky grid projections — HPX (HEALPix, Calabretta & Roukema 2007)
+and TSC (tangential spherical cube) — the conic family — COP
+(perspective), COE (equal area), COD (equidistant), COO (conformal),
+all with PV2_1/PV2_2 standard parallels — the pseudo-conics — BON
+(Bonne, PV2_1) and PCO (polyconic) — via the general native↔celestial
+spherical rotation (CG02
 section 2.3-2.4, with the celestial-pole solution of eq. 8-10 for
 non-polar fiducials),
 TPV distorted gnomonic (the SCAMP/SWarp convention: degree-7 PVi_m
@@ -310,6 +312,123 @@ def _mol_inv(phi, theta, lam):
     return xi, eta
 
 
+def _cyp(xi, eta, lam):
+    """CYP (cylindrical perspective, CG02 section 5.2.1): projection of
+    the sphere from a point mu radii from its center onto a cylinder of
+    radius lam; x = lam phi, y = (mu + lam) sin(theta) / (mu +
+    cos(theta)). mu = 1, lam = sqrt(2)/2 (the defaults) is Gall's
+    stereographic, whose y = (1 + lam) tan(theta / 2) law anchors the
+    tests; mu = 0 is the central cylindrical y = lam tan(theta).
+    Inverse via sin(theta) - p cos(theta) = p mu with p = y / (mu+lam):
+    theta = asin(p mu / sqrt(1 + p^2)) + atan(p)."""
+    mu, lm = lam
+    phi = xi * _D2R / lm
+    p = eta * _D2R / (mu + lm)
+    th = _arcsin_or_nan(p * mu / np.sqrt(1.0 + p * p)) + np.arctan(p)
+    return phi, th
+
+
+def _cyp_inv(phi, theta, lam):
+    mu, lm = lam
+    with np.errstate(divide='ignore', invalid='ignore'):
+        y = (mu + lm) * np.sin(theta) / (mu + np.cos(theta))
+    return lm * phi * _R2D, y * _R2D
+
+
+def _par(xi, eta, lam):
+    """PAR (Craster parabolic, CG02 section 5.4): x = phi (2 cos(2
+    theta / 3) - 1), y = 3 sin(theta / 3) [radians]. Equal-area by the
+    identity cos(theta) = (2 cos(2 theta / 3) - 1) cos(theta / 3), which
+    the tests pin numerically; meridians are parabolas."""
+    th = 3.0 * _arcsin_or_nan(eta * _D2R / 3.0)
+    w = 2.0 * np.cos(2.0 * th / 3.0) - 1.0
+    with np.errstate(divide='ignore', invalid='ignore'):
+        phi = np.where(np.abs(w) > 1e-14, xi * _D2R / w, 0.0)
+    return phi, th
+
+
+def _par_inv(phi, theta, lam):
+    return (phi * (2.0 * np.cos(2.0 * theta / 3.0) - 1.0) * _R2D,
+            3.0 * np.sin(theta / 3.0) * _R2D)
+
+
+def _bon(xi, eta, lam):
+    """BON (Bonne equal-area pseudo-conic, CG02 section 5.3.3;
+    PV2_1 = theta_1 != 0 the standard parallel): parallels are
+    concentric circular arcs of radius R = y0 - theta about (0, y0),
+    y0 = theta_1 + cot(theta_1), traversed at TRUE SCALE (arc speed
+    cos(theta) per radian of phi) — with the central meridian also true
+    scale; those two laws plus the unit area Jacobian pin the formulas.
+    Southern grids (theta_1 < 0) carry R < 0 through the same algebra
+    (like the conics). theta_1 = 0 is SFL and is rejected upstream."""
+    y0 = lam + 1.0 / np.tan(lam)
+    x_r, e_r = xi * _D2R, eta * _D2R
+    r = np.sign(lam) * np.hypot(x_r, y0 - e_r)
+    theta = y0 - r
+    with np.errstate(divide='ignore', invalid='ignore'):
+        a = np.arctan2(x_r / r, (y0 - e_r) / r)
+        phi = a * r / np.cos(theta)
+    phi = np.where(np.abs(np.cos(theta)) < 1e-14, 0.0, phi)
+    return phi, np.where(np.abs(theta) <= np.pi / 2 + 1e-12, theta,
+                         np.nan)
+
+
+def _bon_inv(phi, theta, lam):
+    y0 = lam + 1.0 / np.tan(lam)
+    r = y0 - theta
+    with np.errstate(divide='ignore', invalid='ignore'):
+        a = phi * np.cos(theta) / r
+    return r * np.sin(a) * _R2D, (y0 - r * np.cos(a)) * _R2D
+
+
+def _pco(xi, eta, lam):
+    """PCO (polyconic, CG02 section 5.3.4): every parallel is an arc of
+    its own tangent cone — a circle of radius cot(theta) centered at
+    (0, theta + cot(theta)) — traversed at true scale, with the central
+    meridian true scale too. theta is recovered from the plane point by
+    vectorized bisection on f(theta) = x^2 + (y - theta)^2 -
+    2 (y - theta) cot(theta) (the circle identity with cot^2 cancelled),
+    which brackets sign-definitely on (0, min(y, pi/2)]; the south is
+    mirrored through the (x, -y) <-> (phi, -theta) symmetry; the y = 0
+    row is the exact straight equator x = phi."""
+    x = np.abs(np.asarray(xi, np.float64)) * _D2R   # phi-sign restored
+    y = np.asarray(eta, np.float64) * _D2R
+    s = np.sign(y)
+    ay = np.abs(y)
+    eqt = ay < 1e-9
+    lo = np.minimum(ay * 0.5, 1e-10)    # keeps lo < hi for tiny ay
+    hi = np.minimum(np.where(eqt, 1.0, ay), np.pi / 2)
+
+    def f(t):
+        return (x * x + (ay - t) ** 2
+                - 2.0 * (ay - t) / np.tan(np.maximum(t, 1e-300)))
+
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        neg = f(mid) < 0.0          # f(lo) -> -inf, f(hi) >= 0
+        lo = np.where(neg, mid, lo)
+        hi = np.where(neg, hi, mid)
+    th = 0.5 * (lo + hi)
+    tanth = np.tan(th)
+    a = np.arctan2(x * tanth, 1.0 - (ay - th) * tanth)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        phi = a / np.sin(th)
+    phi = np.where(eqt, x, phi)
+    th = np.where(eqt, 0.0, th)
+    sx = np.where(np.asarray(xi, np.float64) < 0.0, -1.0, 1.0)
+    return sx * phi, np.where(eqt, 0.0, s) * th
+
+
+def _pco_inv(phi, theta, lam):
+    small = np.abs(theta) < 1e-12
+    tt = np.where(small, 1.0, theta)        # placeholder, masked below
+    cot = 1.0 / np.tan(tt)
+    a = phi * np.sin(tt)
+    x = np.where(small, phi, cot * np.sin(a))
+    y = np.where(small, 0.0, tt + cot * (1.0 - np.cos(a)))
+    return x * _R2D, y * _R2D
+
+
 def _hpx(xi, eta, lam):
     """HPX (HEALPix, Calabretta & Roukema 2007) inverse, standard
     H = 4, K = 3 grid: the equatorial zone |y| <= 45 deg is a CEA-like
@@ -441,6 +560,10 @@ _CYLINDRICAL = {
     'MOL': (_mol, _mol_inv),
     'HPX': (_hpx, _hpx_inv),
     'TSC': (_tsc, _tsc_inv),
+    'CYP': (_cyp, _cyp_inv),
+    'PAR': (_par, _par_inv),
+    'BON': (_bon, _bon_inv),
+    'PCO': (_pco, _pco_inv),
 }
 
 
@@ -651,6 +774,22 @@ class WCS:
         # parameterized zenithal projections (per-instance PV2_m)
         self._pv2 = {m: float(h[f'PV2_{m}']) for m in range(21)
                      if f'PV2_{m}' in h}
+        if self._cyl == 'CYP':
+            # PV2_1 = mu, PV2_2 = lambda; defaults give Gall stereographic
+            mu = self._pv2.get(1, 1.0)
+            lm = self._pv2.get(2, np.sqrt(2.0) / 2.0)
+            if lm <= 0.0 or mu + lm == 0.0:
+                raise ValueError(f'WCS: CYP PV2_1={mu}, PV2_2={lm} '
+                                 'degenerate (need lambda > 0, '
+                                 'mu + lambda != 0) — invalid header')
+            self._lam = (mu, lm)
+        elif self._cyl == 'BON':
+            th1 = self._pv2.get(1, 0.0)
+            if th1 == 0.0 or not -90.0 < th1 < 90.0:
+                raise ValueError(f'WCS: BON PV2_1={th1} invalid (need '
+                                 'a standard parallel in (-90, 90) deg, '
+                                 'non-zero; theta_1 = 0 is SFL)')
+            self._lam = th1 * _D2R
         if code in _ZENITHAL:
             self._zen_fwd, self._zen_inv = _ZENITHAL[code]
         elif code == 'ZPN':
@@ -934,6 +1073,11 @@ class WCS:
             h['LATPOLE'] = float(self._latpole_deg)
         if self._cyl == 'CEA':
             h['PV2_1'] = float(self._lam)
+        elif self._cyl == 'CYP':
+            h['PV2_1'], h['PV2_2'] = float(self._lam[0]), float(
+                self._lam[1])
+        elif self._cyl == 'BON':
+            h['PV2_1'] = float(self._lam / _D2R)
         if self._zen in ('ZPN', 'AZP') or self._con is not None:
             for m, v in sorted(self._pv2.items()):
                 h[f'PV2_{m}'] = float(v)
