@@ -871,6 +871,127 @@ def test_wcs_conic_projections():
              'CRVAL2': 45.0, 'PV2_1': 80.0, 'PV2_2': 15.0})
 
 
+def test_wcs_slant_zenithal_projections():
+    """Slant orthographic (SIN with PV2_1/PV2_2 — the AIPS/CASA radio
+    convention, NCP = (0, cot dec0)) and SZP (slant zenithal
+    perspective, PV2_1..3): the forwards are pinned to their DEFINING
+    projective geometry — slant SIN's (X - S) parallel to the fixed
+    direction (xi, eta, 1) for every sphere point S, SZP's P-S-X
+    collinearity through the projection point P — the inverses by
+    plane->native->plane round-trips over the valid disc plus the
+    larger-root branch law; exact special cases (slant(0,0) == SIN,
+    SZP(mu, *, 90) == AZP(mu) for any phi_c, SZP(0) == TAN); WCS-level
+    NCP and SZP header round-trips; degenerate SZP raises; plain SIN
+    headers keep the radius-law path."""
+    from tpu_sgp.image.wcs import _azp_pair, _slant_sin_pair, _szp_pair
+
+    d2r = np.pi / 180.0
+    rng = np.random.default_rng(5)
+    phi = rng.uniform(-np.pi, np.pi, 500)
+    theta = np.arcsin(rng.uniform(-1.0, 1.0, 500))
+    l = np.cos(theta) * np.sin(phi)
+    m = -np.cos(theta) * np.cos(phi)
+    n = np.sin(theta)
+
+    xi_s, eta_s = 0.3, -0.5
+    fwd, inv = _slant_sin_pair(xi_s, eta_s)
+    x, y = fwd(phi, theta)
+    np.testing.assert_allclose(x - l, xi_s * (1 - n), rtol=0, atol=1e-14)
+    np.testing.assert_allclose(y - m, eta_s * (1 - n), rtol=0,
+                               atol=1e-14)
+    xs = rng.uniform(-0.9, 0.9, 2000)
+    ys = rng.uniform(-0.9, 0.9, 2000)
+    p2, t2 = inv(xs, ys)
+    ok = np.isfinite(p2)
+    assert 0.5 < ok.mean() < 1.0        # disc boundary NaNs out
+    x3, y3 = fwd(p2[ok], t2[ok])
+    np.testing.assert_allclose(x3, xs[ok], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(y3, ys[ok], rtol=0, atol=1e-12)
+    # branch law: returned sin(theta) is the quadratic's larger root
+    a = 1 + xi_s ** 2 + eta_s ** 2
+    u, v = xs[ok] - xi_s, ys[ok] - eta_s
+    assert np.all(np.sin(t2[ok])
+                  >= -(u * xi_s + v * eta_s) / a - 1e-12)
+
+    mu, pc, tc = 1.5, 40 * d2r, 55 * d2r
+    fwd, inv = _szp_pair(mu, pc, tc)
+    P = np.array([-mu * np.cos(tc) * np.sin(pc),
+                  mu * np.cos(tc) * np.cos(pc), -mu * np.sin(tc)])
+    x, y = fwd(phi, theta)
+    ok = np.isfinite(x)
+    X = np.stack([x, y, np.ones_like(x)], axis=1)
+    S = np.stack([l, m, n], axis=1)
+    assert np.abs(np.cross(X[ok] - P, S[ok] - P)).max() < 1e-12
+    p2, t2 = inv(xs, ys)
+    ok2 = np.isfinite(p2)
+    x3, y3 = fwd(p2[ok2], t2[ok2])
+    np.testing.assert_allclose(x3, xs[ok2], rtol=0, atol=1e-11)
+    np.testing.assert_allclose(y3, ys[ok2], rtol=0, atol=1e-11)
+
+    # exact special cases
+    r_azp, _ = _azp_pair(2.0)
+    rr = r_azp(theta)
+    for pcv in (0.0, 1.0, -2.2):
+        f, _ = _szp_pair(2.0, pcv, np.pi / 2)
+        xs2, ys2 = f(phi, theta)
+        sel = np.isfinite(xs2)
+        np.testing.assert_allclose(xs2[sel], (rr * np.sin(phi))[sel],
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(ys2[sel], (-rr * np.cos(phi))[sel],
+                                   rtol=0, atol=1e-12)
+    f, _ = _szp_pair(0.0, 0.7, 0.3)
+    xs2, ys2 = f(phi, theta)
+    sel = theta > 0.05
+    np.testing.assert_allclose(
+        xs2[sel], (np.cos(theta) / np.sin(theta) * np.sin(phi))[sel],
+        rtol=0, atol=1e-12)
+    f0, _ = _slant_sin_pair(0.0, 0.0)
+    x0, y0 = f0(phi, theta)
+    np.testing.assert_allclose(x0, l, rtol=0, atol=1e-15)
+    np.testing.assert_allclose(y0, m, rtol=0, atol=1e-15)
+
+    # WCS level: an NCP header and a full SZP header
+    for hdr in [
+            {'CTYPE1': 'RA---SIN', 'CTYPE2': 'DEC--SIN', 'CRPIX1': 256.0,
+             'CRPIX2': 256.0, 'CRVAL1': 82.5, 'CRVAL2': 49.0,
+             'CD1_1': -3e-4, 'CD2_2': 3e-4, 'PV2_1': 0.0,
+             'PV2_2': 1.0 / np.tan(49.0 * d2r)},
+            {'CTYPE1': 'RA---SZP', 'CTYPE2': 'DEC--SZP', 'CRPIX1': 256.0,
+             'CRPIX2': 256.0, 'CRVAL1': 82.5, 'CRVAL2': -33.0,
+             'CD1_1': -3e-4, 'CD2_2': 3e-4, 'PV2_1': 1.8, 'PV2_2': 25.0,
+             'PV2_3': 70.0}]:
+        w = WCS(hdr)
+        for xy in [(0.0, 0.0), (511.0, 511.0), (100.3, 412.7),
+                   (255.0, 255.0)]:
+            ra, dec = w.pixel_to_world(*xy)
+            np.testing.assert_allclose(w.world_to_pixel(ra, dec), xy,
+                                       rtol=0, atol=1e-7,
+                                       err_msg=str(xy))
+        np.testing.assert_allclose(w.pixel_to_world(255.0, 255.0),
+                                   (hdr['CRVAL1'], hdr['CRVAL2']),
+                                   rtol=0, atol=1e-9)
+        w2 = WCS(dict(w.to_header().items()))
+        want = w.pixel_to_world(100.3, 412.7)
+        np.testing.assert_allclose(w2.pixel_to_world(100.3, 412.7), want,
+                                   rtol=0, atol=1e-11)
+        cut = w.shifted(30.0, 40.0)
+        np.testing.assert_allclose(cut.pixel_to_world(70.3, 372.7), want,
+                                   rtol=0, atol=1e-11)
+
+    # plain SIN (no PV keys) still runs the radius-law zenithal path
+    w = WCS({'CTYPE1': 'RA---SIN', 'CTYPE2': 'DEC--SIN', 'CRVAL1': 82.5,
+             'CRVAL2': 49.0, 'CRPIX1': 256.0, 'CRPIX2': 256.0,
+             'CD1_1': -3e-4, 'CD2_2': 3e-4})
+    assert w._slant is None
+    ra, dec = w.pixel_to_world(100.0, 100.0)
+    np.testing.assert_allclose(w.world_to_pixel(ra, dec),
+                               (100.0, 100.0), rtol=0, atol=1e-8)
+
+    with pytest.raises(ValueError, match='SZP'):
+        WCS({'CTYPE1': 'RA---SZP', 'CTYPE2': 'DEC--SZP', 'CRVAL1': 10.0,
+             'CRVAL2': 5.0, 'PV2_1': -1.0, 'PV2_3': 90.0})
+
+
 def test_wcs_perspective_and_pseudoconic_projections():
     """CYP (cylindrical perspective, PV2_1=mu / PV2_2=lambda), PAR
     (Craster parabolic), BON (Bonne pseudo-conic, PV2_1=theta_1) and PCO

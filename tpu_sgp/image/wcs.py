@@ -4,9 +4,11 @@ Replaces the reference's astropy.wcs usage (pixel_to_skycoord in the CLI,
 Cutout2D-carried WCS — reference sgp.py:957, 1041-1060) for the headers this
 framework reads/writes. Supports CRPIX/CRVAL/CD (or CDELT+PC / CDELT-only),
 the zenithal projection family of Calabretta & Greisen (2002) — TAN
-(gnomonic), SIN (orthographic), ARC (equidistant), STG (stereographic),
-ZEA (equal-area), ZPN (polynomial, PV2_m), AZP (untilted perspective,
-PV2_1) — the cylindrical and pseudo-cylindrical families — CAR
+(gnomonic), SIN (orthographic, incl. the SLANT orthographic PV2_1/PV2_2
+form AIPS/CASA write — NCP headers), ARC (equidistant), STG
+(stereographic), ZEA (equal-area), ZPN (polynomial, PV2_m), AZP
+(untilted perspective, PV2_1), SZP (slant zenithal perspective,
+PV2_1..3) — the cylindrical and pseudo-cylindrical families — CAR
 (plate carree), CEA (cylindrical equal area, PV2_1), MER (Mercator),
 SFL/GLS (Sanson-Flamsteed), AIT (Hammer-Aitoff), MOL (Mollweide),
 CYP (cylindrical perspective, PV2_1/PV2_2), PAR (Craster parabolic) —
@@ -118,6 +120,84 @@ def _azp_pair(mu):
         return np.arccos(s) - np.arctan(rho)
 
     return r_of, theta_of
+
+
+# Slant zenithal projections (full 2-D plane<->native maps, unlike the
+# radius-law _ZENITHAL family). Native direction cosines follow the
+# zenithal plane convention x = R sin(phi), y = -R cos(phi):
+#   l = cos(theta) sin(phi), m = -cos(theta) cos(phi), n = sin(theta)
+# and the projection plane is z = 1 (tangent at the native pole).
+def _slant_sin_pair(xi_s, eta_s):
+    """Slant orthographic — SIN with PV2_1 = xi, PV2_2 = eta (CG02
+    section 5.1.5; the AIPS convention radio interferometry writes, NCP
+    being (0, cot(delta_0))): PARALLEL projection of the sphere onto
+    z = 1 along the direction (xi, eta, 1), so
+    x = l + xi (1 - n), y = m + eta (1 - n). The inverse solves the
+    ray-sphere quadratic for n, taking the larger root (the near
+    hemisphere — the branch through theta = 90 at the origin, which is
+    plain SIN's arccos choice at xi = eta = 0)."""
+    a = 1.0 + xi_s * xi_s + eta_s * eta_s
+
+    def fwd(phi, theta):
+        ct, n = np.cos(theta), np.sin(theta)
+        return (ct * np.sin(phi) + xi_s * (1.0 - n),
+                -ct * np.cos(phi) + eta_s * (1.0 - n))
+
+    def inv(x, y):
+        u = x - xi_s
+        v = y - eta_s
+        b = u * xi_s + v * eta_s
+        disc = b * b - a * (u * u + v * v - 1.0)
+        with np.errstate(invalid='ignore'):
+            n = (-b + np.sqrt(np.where(disc >= 0.0, disc, np.nan))) / a
+        l = x - xi_s * (1.0 - n)
+        m = y - eta_s * (1.0 - n)
+        return np.arctan2(l, -m), np.arctan2(n, np.hypot(l, m))
+
+    return fwd, inv
+
+
+def _szp_pair(mu, phi_c, theta_c):
+    """SZP (slant zenithal perspective, CG02 section 5.1.2; PV2_1 = mu,
+    PV2_2 = phi_c, PV2_3 = theta_c, angles in radians here): CENTRAL
+    projection onto z = 1 from the point P at distance mu opposite the
+    native position (phi_c, theta_c),
+    P = -mu (cos(theta_c) sin(phi_c), -cos(theta_c) cos(phi_c),
+    sin(theta_c)) — the published xp/yp/zp. theta_c = 90 recovers
+    untilted AZP for every phi_c (P = (0, 0, -mu)); mu = 0 recovers TAN
+    (projection from the center). The tests pin P-S-X collinearity —
+    the definition — plus those special cases. Inverse: ray-sphere
+    quadratic from the plane point, larger root (near hemisphere, the
+    branch through theta = 90 at R = 0)."""
+    xp = -mu * np.cos(theta_c) * np.sin(phi_c)
+    yp = mu * np.cos(theta_c) * np.cos(phi_c)
+    zp = -mu * np.sin(theta_c)
+
+    def fwd(phi, theta):
+        ct, n = np.cos(theta), np.sin(theta)
+        l = ct * np.sin(phi)
+        m = -ct * np.cos(phi)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            t = (1.0 - zp) / (n - zp)
+            t = np.where(t > 0.0, t, np.nan)   # behind the projection pt
+        return xp + t * (l - xp), yp + t * (m - yp)
+
+    def inv(x, y):
+        dx = x - xp
+        dy = y - yp
+        dz = 1.0 - zp
+        aa = dx * dx + dy * dy + dz * dz
+        bb = xp * dx + yp * dy + zp * dz
+        cc = mu * mu - 1.0
+        disc = bb * bb - aa * cc
+        with np.errstate(invalid='ignore'):
+            u = (-bb + np.sqrt(np.where(disc >= 0.0, disc, np.nan))) / aa
+        l = xp + u * dx
+        m = yp + u * dy
+        n = np.clip(zp + u * dz, -1.0, 1.0)
+        return np.arctan2(l, -m), np.arctan2(n, np.hypot(l, m))
+
+    return fwd, inv
 
 
 # TPV distorted gnomonic (the registered FITS "TPV" convention: the
@@ -814,8 +894,27 @@ class WCS:
         elif code == 'TPV':
             self._zen = 'TPV'       # distorted gnomonic: TAN deprojection
             self._zen_fwd, self._zen_inv = _ZENITHAL['TAN']
+        elif code == 'SZP':
+            mu = self._pv2.get(1, 0.0)
+            phi_c = self._pv2.get(2, 0.0) * _D2R
+            theta_c = self._pv2.get(3, 90.0) * _D2R
+            if abs(1.0 + mu * np.sin(theta_c)) < 1e-12:
+                raise ValueError('WCS: SZP projection point lies in the '
+                                 f'image plane (PV2_1={mu}, PV2_3='
+                                 f'{theta_c / _D2R} deg) — degenerate')
+            self._zen = 'SZP'
+            self._zen_fwd = self._zen_inv = None
+            self._slant = _szp_pair(mu, phi_c, theta_c)
         else:
             self._zen_fwd = self._zen_inv = None
+        # slant orthographic: SIN carrying PV2_1/PV2_2 (AIPS/CASA radio
+        # convention; NCP headers arrive this way)
+        if not hasattr(self, '_slant'):
+            self._slant = None
+        if code == 'SIN' and (self._pv2.get(1, 0.0) != 0.0
+                              or self._pv2.get(2, 0.0) != 0.0):
+            self._slant = _slant_sin_pair(self._pv2.get(1, 0.0),
+                                          self._pv2.get(2, 0.0))
         # TPV plane distortion — also honored on legacy SCAMP headers
         # that keep CTYPE 'TAN' while carrying PVi_m distortion keys
         # (the pre-registration convention). For legacy TAN the keys must
@@ -938,9 +1037,12 @@ class WCS:
             # zenithal deprojection: native polar (phi, R) -> native
             # latitude theta (CG02 eq. 14/15: x = R sin phi, y = -R cos phi)
             xi_r, eta_r = xi * _D2R, eta * _D2R
-            rr = np.hypot(xi_r, eta_r)
-            phi = np.arctan2(xi_r, -eta_r)
-            theta = self._zen_inv(rr)
+            if self._slant is not None:
+                phi, theta = self._slant[1](xi_r, eta_r)
+            else:
+                rr = np.hypot(xi_r, eta_r)
+                phi = np.arctan2(xi_r, -eta_r)
+                theta = self._zen_inv(rr)
         elif self._con is not None:
             # conic deprojection (CG02 eq. 119-121): R is measured from
             # the cone point at (0, Y0); native azimuth is phi = arg / C
@@ -964,7 +1066,10 @@ class WCS:
         if self._pole is not None:
             phi, theta, h = _celestial_to_native(ra * _D2R, dec * _D2R,
                                                  self._pole)
-            if self._zen is not None:
+            if self._slant is not None:
+                x_r, y_r = self._slant[0](phi, theta)
+                xi, eta = x_r / _D2R, y_r / _D2R
+            elif self._zen is not None:
                 rr = self._zen_fwd(theta)
                 # |(y_, x_)| = cos(theta) is zero exactly at the reference
                 # point where R = 0 too — the plane coords are (0, 0) there
@@ -1053,6 +1158,7 @@ class WCS:
         w._zen_fwd, w._zen_inv = self._zen_fwd, self._zen_inv
         w._con, w._con_fns = self._con, self._con_fns
         w._tpv = self._tpv
+        w._slant = self._slant
         # SIP offsets are measured from CRPIX, which shifts with the
         # cutout, so the polynomials carry over unchanged
         w.sip_a, w.sip_b = self.sip_a, self.sip_b
@@ -1078,7 +1184,8 @@ class WCS:
                 self._lam[1])
         elif self._cyl == 'BON':
             h['PV2_1'] = float(self._lam / _D2R)
-        if self._zen in ('ZPN', 'AZP') or self._con is not None:
+        if (self._zen in ('ZPN', 'AZP', 'SZP') or self._con is not None
+                or (self._zen == 'SIN' and self._slant is not None)):
             for m, v in sorted(self._pv2.items()):
                 h[f'PV2_{m}'] = float(v)
         if self._tpv is not None:
