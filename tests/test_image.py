@@ -1023,6 +1023,18 @@ def test_wcs_perspective_and_pseudoconic_projections():
         assert (dphi * np.cos(theta)).max() < 1e-7, name
         assert np.abs(t2 - theta).max() < 1e-7, name
 
+    # CYP defaults are wcslib's mu = lambda = 1 (NOT Gall)
+    w_def = WCS({'CTYPE1': 'RA---CYP', 'CTYPE2': 'DEC--CYP',
+                 'CRVAL1': 10.0, 'CRVAL2': 0.0, 'CRPIX1': 50.0,
+                 'CRPIX2': 50.0, 'CD1_1': -0.5, 'CD2_2': 0.5})
+    w_11 = WCS({'CTYPE1': 'RA---CYP', 'CTYPE2': 'DEC--CYP',
+                'CRVAL1': 10.0, 'CRVAL2': 0.0, 'CRPIX1': 50.0,
+                'CRPIX2': 50.0, 'CD1_1': -0.5, 'CD2_2': 0.5,
+                'PV2_1': 1.0, 'PV2_2': 1.0})
+    np.testing.assert_allclose(w_def.pixel_to_world(20.0, 80.0),
+                               w_11.pixel_to_world(20.0, 80.0), rtol=0,
+                               atol=1e-13)
+
     # CYP exact special cases + the x = lambda phi law
     th = np.array([-1.1, -0.3, 0.0, 0.5, 1.2])
     x, y = _cyp_inv(np.full(5, 0.7), th, (1.0, np.sqrt(2) / 2))
@@ -1089,21 +1101,36 @@ def test_wcs_perspective_and_pseudoconic_projections():
     np.testing.assert_allclose(np.concatenate([x, y]) * d2r, [1.3, 0.0],
                                rtol=0, atol=1e-12)
 
+    # Werner's projection (BON theta_1 = 90) is a valid Bonne limit:
+    # heart-shaped, equal-area, parallels about (0, pi/2)
+    for t0 in (0.3, 1.0):
+        assert abs(area_jac(_bon_inv, np.pi / 2, 0.4, t0) - 1.0) < 1e-4
+    x, y = _bon_inv(np.linspace(-1.5, 1.5, 7), np.full(7, 0.4),
+                    np.pi / 2)
+    np.testing.assert_allclose(
+        np.hypot(x * d2r, np.pi / 2 - y * d2r), np.pi / 2 - 0.4,
+        rtol=1e-12)
+
     # WCS level: rotated fiducial, exact CRVAL, header/cutout carry
     for code, extra in [('CYP', {'PV2_1': 1.0, 'PV2_2': 0.8}),
                         ('PAR', {}), ('BON', {'PV2_1': 35.0}),
-                        ('BON', {'PV2_1': -25.0}), ('PCO', {})]:
+                        ('BON', {'PV2_1': -25.0}), ('BON',
+                                                    {'PV2_1': 90.0}),
+                        ('PCO', {})]:
         w = WCS(dict({'CTYPE1': f'RA---{code}', 'CTYPE2': f'DEC--{code}',
                       'CRPIX1': 200.0, 'CRPIX2': 150.0, 'CRVAL1': 123.0,
                       'CRVAL2': 8.0, 'CD1_1': -2e-2, 'CD2_2': 2e-2},
                      **extra))
+        n_finite = 0
         for xy in [(0.0, 0.0), (399.0, 299.0), (150.5, 200.5)]:
             ra, dec = w.pixel_to_world(*xy)
             if not np.isfinite(ra):
                 continue
+            n_finite += 1
             np.testing.assert_allclose(w.world_to_pixel(ra, dec), xy,
                                        rtol=0, atol=2e-6,
                                        err_msg=f'{code} {extra} {xy}')
+        assert n_finite >= 2, (code, extra)   # skips must not hide NaNs
         np.testing.assert_allclose(w.pixel_to_world(199.0, 149.0),
                                    (123.0, 8.0), rtol=0, atol=1e-8,
                                    err_msg=code)

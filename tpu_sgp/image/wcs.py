@@ -396,9 +396,10 @@ def _cyp(xi, eta, lam):
     """CYP (cylindrical perspective, CG02 section 5.2.1): projection of
     the sphere from a point mu radii from its center onto a cylinder of
     radius lam; x = lam phi, y = (mu + lam) sin(theta) / (mu +
-    cos(theta)). mu = 1, lam = sqrt(2)/2 (the defaults) is Gall's
-    stereographic, whose y = (1 + lam) tan(theta / 2) law anchors the
-    tests; mu = 0 is the central cylindrical y = lam tan(theta).
+    cos(theta)). Defaults mu = lam = 1 (wcslib's); mu = 1,
+    lam = sqrt(2)/2 is Gall's stereographic, whose y = (1 + lam)
+    tan(theta / 2) law anchors the tests; mu = 0 is the central
+    cylindrical y = lam tan(theta).
     Inverse via sin(theta) - p cos(theta) = p mu with p = y / (mu+lam):
     theta = asin(p mu / sqrt(1 + p^2)) + atan(p)."""
     mu, lm = lam
@@ -855,21 +856,25 @@ class WCS:
         self._pv2 = {m: float(h[f'PV2_{m}']) for m in range(21)
                      if f'PV2_{m}' in h}
         if self._cyl == 'CYP':
-            # PV2_1 = mu, PV2_2 = lambda; defaults give Gall stereographic
+            # PV2_1 = mu, PV2_2 = lambda; both default 1 (the wcslib
+            # cypset defaults); mu = 1, lambda = sqrt(2)/2 is Gall's
+            # stereographic
             mu = self._pv2.get(1, 1.0)
-            lm = self._pv2.get(2, np.sqrt(2.0) / 2.0)
+            lm = self._pv2.get(2, 1.0)
             if lm <= 0.0 or mu + lm == 0.0:
                 raise ValueError(f'WCS: CYP PV2_1={mu}, PV2_2={lm} '
                                  'degenerate (need lambda > 0, '
                                  'mu + lambda != 0) — invalid header')
             self._lam = (mu, lm)
         elif self._cyl == 'BON':
+            # theta_1 = +-90 is Werner's projection (y0 = pi/2, cot = 0)
             th1 = self._pv2.get(1, 0.0)
-            if th1 == 0.0 or not -90.0 < th1 < 90.0:
+            if th1 == 0.0 or not -90.0 <= th1 <= 90.0:
                 raise ValueError(f'WCS: BON PV2_1={th1} invalid (need '
-                                 'a standard parallel in (-90, 90) deg, '
+                                 'a standard parallel in [-90, 90] deg, '
                                  'non-zero; theta_1 = 0 is SFL)')
             self._lam = th1 * _D2R
+        self._slant = None          # set by the SZP / slant-SIN arms
         if code in _ZENITHAL:
             self._zen_fwd, self._zen_inv = _ZENITHAL[code]
         elif code == 'ZPN':
@@ -909,8 +914,6 @@ class WCS:
             self._zen_fwd = self._zen_inv = None
         # slant orthographic: SIN carrying PV2_1/PV2_2 (AIPS/CASA radio
         # convention; NCP headers arrive this way)
-        if not hasattr(self, '_slant'):
-            self._slant = None
         if code == 'SIN' and (self._pv2.get(1, 0.0) != 0.0
                               or self._pv2.get(2, 0.0) != 0.0):
             self._slant = _slant_sin_pair(self._pv2.get(1, 0.0),
