@@ -1553,3 +1553,34 @@ def test_reproject_tan_tile_onto_allsky_car_grid():
     resid = (proj / foot - want)[core]
     assert np.nanstd(resid) < 2e-3, np.nanstd(resid)
     assert abs(np.nanmean(resid)) < 2e-3
+
+
+def test_reproject_tan_tile_onto_hpx_grid():
+    """Survey tile -> HEALPix map: a TAN tile resampled onto an HPX
+    all-sky grid (the session-4 grid family composing with the
+    mosaicking machinery) recovers the sky field on the overlap — the
+    Planck/WMAP-style product path."""
+    from tpu_sgp.image import reproject_to_grid
+
+    w_tan = _tan_wcs(30.0, 30.0, crval1=150.0, crval2=2.0, scale=0.05)
+    # all-sky-style HPX grid at 0.05 deg/px with the tile's patch
+    # falling in the equatorial zone
+    w_hpx = WCS({'CTYPE1': 'RA---HPX', 'CTYPE2': 'DEC--HPX',
+                 'CRPIX1': 41.0, 'CRPIX2': 41.0,
+                 'CRVAL1': 150.0, 'CRVAL2': 0.0,
+                 'CDELT1': -0.05, 'CDELT2': 0.05})
+
+    def sky(wcs, shape):
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(float)
+        ra, dec = wcs.pixel_to_world(xx, yy)
+        return np.sin((ra - 150.0) * 2.0) + np.cos((dec - 2.0) * 1.7) + 10.0
+
+    tile = sky(w_tan, (60, 60))
+    proj, foot = reproject_to_grid(tile, w_tan, w_hpx, (90, 90),
+                                   oversample=2)
+    want = sky(w_hpx, (90, 90))
+    core = foot > 0.99
+    assert core.sum() > 300
+    resid = (proj / foot - want)[core]
+    assert np.nanstd(resid) < 2e-3, np.nanstd(resid)
+    assert abs(np.nanmean(resid)) < 2e-3
