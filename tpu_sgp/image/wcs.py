@@ -966,12 +966,13 @@ class WCS:
             r_of, th_of, c_fac = _conic_pair(code, theta_a, eta)
             self._con_fns = (r_of, th_of, c_fac, float(r_of(theta_a)),
                              theta_a)
-        # Loud (once per projection code) instead of silently-linear: the
-        # native WCS implements the zenithal, (pseudo-)cylindrical,
-        # conic and all-sky-grid (HPX/TSC) families and linear only; a
-        # header can still carry other codes (quad-cube CSC/QSC, ZPN
-        # siblings...) where astropy (the reference path, sgp.py:957)
-        # would be correct and a silent linear fallback subtly wrong.
+        # Loud (once per projection code) instead of silently-linear:
+        # the native WCS implements the zenithal (incl. slant),
+        # (pseudo-)cylindrical, conic/pseudo-conic and all-sky-grid
+        # families and linear only; a header can still carry the few
+        # remaining codes (quad-cube CSC/QSC, AIR, XPH) where astropy
+        # (the reference path, sgp.py:957) would be correct and a
+        # silent linear fallback subtly wrong.
         if (code and code not in ('LIN',) and self._zen is None
                 and self._cyl is None and self._con is None):
             if code not in _WARNED_CTYPES:
