@@ -1444,7 +1444,9 @@ def test_reproject_identity_and_integer_shift(rng):
     img = rng.normal(100, 10, (24, 30))
     w = _tan_wcs(10.0, 12.0)
     proj, foot = reproject_to_grid(img, w, w, img.shape, oversample=1)
-    np.testing.assert_allclose(proj, img, rtol=1e-10)
+    # rtol floor: the local-Jacobian flux factor is central-differenced
+    # through the trig chain (~2e-10 noise), not algebraically 1
+    np.testing.assert_allclose(proj, img, rtol=1e-8)
     np.testing.assert_allclose(foot, 1.0)
 
     # output grid shifted 5 px right / 3 px up in pixel space
@@ -1490,6 +1492,39 @@ def test_reproject_flux_conservation_across_pixel_scales():
     proj, _ = reproject_to_grid(img, w_in, w_out, (18, 18), oversample=2)
     interior = proj[2:-2, 2:-2]
     np.testing.assert_allclose(interior, 28.0, rtol=1e-9)
+
+
+def test_reproject_flux_conservation_on_allsky_grid():
+    """A compact source at dec = 60 reprojected from its TAN tile onto
+    an EQUATOR-ANCHORED all-sky CAR grid (the classic lon-lat map: its
+    fiducial must sit on the equator — CRVAL2 = 60 would instead build
+    an oblique, locally-undistorted CAR) keeps its TOTAL flux: the CAR
+    pixel at dec 60 covers only cos(60) = half the true solid angle of
+    a same-CDELT TAN pixel, so the naive global |det CD| ratio (= 1)
+    inflates the summed flux ~2x — the local-Jacobian rescaling must
+    hold it to <1%."""
+    from tpu_sgp.image import reproject_to_grid
+
+    w_tan = _tan_wcs(30.0, 30.0, crval1=150.0, crval2=60.0, scale=0.05)
+    yy, xx = np.mgrid[0:60, 0:60].astype(float)
+    tile = 100.0 * np.exp(-((xx - 29.5) ** 2 + (yy - 29.5) ** 2)
+                          / (2 * 3.0 ** 2))
+    flux_in = tile.sum()
+
+    # dec 60 sits 1200 rows above the equator row of the 0.05 deg grid;
+    # CRPIX2 places it at output row ~60
+    w_car = WCS({'CTYPE1': 'RA---CAR', 'CTYPE2': 'DEC--CAR',
+                 'CRPIX1': 61.0, 'CRPIX2': 61.0 - 1200.0,
+                 'CRVAL1': 150.0, 'CRVAL2': 0.0,
+                 'CDELT1': -0.05, 'CDELT2': 0.05})
+    proj, foot = reproject_to_grid(tile, w_tan, w_car, (120, 120),
+                                   oversample=3)
+    flux_out = np.nansum(proj)
+    assert abs(flux_out / flux_in - 1.0) < 0.01, flux_out / flux_in
+    # and the uncorrected sum really is ~2x off (the failure this guards)
+    raw, _ = reproject_to_grid(tile, w_tan, w_car, (120, 120),
+                               oversample=3, conserve_flux=False)
+    assert np.nansum(raw) / flux_in > 1.8
 
 
 def test_reproject_and_coadd_cross_grid(rng):
@@ -1544,7 +1579,7 @@ def test_reproject_tan_tile_onto_allsky_car_grid():
 
     tile = sky(w_tan, (60, 60))
     proj, foot = reproject_to_grid(tile, w_tan, w_car, (90, 90),
-                                   oversample=2)
+                                   oversample=2, conserve_flux=False)
     want = sky(w_car, (90, 90))
     # pixel AREAS differ between the projections (TAN vs CAR at dec~2):
     # compare per-unit-area values on well-covered pixels
@@ -1577,7 +1612,7 @@ def test_reproject_tan_tile_onto_hpx_grid():
 
     tile = sky(w_tan, (60, 60))
     proj, foot = reproject_to_grid(tile, w_tan, w_hpx, (90, 90),
-                                   oversample=2)
+                                   oversample=2, conserve_flux=False)
     want = sky(w_hpx, (90, 90))
     core = foot > 0.99
     assert core.sum() > 300

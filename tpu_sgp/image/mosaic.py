@@ -117,9 +117,14 @@ def reproject_to_grid(data: np.ndarray, in_wcs, out_wcs,
     subgrid through the exact WCS chain (out pixel -> world -> in pixel)
     and bilinearly interpolates the input — converging on the exact
     pixel-overlap integral as O(1/oversample^2); ``conserve_flux``
-    rescales by the pixel-area ratio |det CD_out| / |det CD_in| so total
-    flux (not surface brightness) is preserved, matching reproject_exact's
-    convention for the per-pixel-flux images this pipeline produces.
+    rescales by the LOCAL pixel-area ratio |d(in pixel)/d(out pixel)|
+    (the Jacobian of the composed pixel map, central-differenced per
+    output pixel) so total flux (not surface brightness) is preserved,
+    matching reproject_exact's convention for the per-pixel-flux images
+    this pipeline produces. A global |det CD| ratio would be exact only
+    at the fiducials — on an all-sky CAR/HPX output grid the true pixel
+    solid angle varies as cos(dec) across the map, a ~2x flux error by
+    dec 60 (pinned by the flux-conservation test).
 
     Returns ``(projected, footprint)`` where footprint is the covered
     fraction of each output pixel (0..1); uncovered pixels are NaN.
@@ -142,8 +147,23 @@ def reproject_to_grid(data: np.ndarray, in_wcs, out_wcs,
     with np.errstate(invalid='ignore'):
         proj = np.where(cnt > 0, acc / np.where(cnt > 0, cnt, 1), np.nan)
     if conserve_flux:
-        proj = proj * (abs(float(np.linalg.det(out_wcs.cd)))
+        hs = 0.5
+        x1, y1 = in_wcs.world_to_pixel(*out_wcs.pixel_to_world(xx + hs,
+                                                               yy))
+        x2, y2 = in_wcs.world_to_pixel(*out_wcs.pixel_to_world(xx - hs,
+                                                               yy))
+        x3, y3 = in_wcs.world_to_pixel(*out_wcs.pixel_to_world(xx,
+                                                               yy + hs))
+        x4, y4 = in_wcs.world_to_pixel(*out_wcs.pixel_to_world(xx,
+                                                               yy - hs))
+        jac = np.abs((x1 - x2) * (y3 - y4)
+                     - (x3 - x4) * (y1 - y2)) / (4.0 * hs * hs)
+        # footprint edges where a half-pixel probe leaves the projection
+        # fall back to the global det-CD ratio
+        jac = np.where(np.isfinite(jac), jac,
+                       abs(float(np.linalg.det(out_wcs.cd)))
                        / abs(float(np.linalg.det(in_wcs.cd))))
+        proj = proj * jac
     return proj, cnt / (k * k)
 
 
