@@ -871,6 +871,78 @@ def test_wcs_conic_projections():
              'CRVAL2': 45.0, 'PV2_1': 80.0, 'PV2_2': 15.0})
 
 
+def test_wcs_fuzz_all_codes_roundtrip_or_nan():
+    """Property fuzz across EVERY supported projection code: random
+    valid headers (random fiducials, scales, rotations and projection
+    parameters) must either round-trip pixel -> world -> pixel to
+    sub-1e-5 px or return NaN — never silent garbage. Guards the whole
+    dispatch surface (zenithal incl. slant, cylindrical,
+    pseudo-cylindrical, conic, pseudo-conic, all-sky, TPV) uniformly,
+    including the header write/read carry."""
+    rng = np.random.default_rng(11)
+    codes = ['TAN', 'SIN', 'ARC', 'STG', 'ZEA', 'ZPN', 'AZP', 'SZP',
+             'TPV', 'CAR', 'CEA', 'MER', 'CYP', 'SFL', 'AIT', 'MOL',
+             'PAR', 'BON', 'PCO', 'HPX', 'TSC', 'COP', 'COE', 'COD',
+             'COO']
+    for code in codes:
+        for trial in range(3):
+            crval2 = float(rng.uniform(-75.0, 75.0))
+            hdr = {'CTYPE1': f'RA---{code}', 'CTYPE2': f'DEC--{code}',
+                   'CRPIX1': float(rng.uniform(-20.0, 320.0)),
+                   'CRPIX2': float(rng.uniform(-20.0, 320.0)),
+                   'CRVAL1': float(rng.uniform(0.0, 360.0)),
+                   'CRVAL2': crval2,
+                   'CD1_1': float(-2e-3 * rng.uniform(0.5, 2.0)),
+                   'CD1_2': float(2e-4 * rng.normal()),
+                   'CD2_1': float(2e-4 * rng.normal()),
+                   'CD2_2': float(2e-3 * rng.uniform(0.5, 2.0))}
+            if code == 'ZPN':
+                hdr['PV2_1'] = float(rng.uniform(0.5, 1.5))
+                hdr['PV2_3'] = float(rng.uniform(-0.2, 0.2))
+            elif code == 'AZP':
+                hdr['PV2_1'] = float(rng.uniform(0.0, 4.0))
+            elif code == 'SZP':
+                hdr['PV2_1'] = float(rng.uniform(0.0, 3.0))
+                hdr['PV2_2'] = float(rng.uniform(-180.0, 180.0))
+                hdr['PV2_3'] = float(rng.uniform(30.0, 90.0))
+            elif code == 'TPV':
+                hdr['PV1_1'] = float(rng.uniform(0.9, 1.1))
+                hdr['PV2_1'] = float(rng.uniform(0.9, 1.1))
+                hdr['PV1_7'] = float(1e-3 * rng.normal())
+                hdr['PV2_11'] = float(1e-3 * rng.normal())
+            elif code == 'CEA':
+                hdr['PV2_1'] = float(rng.uniform(0.2, 1.0))
+            elif code == 'CYP':
+                hdr['PV2_1'] = float(rng.uniform(0.5, 3.0))
+                hdr['PV2_2'] = float(rng.uniform(0.3, 1.5))
+            elif code == 'BON':
+                hdr['PV2_1'] = float(rng.choice([-1.0, 1.0])
+                                     * rng.uniform(10.0, 90.0))
+            elif code in ('COP', 'COE', 'COD', 'COO'):
+                ta = float(rng.choice([-1.0, 1.0])
+                           * rng.uniform(15.0, 70.0))
+                eta = float(rng.uniform(0.0, min(15.0,
+                                                 88.0 - abs(ta))))
+                hdr['PV2_1'], hdr['PV2_2'] = ta, eta
+                # keep the fiducial reachable for the pole solver
+                hdr['CRVAL2'] = float(np.clip(crval2, ta - 40.0,
+                                              ta + 40.0))
+            w = WCS(hdr)
+            w2 = WCS(dict(w.to_header().items()))
+            xs = rng.uniform(-10.0, 310.0, 40)
+            ys = rng.uniform(-10.0, 310.0, 40)
+            ra, dec = w.pixel_to_world(xs, ys)
+            ok = np.isfinite(ra) & np.isfinite(dec)
+            assert ok.sum() >= 10, (code, trial, ok.sum())
+            bx, by = w.world_to_pixel(ra[ok], dec[ok])
+            err = np.hypot(bx - xs[ok], by - ys[ok])
+            assert np.nanmax(err) < 1e-5, (code, trial, np.nanmax(err))
+            # header round-trip agrees where finite
+            ra2, dec2 = w2.pixel_to_world(xs[ok], ys[ok])
+            np.testing.assert_allclose(ra2, ra[ok], rtol=0, atol=1e-9,
+                                       err_msg=f'{code} header carry')
+
+
 def test_wcs_slant_zenithal_projections():
     """Slant orthographic (SIN with PV2_1/PV2_2 — the AIPS/CASA radio
     convention, NCP = (0, cot dec0)) and SZP (slant zenithal
