@@ -1599,6 +1599,88 @@ def test_reproject_flux_conservation_on_allsky_grid():
     assert np.nansum(raw) / flux_in > 1.8
 
 
+def test_wcs_nan_world_propagates_and_no_phantom_gap_data():
+    """NaN world coordinates must come back as NaN pixels (the zenithal
+    reference-point guard used to collapse NaN onto CRPIX-1), and —
+    end-to-end — reprojecting a tile onto an HPX window inside a polar
+    facet GAP must yield NaN data with zero footprint, not phantom
+    copies of the tile's reference pixel."""
+    from tpu_sgp.image import reproject_to_grid
+
+    w_tan = _tan_wcs(30.0, 30.0, crval1=90.0, crval2=60.0, scale=0.05)
+    xx, yy = w_tan.world_to_pixel(np.nan, np.nan)
+    assert np.isnan(xx) and np.isnan(yy)
+    xs, ys = w_tan.world_to_pixel(np.array([90.0, np.nan]),
+                                  np.array([60.0, np.nan]))
+    assert np.isfinite(xs[0]) and np.isnan(xs[1]) and np.isnan(ys[1])
+
+    # an HPX output window centered on a north polar facet gap
+    # (x = -90, y = 80 in plane degrees sits between facets)
+    w_hpx = WCS({'CTYPE1': 'RA---HPX', 'CTYPE2': 'DEC--HPX',
+                 'CRPIX1': 1.0 - (-90.0 - 20.0 * 0.05 * 0.0) / -0.05,
+                 'CRPIX2': 1.0 - 80.0 / 0.05,
+                 'CRVAL1': 0.0, 'CRVAL2': 0.0,
+                 'CDELT1': -0.05, 'CDELT2': 0.05})
+    # confirm the window really is off-projection
+    ra_c, dec_c = w_hpx.pixel_to_world(20.0, 20.0)
+    assert np.isnan(ra_c) and np.isnan(dec_c)
+    tile = np.full((60, 60), 2929.0)
+    proj, foot = reproject_to_grid(tile, w_tan, w_hpx, (40, 40),
+                                   oversample=2)
+    assert np.isnan(proj).all(), 'phantom data in an HPX facet gap'
+    assert (foot == 0.0).all()
+
+
+def test_reproject_coadd_matches_backgrounds_under_varying_jacobian():
+    """Two same-grid TAN tiles with different constant background errors
+    coadded onto a high-declination strip of an equator-anchored CAR
+    grid (local flux Jacobian ~cos(dec) varying across the overlap):
+    the constant-offset matching must still remove the seam, because
+    matching happens in surface-brightness space BEFORE the Jacobian."""
+    from tpu_sgp.image import reproject_and_coadd
+
+    scale = 0.05
+    w_a = _tan_wcs(40.0, 40.0, crval1=150.0, crval2=55.0, scale=scale)
+    w_b = _tan_wcs(20.0, 40.0, crval1=150.0, crval2=55.0, scale=scale)
+
+    def field(wcs, shape):
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(float)
+        ra, dec = wcs.pixel_to_world(xx, yy)
+        return 10.0 + np.sin((ra - 150.0) * 3.0) + np.cos(
+            (dec - 55.0) * 2.5)
+
+    base_a = field(w_a, (280, 80))           # tall tiles: dec 48..62
+    base_b = field(w_b, (280, 80))
+    w_car = WCS({'CTYPE1': 'RA---CAR', 'CTYPE2': 'DEC--CAR',
+                 'CRPIX1': 51.0, 'CRPIX2': 1.0 - 48.0 / scale,
+                 'CRVAL1': 150.0, 'CRVAL2': 0.0,
+                 'CDELT1': -scale, 'CDELT2': scale})
+    ref, foot = reproject_and_coadd([base_a, base_b], [w_a, w_b],
+                                    w_car, (280, 100), oversample=2)
+    err, _ = reproject_and_coadd([base_a + 3.0, base_b - 2.0],
+                                 [w_a, w_b], w_car, (280, 100),
+                                 oversample=2)
+    # matching removes the 5-ADU difference (gauge: mean 0), leaving the
+    # common mode +0.5 in surface brightness — so err - ref must equal
+    # 0.5 * jac(x, y) EVERYWHERE (both tiles share the same projection
+    # geometry): smooth, positive, and in particular seam-free across
+    # the single-tile/overlap boundaries. Had the offsets been fitted
+    # AFTER the flux Jacobian, the removed quantity would be a flux-
+    # space constant, leaving a cos(dec)-modulated seam of order
+    # 3 * (jac spread ~ 0.13) ~ 0.4 in this strip.
+    core = foot > 0.99
+    core[:4, :] = core[-4:, :] = core[:, :4] = core[:, -4:] = False
+    assert core.sum() > 5000
+    yy, xx = np.mgrid[0:280, 0:100].astype(float)
+    _, dec = w_car.pixel_to_world(xx, yy)
+    ratio = ((err - ref) / np.cos(dec * np.pi / 180.0))[core]
+    assert np.nanmin(ratio) > 0.0
+    # the residual TAN-scale factor varies ~2% over the strip; a broken
+    # (flux-space) match would push the spread to ~50%
+    assert np.nanstd(ratio) / np.nanmean(ratio) < 0.03, (
+        np.nanstd(ratio) / np.nanmean(ratio))
+
+
 def test_reproject_and_coadd_cross_grid(rng):
     """Two tiles on DIFFERENT grids (one rotated, one offset, each with its
     own additive background error) coadd back to the parent field with the

@@ -147,24 +147,40 @@ def reproject_to_grid(data: np.ndarray, in_wcs, out_wcs,
     with np.errstate(invalid='ignore'):
         proj = np.where(cnt > 0, acc / np.where(cnt > 0, cnt, 1), np.nan)
     if conserve_flux:
-        hs = 0.5
-        x1, y1 = in_wcs.world_to_pixel(*out_wcs.pixel_to_world(xx + hs,
-                                                               yy))
-        x2, y2 = in_wcs.world_to_pixel(*out_wcs.pixel_to_world(xx - hs,
-                                                               yy))
-        x3, y3 = in_wcs.world_to_pixel(*out_wcs.pixel_to_world(xx,
-                                                               yy + hs))
-        x4, y4 = in_wcs.world_to_pixel(*out_wcs.pixel_to_world(xx,
-                                                               yy - hs))
-        jac = np.abs((x1 - x2) * (y3 - y4)
-                     - (x3 - x4) * (y1 - y2)) / (4.0 * hs * hs)
-        # footprint edges where a half-pixel probe leaves the projection
-        # fall back to the global det-CD ratio
-        jac = np.where(np.isfinite(jac), jac,
-                       abs(float(np.linalg.det(out_wcs.cd)))
-                       / abs(float(np.linalg.det(in_wcs.cd))))
-        proj = proj * jac
+        proj = proj * _local_pixel_jacobian(in_wcs, out_wcs, out_shape,
+                                            cnt > 0)
     return proj, cnt / (k * k)
+
+
+def _local_pixel_jacobian(in_wcs, out_wcs, out_shape, covered):
+    """|d(in pixel)/d(out pixel)| on the COVERED bounding box of the
+    output grid (the uncovered remainder is NaN in the projection and
+    would discard the value anyway), by central differences of the
+    composed out -> world -> in pixel map with half-pixel probes.
+    Output pixels whose probes leave either projection (facet seams,
+    footprint edges) fall back to the global |det CD| ratio — only ever
+    a thin boundary set, and those pixels carry partial footprints."""
+    jac = np.full(out_shape, np.nan)
+    if covered.any():
+        rows = np.nonzero(covered.any(axis=1))[0]
+        cols = np.nonzero(covered.any(axis=0))[0]
+        r0, r1 = rows[0], rows[-1] + 1
+        c0, c1 = cols[0], cols[-1] + 1
+        yy, xx = np.mgrid[r0:r1, c0:c1].astype(np.float64)
+        hs = 0.5
+        x1, y1 = in_wcs.world_to_pixel(
+            *out_wcs.pixel_to_world(xx + hs, yy))
+        x2, y2 = in_wcs.world_to_pixel(
+            *out_wcs.pixel_to_world(xx - hs, yy))
+        x3, y3 = in_wcs.world_to_pixel(
+            *out_wcs.pixel_to_world(xx, yy + hs))
+        x4, y4 = in_wcs.world_to_pixel(
+            *out_wcs.pixel_to_world(xx, yy - hs))
+        jac[r0:r1, c0:c1] = np.abs(
+            (x1 - x2) * (y3 - y4) - (x3 - x4) * (y1 - y2)) / (4 * hs * hs)
+    return np.where(np.isfinite(jac), jac,
+                    abs(float(np.linalg.det(out_wcs.cd)))
+                    / abs(float(np.linalg.det(in_wcs.cd))))
 
 
 def _match_backgrounds_masked(projs: Sequence[np.ndarray]) -> np.ndarray:
@@ -201,9 +217,17 @@ def reproject_and_coadd(tiles: Sequence[np.ndarray], wcs_list: Sequence,
     Each tile is reprojected onto the output grid (footprint-weighted),
     backgrounds are least-squares matched on the common grid, and the
     footprint-weighted mean is returned with its total footprint.
+
+    Matching happens in SURFACE-BRIGHTNESS space (before the flux
+    Jacobian): a per-tile additive background error is constant there,
+    which is exactly the model the constant-offset least-squares fit
+    assumes — applying the spatially-varying flux scale first would
+    modulate a constant offset into an unmatchable jac(x, y) pattern on
+    an all-sky output grid. Each tile's local Jacobian is applied after
+    its offset is removed.
     """
     pairs = [reproject_to_grid(t, w_in, out_wcs, out_shape,
-                               oversample=oversample)
+                               oversample=oversample, conserve_flux=False)
              for t, w_in in zip(tiles, wcs_list)]
     projs = [p for p, _f in pairs]
     foots = [f for _p, f in pairs]
@@ -212,9 +236,10 @@ def reproject_and_coadd(tiles: Sequence[np.ndarray], wcs_list: Sequence,
                else np.zeros(len(projs)))
     acc = np.zeros(out_shape)
     wsum = np.zeros(out_shape)
-    for proj, foot, off in zip(projs, foots, offsets):
+    for proj, foot, off, w_in in zip(projs, foots, offsets, wcs_list):
         good = np.isfinite(proj)
-        acc[good] += (proj[good] - off) * foot[good]
+        jac = _local_pixel_jacobian(w_in, out_wcs, out_shape, good)
+        acc[good] += (proj[good] - off) * jac[good] * foot[good]
         wsum[good] += foot[good]
     with np.errstate(invalid='ignore'):
         mosaic = np.where(wsum > 0, acc / np.where(wsum > 0, wsum, 1),

@@ -1067,6 +1067,11 @@ class WCS:
     def world_to_pixel(self, ra, dec):
         ra = np.asarray(ra, np.float64)
         dec = np.asarray(dec, np.float64)
+        # NaN world input (e.g. off-projection output pixels fed back by
+        # the reprojection machinery) must yield NaN pixels — the
+        # zenithal branch's reference-point guard would otherwise
+        # silently collapse NaN onto CRPIX-1 (phantom data)
+        bad = ~(np.isfinite(ra) & np.isfinite(dec))
         if self._pole is not None:
             phi, theta, h = _celestial_to_native(ra * _D2R, dec * _D2R,
                                                  self._pole)
@@ -1100,6 +1105,8 @@ class WCS:
         dy = inv[1, 0] * xi + inv[1, 1] * eta
         if self._sip:
             dx, dy = self._sip_invert(dx, dy)
+        dx = np.where(bad, np.nan, dx)
+        dy = np.where(bad, np.nan, dy)
         return dx + self.crpix[0] - 1.0, dy + self.crpix[1] - 1.0
 
     def _tpv_invert(self, xi_t, eta_t):
