@@ -871,6 +871,97 @@ def test_wcs_conic_projections():
              'CRVAL2': 45.0, 'PV2_1': 80.0, 'PV2_2': 15.0})
 
 
+def test_wcs_edge_semantics_review_fixes():
+    """Header-edge semantics pinned after a whole-file review:
+    (a) SIN/ZEA/ARC inverses NaN off-projection radii instead of
+    clipping onto the limb/antipode (clipped pixels resolve to REAL sky
+    and let reprojection paint phantom flux); (b) sparse CD headers
+    (any CDj_i present -> absent elements are 0 per the FITS standard)
+    decode correctly and singular CD raises; (c) latitude-first axis
+    order (CTYPE1='DEC--TAN') decodes identically to the equivalent
+    lon-first header, incl. PV1_m parameter reads; (d) the closed
+    pseudo-maps (SFL/MOL/PAR/BON/PCO, HPX equatorial band) NaN plane
+    points beyond the bounding meridian instead of wrapping onto a
+    second sky copy; (e) nonstandard HPX grid parameters (H, K) raise
+    loudly; (f) ZPN's invertible domain is the refined stationary
+    point, not a 4097-grid overshoot."""
+    from tpu_sgp.image.wcs import _zpn_pair
+
+    def hdr(code, **kw):
+        base = {'CTYPE1': f'RA---{code}', 'CTYPE2': f'DEC--{code}',
+                'CRVAL1': 10.0, 'CRVAL2': 5.0, 'CRPIX1': 1.0,
+                'CRPIX2': 1.0, 'CDELT1': -1.0, 'CDELT2': 1.0}
+        base.update(kw)
+        return base
+
+    # (a) off-projection zenithal radii
+    assert np.isnan(WCS(hdr('SIN')).pixel_to_world(90.0, 0.0)[0])
+    assert np.isnan(WCS(hdr('ZEA')).pixel_to_world(130.0, 0.0)[0])
+    w_arc = WCS(hdr('ARC'))
+    assert np.isnan(w_arc.pixel_to_world(185.0, 0.0)[0])
+    assert np.isfinite(w_arc.pixel_to_world(170.0, 0.0)[0])
+
+    # (b) sparse anti-diagonal CD (no CD1_1 key): rotation applied
+    w = WCS({'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN', 'CRVAL1': 10.0,
+             'CRVAL2': 5.0, 'CRPIX1': 50.0, 'CRPIX2': 50.0,
+             'CD1_2': -1e-3, 'CD2_1': 1e-3})
+    ra, dec = w.pixel_to_world(59.0, 49.0)
+    np.testing.assert_allclose(w.world_to_pixel(ra, dec), (59.0, 49.0),
+                               rtol=0, atol=1e-8)
+    assert np.hypot(ra - 10.0, dec - 5.0) > 1e-4
+    with pytest.raises(ValueError, match='singular'):
+        WCS({'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN', 'CD1_1': 1e-3})
+
+    # (c) latitude-first == row-swapped lon-first
+    wa = WCS({'CTYPE1': 'DEC--TAN', 'CTYPE2': 'RA---TAN', 'CRVAL1': 30.0,
+              'CRVAL2': 80.0, 'CRPIX1': 40.0, 'CRPIX2': 60.0,
+              'CD1_1': 2e-3, 'CD1_2': 1e-4, 'CD2_1': -2e-4,
+              'CD2_2': -1.8e-3})
+    wb = WCS({'CTYPE1': 'RA---TAN', 'CTYPE2': 'DEC--TAN', 'CRVAL1': 80.0,
+              'CRVAL2': 30.0, 'CRPIX1': 40.0, 'CRPIX2': 60.0,
+              'CD1_1': -2e-4, 'CD1_2': -1.8e-3, 'CD2_1': 2e-3,
+              'CD2_2': 1e-4})
+    for xy in [(0.0, 0.0), (100.0, 30.0), (39.0, 59.0)]:
+        np.testing.assert_allclose(wa.pixel_to_world(*xy),
+                                   wb.pixel_to_world(*xy), rtol=0,
+                                   atol=1e-12)
+        ra, dec = wa.pixel_to_world(*xy)
+        np.testing.assert_allclose(wa.world_to_pixel(ra, dec), xy,
+                                   rtol=0, atol=1e-8)
+    wz = WCS({'CTYPE1': 'DEC--ZPN', 'CTYPE2': 'RA---ZPN', 'CRVAL1': 30.0,
+              'CRVAL2': 80.0, 'CRPIX1': 40.0, 'CRPIX2': 60.0,
+              'CD1_1': 2e-3, 'CD2_2': -2e-3, 'PV1_1': 1.0})
+    ra, dec = wz.pixel_to_world(10.0, 20.0)
+    np.testing.assert_allclose(wz.world_to_pixel(ra, dec), (10.0, 20.0),
+                               rtol=0, atol=1e-8)
+    # lat-first ZPN header round-trips through to_header (PV1_m carried)
+    wz2 = WCS(dict(wz.to_header().items()))
+    np.testing.assert_allclose(wz2.pixel_to_world(10.0, 20.0), (ra, dec),
+                               rtol=0, atol=1e-12)
+
+    # (d) closed-map meridian bounds
+    w_sfl = WCS(hdr('SFL', CRVAL1=0.0, CRVAL2=0.0))
+    assert np.isnan(w_sfl.pixel_to_world(170.0, 60.0)[0])
+    assert np.isfinite(w_sfl.pixel_to_world(170.0, 0.0)[0])
+    assert np.isnan(WCS(hdr('MOL', CRVAL1=0.0, CRVAL2=0.0))
+                    .pixel_to_world(170.0, 30.0)[0])
+    w_hpx = WCS(hdr('HPX', CRVAL1=0.0, CRVAL2=0.0))
+    assert np.isnan(w_hpx.pixel_to_world(185.0, 0.0)[0])
+    assert np.isfinite(w_hpx.pixel_to_world(179.0, 0.0)[0])
+
+    # (e) nonstandard HEALPix grid
+    with pytest.raises(ValueError, match='HPX'):
+        WCS(hdr('HPX', PV2_1=2.0))
+
+    # (f) ZPN domain: R = g - 100 g^3 has its true maximum at
+    # g = 1/sqrt(300); just inside inverts, just beyond is NaN
+    _, th_of = _zpn_pair([0.0, 1.0, 0.0, -100.0])
+    g_true = 1.0 / np.sqrt(300.0)
+    r_max = g_true - 100.0 * g_true ** 3
+    assert np.isfinite(th_of(np.array([r_max * 0.999999])))
+    assert np.isnan(th_of(np.array([r_max * 1.0001])))
+
+
 def test_wcs_fuzz_all_codes_roundtrip_or_nan():
     """Property fuzz across EVERY supported projection code: random
     valid headers (random fiducials, scales, rotations and projection

@@ -39,21 +39,37 @@ _WARNED_CTYPES: set = set()
 
 _D2R = np.pi / 180.0
 
+def _arccos_or_nan(s):
+    """arccos that NaNs out-of-domain points like astropy/wcslib,
+    instead of silently clipping onto the limb."""
+    with np.errstate(invalid='ignore'):
+        return np.arccos(np.where(np.abs(np.asarray(s, np.float64))
+                                  <= 1.0, s, np.nan))
+
+
+def _arc_inv(r):
+    r = np.asarray(r, np.float64)
+    with np.errstate(invalid='ignore'):
+        return np.pi / 2 - np.where(r <= np.pi + 1e-12, r, np.nan)
+
+
 # Zenithal projections: R(theta) and theta(R), both with R in RADIANS of
 # native-polar radius and theta the native latitude in radians
-# (Calabretta & Greisen 2002, Table 13 / section 5.1).
+# (Calabretta & Greisen 2002, Table 13 / section 5.1). Inverses NaN
+# off-projection radii (SIN R > 1, ZEA R > 2, ARC R > pi) instead of
+# clipping onto the limb/antipode — clipped pixels would resolve to
+# REAL sky positions and let the reprojection machinery paint phantom
+# flux outside the projection footprint.
 _ZENITHAL = {
     'TAN': (lambda th: np.cos(th) / np.sin(th),
             lambda r: np.arctan2(1.0, r)),
     'SIN': (lambda th: np.cos(th),
-            lambda r: np.arccos(np.clip(r, -1.0, 1.0))),
-    'ARC': (lambda th: np.pi / 2 - th,
-            lambda r: np.pi / 2 - r),
+            lambda r: _arccos_or_nan(r)),
+    'ARC': (lambda th: np.pi / 2 - th, _arc_inv),
     'STG': (lambda th: 2.0 * np.tan((np.pi / 2 - th) / 2.0),
             lambda r: np.pi / 2 - 2.0 * np.arctan(r / 2.0)),
     'ZEA': (lambda th: 2.0 * np.sin((np.pi / 2 - th) / 2.0),
-            lambda r: np.pi / 2 - 2.0 * np.arcsin(
-                np.clip(r / 2.0, -1.0, 1.0))),
+            lambda r: np.pi / 2 - 2.0 * _arcsin_or_nan(r / 2.0)),
 }
 
 def _zpn_pair(pv):
@@ -72,10 +88,22 @@ def _zpn_pair(pv):
     def dp(g):
         return np.polyval(dpv[::-1], g) if len(dpv) else np.zeros_like(g)
 
-    # first stationary point on (0, pi] bounds the invertible domain
+    # first stationary point on (0, pi] bounds the invertible domain;
+    # the grid only brackets it — refine by bisection on dp so r_max
+    # and the inversion domain don't include a non-monotonic tail
     gs = np.linspace(0.0, np.pi, 4097)
     neg = np.nonzero(dp(gs[1:]) <= 0.0)[0]
-    g_max = gs[1:][neg[0]] if len(neg) else np.pi
+    if len(neg):
+        lo, hi = gs[neg[0]], gs[neg[0] + 1]
+        for _ in range(60):
+            mid = 0.5 * (lo + hi)
+            if dp(np.array(mid)) > 0.0:
+                lo = mid
+            else:
+                hi = mid
+        g_max = 0.5 * (lo + hi)
+    else:
+        g_max = np.pi
     r_max = float(p(g_max))
 
     def r_of(theta):
@@ -236,12 +264,24 @@ def _pow_table(v, n=8):
     return out
 
 
+def _tpv_degrees(pv):
+    """Highest x/y/r powers carried by nonzero coefficients — bounds the
+    power tables so a typical degree-3 survey header doesn't pay for
+    full-grid powers 4..7 on every Newton iteration."""
+    na = nb = nd = 0
+    for m, (a, b, d) in enumerate(_TPV_TERMS):
+        if pv[m] != 0.0:
+            na, nb, nd = max(na, a), max(nb, b), max(nd, d)
+    return na, nb, nd
+
+
 def _tpv_eval(pv, x, y):
     """sum_m pv[m] T_m(x, y, r) for a dense length-40 coefficient array
     (zero terms skipped — real headers carry ~10 of the 40)."""
-    xp = _pow_table(np.asarray(x, np.float64))
-    yp = _pow_table(np.asarray(y, np.float64))
-    rp = _pow_table(np.hypot(x, y))
+    na, nb, nd = _tpv_degrees(pv)
+    xp = _pow_table(np.asarray(x, np.float64), na + 1)
+    yp = _pow_table(np.asarray(y, np.float64), nb + 1)
+    rp = _pow_table(np.hypot(x, y), nd + 1)
     out = np.zeros(np.broadcast(x, y).shape, np.float64)
     for m, (a, b, d) in enumerate(_TPV_TERMS):
         c = pv[m]
@@ -258,11 +298,12 @@ def _tpv_jac(pv, x, y):
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     r = np.hypot(x, y)
-    xp = _pow_table(x)
-    yp = _pow_table(y)
+    na, nb, nd = _tpv_degrees(pv)
+    xp = _pow_table(x, na + 1)
+    yp = _pow_table(y, nb + 1)
     with np.errstate(divide='ignore', invalid='ignore'):
         rinv = np.where(r > 0.0, 1.0 / r, 0.0)
-    rp = _pow_table(r)
+    rp = _pow_table(r, nd + 1)
     shape = np.broadcast(x, y).shape
     gx = np.zeros(shape, np.float64)
     gy = np.zeros(shape, np.float64)
@@ -324,11 +365,23 @@ def _mer_inv(phi, theta, lam):
     return phi * _R2D, np.log(np.tan(np.pi / 4 + theta / 2.0)) * _R2D
 
 
+def _phi_or_nan(phi):
+    """NaN native longitudes beyond +-180 deg: for the CLOSED
+    pseudo-cylindrical / pseudo-conic maps, plane points past the
+    bounding meridian are off-projection (astropy NaNs there) — a
+    finite phi would wrap onto a second copy of far-side sky and let
+    the reprojection machinery double-count flux. The unbounded
+    cylinders (CAR/CEA/MER/CYP) are excluded: there x past 180 deg is
+    the SAME sky by 360-deg periodicity."""
+    with np.errstate(invalid='ignore'):
+        return np.where(np.abs(phi) <= np.pi + 1e-9, phi, np.nan)
+
+
 def _sfl(xi, eta, lam):
     theta = eta * _D2R
     with np.errstate(divide='ignore', invalid='ignore'):
         phi = xi * _D2R / np.cos(theta)
-    return phi, theta
+    return _phi_or_nan(phi), theta
 
 
 def _sfl_inv(phi, theta, lam):
@@ -361,7 +414,7 @@ def _mol(xi, eta, lam):
     theta = _arcsin_or_nan((2.0 * g + np.sin(2.0 * g)) / np.pi)
     with np.errstate(divide='ignore', invalid='ignore'):
         phi = np.pi * x_r / (2.0 * np.sqrt(2.0) * np.cos(g))
-    return phi, theta
+    return _phi_or_nan(phi), theta
 
 
 def _mol_inv(phi, theta, lam):
@@ -425,7 +478,7 @@ def _par(xi, eta, lam):
     w = 2.0 * np.cos(2.0 * th / 3.0) - 1.0
     with np.errstate(divide='ignore', invalid='ignore'):
         phi = np.where(np.abs(w) > 1e-14, xi * _D2R / w, 0.0)
-    return phi, th
+    return _phi_or_nan(phi), th
 
 
 def _par_inv(phi, theta, lam):
@@ -450,8 +503,8 @@ def _bon(xi, eta, lam):
         a = np.arctan2(x_r / r, (y0 - e_r) / r)
         phi = a * r / np.cos(theta)
     phi = np.where(np.abs(np.cos(theta)) < 1e-14, 0.0, phi)
-    return phi, np.where(np.abs(theta) <= np.pi / 2 + 1e-12, theta,
-                         np.nan)
+    return (_phi_or_nan(phi),
+            np.where(np.abs(theta) <= np.pi / 2 + 1e-12, theta, np.nan))
 
 
 def _bon_inv(phi, theta, lam):
@@ -497,7 +550,7 @@ def _pco(xi, eta, lam):
     phi = np.where(eqt, x, phi)
     th = np.where(eqt, 0.0, th)
     sx = np.where(np.asarray(xi, np.float64) < 0.0, -1.0, 1.0)
-    return sx * phi, np.where(eqt, 0.0, s) * th
+    return _phi_or_nan(sx * phi), np.where(eqt, 0.0, s) * th
 
 
 def _pco_inv(phi, theta, lam):
@@ -533,9 +586,13 @@ def _hpx(xi, eta, lam):
     st_pol = np.sign(y_r) * (1.0 - sig * sig / 3.0)
     ok_pol = (ay <= np.pi / 2 + 1e-12) & (np.abs(x_r - x_c)
                                           <= sig * np.pi / 4 + 1e-12)
-    phi = np.where(eq, x_r, np.where(ok_pol, phi_pol, np.nan))
-    st = np.where(eq, y_r * 8.0 / (3.0 * np.pi),
-                  np.where(ok_pol, st_pol, np.nan))
+    # the equatorial band is bounded at |x| = 180 deg too (beyond is
+    # off-map, not a periodic copy — the polar facets already enforce
+    # their own bounds)
+    ok_eq = eq & (np.abs(x_r) <= np.pi + 1e-9)
+    phi = np.where(ok_eq, x_r, np.where(ok_pol & ~eq, phi_pol, np.nan))
+    st = np.where(ok_eq, y_r * 8.0 / (3.0 * np.pi),
+                  np.where(ok_pol & ~eq, st_pol, np.nan))
     return phi, _arcsin_or_nan(st)
 
 
@@ -829,11 +886,20 @@ class WCS:
                                float(h.get('CRVAL2', 0.0))])
         self.ctype = (str(h.get('CTYPE1', 'RA---TAN')),
                       str(h.get('CTYPE2', 'DEC--TAN')))
-        if 'CD1_1' in h:
-            self.cd = np.array([[float(h.get('CD1_1', 1.0)),
+        if any(f'CD{i}_{j}' in h for i in (1, 2) for j in (1, 2)):
+            # FITS: once ANY CDj_i is present, absent elements default
+            # to 0 (a sparse rotated header may legitimately omit the
+            # diagonal) — defaulting them to 1 would corrupt the scale,
+            # and keying on CD1_1 alone would silently build identity
+            self.cd = np.array([[float(h.get('CD1_1', 0.0)),
                                  float(h.get('CD1_2', 0.0))],
                                 [float(h.get('CD2_1', 0.0)),
-                                 float(h.get('CD2_2', 1.0))]])
+                                 float(h.get('CD2_2', 0.0))]])
+            if np.linalg.det(self.cd) == 0.0:
+                raise ValueError(
+                    'WCS: singular CD matrix (absent CDj_i elements '
+                    'default to 0 per the FITS standard) — invalid '
+                    'header')
         else:
             cdelt = np.array([float(h.get('CDELT1', 1.0)),
                               float(h.get('CDELT2', 1.0))])
@@ -842,19 +908,36 @@ class WCS:
                            [float(h.get('PC2_1', 0.0)),
                             float(h.get('PC2_2', 1.0))]])
             self.cd = pc * cdelt[:, None]
+        # latitude-first axis order (CTYPE1='DEC--xxx' — valid FITS some
+        # radio/cube pipelines write): axis 1 carries the latitude
+        # intermediate coordinate and the projection parameters (PV1_m)
+        ct1 = self.ctype[0]
+        self._latfirst = (ct1.startswith('DEC-')
+                          or (len(ct1) >= 4 and ct1[1:4] == 'LAT'))
+        self._pv_axis = 1 if self._latfirst else 2
         code = self.ctype[0][5:8] if len(self.ctype[0]) >= 8 else ''
         if not code and 'TAN' in self.ctype[0]:
             code = 'TAN'  # tolerate short/nonstandard TAN ctypes
         self._zen = code if code in _ZENITHAL else None
         self._cyl = code if code in _CYLINDRICAL else None
         self._con = code if code in _CONIC else None
-        self._lam = float(h.get('PV2_1', 1.0))  # CEA scale parameter
+        pva = self._pv_axis
+        self._lam = float(h.get(f'PV{pva}_1', 1.0))  # CEA scale param
         if self._cyl == 'CEA' and not 0.0 < self._lam <= 1.0:
             raise ValueError(f'WCS: CEA PV2_1={self._lam} outside (0, 1] '
                              '— invalid header (lambda scales sin(theta))')
-        # parameterized zenithal projections (per-instance PV2_m)
-        self._pv2 = {m: float(h[f'PV2_{m}']) for m in range(21)
-                     if f'PV2_{m}' in h}
+        if self._cyl == 'HPX':
+            hk = (float(h.get(f'PV{pva}_1', 4.0)),
+                  float(h.get(f'PV{pva}_2', 3.0)))
+            if hk != (4.0, 3.0):
+                raise ValueError(
+                    f'WCS: HPX grid parameters (H, K)={hk} — only the '
+                    'standard H=4, K=3 HEALPix grid is implemented; a '
+                    'silent H=4 read would misplace every pixel')
+        # parameterized projections: per-instance PVi_m read from the
+        # LATITUDE axis (axis 2 normally, axis 1 for lat-first headers)
+        self._pv2 = {m: float(h[f'PV{pva}_{m}']) for m in range(21)
+                     if f'PV{pva}_{m}' in h}
         if self._cyl == 'CYP':
             # PV2_1 = mu, PV2_2 = lambda; both default 1 (the wcslib
             # cypset defaults); mu = 1, lambda = sqrt(2)/2 is Gall's
@@ -927,6 +1010,11 @@ class WCS:
         # ESO radial-distortion headers) — then they are IGNORED like
         # wcslib's tanset does, instead of collapsing the transform.
         self._tpv = None
+        if self._latfirst and (code == 'TPV' or (code == 'TAN' and any(
+                f'PV{i}_{m}' in h for i in (1, 2) for m in range(40)))):
+            raise ValueError('WCS: TPV distortion with latitude-first '
+                             'axes is not supported (the PV1/PV2 axis '
+                             'roles would swap) — use astropy')
         if code == 'TPV' or (code == 'TAN' and any(
                 f'PV{i}_{m}' in h for i in (1, 2) for m in range(40))):
             pv1 = np.zeros(40)
@@ -986,7 +1074,11 @@ class WCS:
         # LONPOLE (default 180). Cylindrical (theta0 = 0): solve eq. 8-10,
         # LONPOLE defaulting to 0 (CRVAL2 >= 0) / 180 (CRVAL2 < 0),
         # LATPOLE picking between the two pole solutions (default +90).
-        ra0, dec0 = self.crval * _D2R
+        if self._latfirst:
+            dec0, ra0 = self.crval * _D2R
+        else:
+            ra0, dec0 = self.crval * _D2R
+        self._lonlat0 = (ra0 / _D2R, dec0 / _D2R)
         self._latpole_deg = float(h.get('LATPOLE', 90.0))
         latpole = self._latpole_deg * _D2R
         if self._zen is not None:
@@ -1032,8 +1124,10 @@ class WCS:
                       dy + _sip_eval(self.sip_b, dx, dy))
         xi = self.cd[0, 0] * dx + self.cd[0, 1] * dy   # deg
         eta = self.cd[1, 0] * dx + self.cd[1, 1] * dy
+        if self._latfirst:                 # axis 1 carries the latitude
+            xi, eta = eta, xi
         if self._pole is None:
-            return self.crval[0] + xi, self.crval[1] + eta
+            return self._lonlat0[0] + xi, self._lonlat0[1] + eta
         if self._tpv is not None:
             pv1, pv2 = self._tpv
             xi, eta = (_tpv_eval(pv1, xi, eta), _tpv_eval(pv2, eta, xi))
@@ -1096,10 +1190,12 @@ class WCS:
                 phi = np.arctan2(np.sin(phi), np.cos(phi))
                 xi, eta = plane_of(phi, theta, self._lam)
         else:
-            xi = ra - self.crval[0]
-            eta = dec - self.crval[1]
+            xi = ra - self._lonlat0[0]
+            eta = dec - self._lonlat0[1]
         if self._tpv is not None:
             xi, eta = self._tpv_invert(xi, eta)
+        if self._latfirst:                 # back to axis order for CD
+            xi, eta = eta, xi
         inv = np.linalg.inv(self.cd)
         dx = inv[0, 0] * xi + inv[0, 1] * eta
         dy = inv[1, 0] * xi + inv[1, 1] * eta
@@ -1170,6 +1266,8 @@ class WCS:
         w._con, w._con_fns = self._con, self._con_fns
         w._tpv = self._tpv
         w._slant = self._slant
+        w._latfirst, w._pv_axis = self._latfirst, self._pv_axis
+        w._lonlat0 = self._lonlat0
         # SIP offsets are measured from CRPIX, which shifts with the
         # cutout, so the polynomials carry over unchanged
         w.sip_a, w.sip_b = self.sip_a, self.sip_b
@@ -1188,17 +1286,18 @@ class WCS:
         if self._pole is not None:
             h['LONPOLE'] = float(self._pole[2] / _D2R)
             h['LATPOLE'] = float(self._latpole_deg)
+        pva = self._pv_axis
         if self._cyl == 'CEA':
-            h['PV2_1'] = float(self._lam)
+            h[f'PV{pva}_1'] = float(self._lam)
         elif self._cyl == 'CYP':
-            h['PV2_1'], h['PV2_2'] = float(self._lam[0]), float(
-                self._lam[1])
+            h[f'PV{pva}_1'] = float(self._lam[0])
+            h[f'PV{pva}_2'] = float(self._lam[1])
         elif self._cyl == 'BON':
-            h['PV2_1'] = float(self._lam / _D2R)
+            h[f'PV{pva}_1'] = float(self._lam / _D2R)
         if (self._zen in ('ZPN', 'AZP', 'SZP') or self._con is not None
                 or (self._zen == 'SIN' and self._slant is not None)):
             for m, v in sorted(self._pv2.items()):
-                h[f'PV2_{m}'] = float(v)
+                h[f'PV{pva}_{m}'] = float(v)
         if self._tpv is not None:
             for i, pv in ((1, self._tpv[0]), (2, self._tpv[1])):
                 for m, v in enumerate(pv):
