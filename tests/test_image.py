@@ -1033,6 +1033,37 @@ def test_wcs_fuzz_all_codes_roundtrip_or_nan():
             np.testing.assert_allclose(ra2, ra[ok], rtol=0, atol=1e-9,
                                        err_msg=f'{code} header carry')
 
+    # all-sky-scale pass: 1 deg/px grids overhanging every map boundary.
+    # The same round-trip-or-NaN property must hold — this is the guard
+    # that catches clip-onto-the-limb / wrap-onto-a-second-sky-copy
+    # classes of bug (pixels outside the projection must NaN, pixels
+    # inside must invert back to themselves, never to a wrapped twin).
+    allsky = ['SIN', 'ARC', 'ZEA', 'STG', 'CAR', 'CEA', 'MER', 'CYP',
+              'SFL', 'AIT', 'MOL', 'PAR', 'HPX', 'TSC', 'BON', 'PCO']
+    for code in allsky:
+        hdr = {'CTYPE1': f'RA---{code}', 'CTYPE2': f'DEC--{code}',
+               'CRPIX1': 200.0, 'CRPIX2': 100.0,
+               'CRVAL1': float(rng.uniform(0.0, 360.0)),
+               'CRVAL2': 0.0, 'CDELT1': -1.0, 'CDELT2': 1.0}
+        if code == 'BON':
+            hdr['PV2_1'] = 45.0
+        w = WCS(hdr)
+        xs = rng.uniform(-10.0, 410.0, 300)
+        ys = rng.uniform(-10.0, 210.0, 300)
+        ra, dec = w.pixel_to_world(xs, ys)
+        ok = np.isfinite(ra) & np.isfinite(dec)
+        assert ok.sum() >= 15, (code, ok.sum())   # SIN's disc is small
+        bx, by = w.world_to_pixel(ra[ok], dec[ok])
+        dx = bx - xs[ok]
+        # a pixel that survives pixel_to_world must map back to ITSELF;
+        # on the periodic cylinders a 360-deg x-wrapped twin (x period =
+        # lambda * 360 / |CDELT| px, lambda = 1 for all four defaults)
+        # is the one allowed exception
+        if code in ('CAR', 'CEA', 'MER', 'CYP'):
+            dx = (dx + 180.0) % 360.0 - 180.0
+        err = np.hypot(dx, by - ys[ok])
+        assert np.nanmax(err) < 1e-5, (code, np.nanmax(err))
+
 
 def test_wcs_slant_zenithal_projections():
     """Slant orthographic (SIN with PV2_1/PV2_2 — the AIPS/CASA radio
